@@ -1,0 +1,480 @@
+"""Relational capability surface (SURVEY.md §2.4): joins, aggregations,
+window functions, sorts/top-k, set ops, rollup, sessionization, as-of.
+
+The reference has none of these (its only "query" is an opaque Python
+callable, ``plugin.cpp:284-287``) but its capability surface implies them
+(enrichment, buffer-for-aggregation ``plugin.cpp:113-116``).  All are
+Catalyst-native; scale notes per query:
+
+* small dims (region/nation/part/supplier/band tables) are explicitly
+  ``broadcast()`` — no shuffle of the fact side;
+* fact-fact joins (orders x lineitem) shuffle on the join key, which AQE
+  re-plans at runtime (skew-split, partition coalescing);
+* every aggregate is a partial (map-side) + final hash aggregate — Spark
+  does this automatically for all ``groupBy().agg()``;
+* top-k per group is window + row_number, which at scale AQE executes as a
+  shuffle on the partition key followed by a per-partition sort — no
+  global sort.
+
+Float aggregates use the exact-decimal-sum trick (catalog.dsum) so results
+hash-match the DuckDB oracle bit-for-bit regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import (
+    QuerySpec,
+    davg,
+    dsum,
+    load,
+    o_davg,
+    o_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# pricing_summary — TPC-H Q1 shape: scan + pushed filter + 2-key hash agg
+# with 8 aggregates.  The canonical "is the agg partial+final and the scan
+# pruned" benchmark.
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "2000-06-01"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum("l_quantity", "sum_qty")},
+       {o_dsum("l_extendedprice", "sum_base_price")},
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+       {o_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
+       {o_davg("l_quantity", "avg_qty")},
+       {o_davg("l_extendedprice", "avg_price")},
+       {o_davg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — Q5 shape: 5-way star join.  nation + region broadcast
+# (25 / 5 rows at any scale); customer<->orders<->lineitem shuffle on their
+# keys and AQE handles skew.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+O_REVENUE_BY_NATION = f"""
+SELECT n_name,
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# top_orders_per_segment — top-k per group: window row_number, deterministic
+# tie-break on o_orderkey.  At scale: shuffle on the partition key only,
+# per-partition sort, no global sort.
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+O_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# order_priority_semijoin — Q4 shape: EXISTS -> left-semi join (no row
+# duplication, no distinct needed; Catalyst picks broadcast or shuffled
+# semi automatically).
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    discounted = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        orders.join(
+            discounted, orders.o_orderkey == discounted.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# sessionization — lag + gap>30min cumulative flag (the classic distributed
+# sessionize: one shuffle on user_id, per-partition sort by ts).
+# ---------------------------------------------------------------------------
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_sess") + 1).cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_SESSIONIZATION = """
+SELECT user_id,
+       CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# hourly_event_rollup — time-bucketed agg (the readings -> hypertable
+# rollup pattern; T10's batch twin).
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+O_HOURLY_ROLLUP = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       {o_dsum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# rollup_revenue — GROUP BY ROLLUP (subtotals + grand total).
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(disc_price, "revenue"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+O_ROLLUP_REVENUE = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+# ---------------------------------------------------------------------------
+# set_ops_users — INTERSECT / EXCEPT (distinct semantics both engines).
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    return (
+        users("purchase")
+        .intersect(users("signup"))
+        .exceptAll(users("error").distinct())
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+O_SET_OPS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# distinct_users — exact COUNT(DISTINCT) per group (expand + two-phase agg
+# in Spark; approx_count_distinct is the 100 TB escape hatch, tested in
+# tests/ but not oracle-checked since HLL sketches differ by engine).
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_DISTINCT_USERS = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {o_dsum("value", "sum_value")}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# event_type_pivot — pivot to one column per event type.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return piv.select(*cols).orderBy("user_id")
+
+
+O_EVENT_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# top_parts_by_revenue — broadcast dim join + agg + top-k.
+# ---------------------------------------------------------------------------
+
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(10)
+    )
+
+
+O_TOP_PARTS = f"""
+SELECT p_brand,
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# asof_last_signup — as-of join (Spark lacks a native one).  Distributed
+# formulation: running MAX over an event-time window (RANGE frame, ties
+# included) — one shuffle on user_id, no per-row lookups.  The DuckDB
+# oracle states the same semantics relationally.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")  # default RANGE frame
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        ev.withColumn("last_signup_ts", F.max(signup_ts).over(w))
+        .select("event_id", "user_id", "ts", "event_type", "last_signup_ts")
+    )
+
+
+O_ASOF_LAST_SIGNUP = """
+SELECT event_id, user_id, ts, event_type,
+       MAX(CASE WHEN event_type = 'signup' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts) AS last_signup_ts
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# value_band_join — range join rewritten as an equi-join (the scalable
+# form: derive the band key, broadcast the tiny band dim; a naive
+# range-condition join would be a nested-loop at scale).
+# ---------------------------------------------------------------------------
+
+_BAND_WIDTH = 50
+
+
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_WIDTH).cast("double").alias("lo"),
+        ((F.col("id") + 1) * _BAND_WIDTH).cast("double").alias("hi"),
+    )
+    keyed = ev.withColumn(
+        "band_id", F.floor(F.col("value") / _BAND_WIDTH).cast("long")
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band_id")
+        .groupBy("band_id", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("band_id")
+    )
+
+
+O_VALUE_BAND_JOIN = f"""
+SELECT band_id, lo, hi, COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM (
+  SELECT i AS band_id, CAST(i * {_BAND_WIDTH} AS DOUBLE) AS lo,
+         CAST((i + 1) * {_BAND_WIDTH} AS DOUBLE) AS hi
+  FROM range(0, 10) t(i)
+) bands
+JOIN events ON value >= lo AND value < hi
+GROUP BY band_id, lo, hi
+ORDER BY band_id
+"""
+
+SPECS = [
+    QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
+    QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
+    QuerySpec("top_orders_per_segment", q_top_orders_per_segment, O_TOP_ORDERS_PER_SEGMENT, headline=True),
+    QuerySpec("order_priority_semijoin", q_order_priority, O_ORDER_PRIORITY),
+    QuerySpec("sessionization", q_sessionization, O_SESSIONIZATION, headline=True),
+    QuerySpec("hourly_event_rollup", q_hourly_rollup, O_HOURLY_ROLLUP),
+    QuerySpec("rollup_revenue", q_rollup_revenue, O_ROLLUP_REVENUE),
+    QuerySpec("set_ops_users", q_set_ops, O_SET_OPS),
+    QuerySpec("distinct_users", q_distinct_users, O_DISTINCT_USERS),
+    QuerySpec("event_type_pivot", q_event_pivot, O_EVENT_PIVOT),
+    QuerySpec("top_parts_by_revenue", q_top_parts, O_TOP_PARTS),
+    QuerySpec("asof_last_signup", q_asof_last_signup, O_ASOF_LAST_SIGNUP),
+    QuerySpec("value_band_join", q_value_band_join, O_VALUE_BAND_JOIN),
+]

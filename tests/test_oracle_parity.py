@@ -1,0 +1,17 @@
+"""Oracle-differential tests: every SQL-expressible catalog query must
+match its DuckDB oracle exactly (row count + columns + values) at sf0.01 —
+the same check the driver runs for CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+from foglamp_filter_python35_spark.catalog import all_queries
+from tests.oracle_utils import compare_spark_vs_oracle
+
+_SPECS = [s for s in all_queries().values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", _SPECS, ids=[s.name for s in _SPECS])
+def test_query_matches_oracle(spark, sf_correct, spec):
+    compare_spark_vs_oracle(spark, spec.fn, spec.oracle, sf_correct)
