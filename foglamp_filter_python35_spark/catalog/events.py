@@ -161,8 +161,49 @@ SELECT event_id,
 FROM events
 """
 
+# --- T9: the same scale35 semantics, but executed through the faithful
+# python-filter runner (mapInPandas over the readings wire contract) —
+# proving the arbitrary-Python surface produces oracle-exact results.
+
+
+def _pf_scale(readings):
+    for r in readings:
+        new = {}
+        for k, v in r["reading"].items():
+            new[k] = v * 5.0 + 10.0 if isinstance(v, (int, float)) else v
+        r["reading"] = new
+    return readings
+
+
+def q_python_filter_scale35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.config import FilterConfig
+    from foglamp_filter_python35_spark.datamodel import events_to_readings
+    from foglamp_filter_python35_spark.operators.python_filter import (
+        run_python_filter,
+    )
+
+    readings = events_to_readings(load(spark, sf_dir, "events"))
+    out = run_python_filter(readings, _pf_scale, FilterConfig(enable=True))
+    return out.select(
+        F.col("id"),
+        F.col("asset_code"),
+        F.col("reading")["value"].alias("scaled_value"),
+    )
+
+
+O_PYTHON_FILTER_SCALE35 = """
+SELECT event_id AS id,
+       event_type AS asset_code,
+       value * 5.0 + 10.0 AS scaled_value
+FROM events
+"""
+
 SPECS = [
     QuerySpec("scale35", q_scale35, O_SCALE35, headline=True),
+    QuerySpec(
+        "python_filter_scale35", q_python_filter_scale35,
+        O_PYTHON_FILTER_SCALE35, headline=True,
+    ),
     QuerySpec("readings35_add100", q_add100, O_ADD100),
     QuerySpec("asset_filter", q_asset_filter, O_ASSET_FILTER),
     QuerySpec("payload_projection", q_payload_projection, O_PAYLOAD_PROJECTION),

@@ -1,0 +1,225 @@
+"""T9 — the arbitrary-Python-function surface, reproduced faithfully.
+
+The reference's entire "query engine" is one call: marshal a micro-batch
+of readings into a Python list-of-dicts, invoke a user function on it,
+validate + rebuild the result (``plugin.cpp:255-260``, ``:284-287``).
+This module reproduces that contract on Spark:
+
+* execution is Arrow-batched ``mapInPandas`` — the generalization of the
+  reference's one performance idea (one Python call per batch, never per
+  row, ``plugin.cpp:284-287``), but parallel per executor instead of
+  serialized behind a process-global GIL (``plugin.cpp:141-163``);
+* the user function sees the reference wire shape
+  (``python35_filter.cpp:35-119``; documented ``readings35.py:39-51``)::
+
+      [{"asset_code": "lab1", "reading": {"power_set1": 5980.0},
+        "id": 1, "ts": 1699999999, "user_ts": 1699999998}, ...]
+
+  with ``compat_bytes=True`` reproducing the reference's bytes keys /
+  bytes string-values exactly (``python35_filter.cpp:73-87``);
+* the whole-batch contract: any exception from the user function, a
+  non-list result, or any disallowed datapoint type (anything but
+  int/float/str/bytes — ``python35_filter.cpp:197-203``) rejects the
+  WHOLE batch and passes the input through unmodified
+  (``plugin.cpp:295-310``, ``:338-342``) — at-least-the-input delivery.
+  Batch granularity here is the Arrow batch
+  (``spark.sql.execution.arrow.maxRecordsPerBatch``), the Spark analog of
+  the reference's ReadingSet;
+* readings returned with an empty datapoint dict are silently dropped
+  (``python35_filter.cpp:178``, ``:250-254``);
+* ``id``/``ts``/``user_ts`` are preserved iff present in the returned
+  dict; a reading returned without them gets a fresh ingest timestamp and
+  a null id (``python35_filter.cpp:222-244``; header ``plugin.cpp:127-131``
+  — "new readings have new timestamps, new UUID"; a distributed engine
+  cannot mint coordinated longs, so absent-id -> null, by design);
+* ``set_filter_config``: called once with ``{"config": <json>}`` before
+  any data flows and required to return True (``python35_filter.cpp:
+  564-615``); failure aborts plan construction, mirroring plugin_init
+  returning NULL (``plugin.cpp:213-214``).
+
+Timestamps cross this wire as integer epoch seconds, exactly the
+granularity the reference marshals (``python35_filter.cpp:98-103``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from foglamp_filter_python35_spark.config import FilterConfig
+from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+
+Wire = list[dict]
+FilterFn = Callable[[Wire], Wire]
+
+_ALLOWED_NUMERIC = (int, float)
+_ALLOWED_STRING = (str, bytes)
+
+
+class BatchReject(Exception):
+    """Raised when a returned batch violates the type/shape contract."""
+
+
+def run_python_filter(
+    df: DataFrame,
+    fn: FilterFn,
+    config: FilterConfig | None = None,
+    set_filter_config: Callable[[dict], bool] | None = None,
+    compat_bytes: bool = False,
+) -> DataFrame:
+    """Apply a reference-contract Python filter to a readings DataFrame.
+
+    ``df`` must follow ``datamodel.READING_SCHEMA``.  Returns a readings
+    DataFrame with the same schema.
+    """
+    cfg = config or FilterConfig(enable=True)
+    if not cfg.enable:
+        # C4 disabled => pass-through, zero cost (plugin.cpp:234-242)
+        return df
+
+    if set_filter_config is not None:
+        # configure at plan-build time; the configured state is captured
+        # into the task closure by cloudpickle, so every executor sees it
+        ok = set_filter_config({"config": json.dumps(cfg.params)})
+        if ok is not True:
+            raise ValueError(
+                "set_filter_config did not return True; aborting pipeline "
+                "construction (reference plugin.cpp:213-214)"
+            )
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            try:
+                wire = _to_wire(pdf, compat_bytes)
+                result = fn(wire)
+                out = _from_wire(result)
+            except Exception:
+                # any failure => forward the input batch unmodified
+                # (plugin.cpp:295-310, :338-342)
+                yield pdf
+                continue
+            yield out
+
+    return df.mapInPandas(runner, READING_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# wire codecs
+# ---------------------------------------------------------------------------
+
+
+def _as_mapping(v) -> dict:
+    """Arrow hands MapType to pandas as dict or list-of-(k,v) tuples."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _epoch_seconds(v) -> int | None:
+    if v is None or v is pd.NaT:
+        return None
+    return int(pd.Timestamp(v).timestamp())
+
+
+def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:
+    out: Wire = []
+    for row in pdf.itertuples(index=False):
+        reading: dict = {}
+        for k, v in _as_mapping(row.reading).items():
+            if v is None:
+                continue
+            reading[k] = v
+        for k, v in _as_mapping(row.reading_str).items():
+            if v is None:
+                continue
+            reading[k] = v
+        if compat_bytes:
+            reading = {
+                (k.encode() if isinstance(k, str) else k): (
+                    v.encode() if isinstance(v, str) else v
+                )
+                for k, v in reading.items()
+            }
+        asset = row.asset_code
+        if compat_bytes and isinstance(asset, str):
+            asset = asset.encode()
+        rec = {"asset_code": asset, "reading": reading}
+        if row.id is not None and not pd.isna(row.id):
+            rec["id"] = int(row.id)
+        ts = _epoch_seconds(row.ts)
+        if ts is not None:
+            rec["ts"] = ts
+        user_ts = _epoch_seconds(row.user_ts)
+        if user_ts is not None:
+            rec["user_ts"] = user_ts
+        out.append(rec)
+    return out
+
+
+def _from_wire(result: Wire) -> pd.DataFrame:
+    if not isinstance(result, (list, tuple)):
+        raise BatchReject("filter must return a list of reading dicts")
+    ids, assets, tss, user_tss, readings, readings_str = [], [], [], [], [], []
+    now = _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None)
+    for rec in result:
+        if not isinstance(rec, dict):
+            raise BatchReject("each reading must be a dict")
+        payload = rec.get("reading")
+        if not isinstance(payload, dict):
+            raise BatchReject("reading payload must be a dict")
+        num: dict[str, float] = {}
+        strs: dict[str, str] = {}
+        for k, v in payload.items():
+            key = k.decode() if isinstance(k, bytes) else k
+            if not isinstance(key, str):
+                raise BatchReject(f"datapoint key {key!r} is not a string")
+            # bool is an int subclass; the reference's PyLong check accepts
+            # it (python35_filter.cpp:185-188)
+            if isinstance(v, _ALLOWED_NUMERIC) and not isinstance(v, complex):
+                num[key] = float(v)
+            elif isinstance(v, _ALLOWED_STRING):
+                strs[key] = v.decode() if isinstance(v, bytes) else v
+            else:
+                # anything else aborts the whole batch
+                # (python35_filter.cpp:197-203 -> plugin.cpp:338-342)
+                raise BatchReject(
+                    f"datapoint {key!r} has disallowed type {type(v).__name__}"
+                )
+        if not num and not strs:
+            # empty payload => reading silently dropped
+            # (python35_filter.cpp:178, :250-254)
+            continue
+        asset = rec.get("asset_code", "")
+        if isinstance(asset, bytes):
+            asset = asset.decode()
+        ids.append(int(rec["id"]) if "id" in rec else None)
+        assets.append(asset)
+        tss.append(
+            pd.Timestamp(int(rec["ts"]), unit="s") if "ts" in rec else now
+        )
+        user_tss.append(
+            pd.Timestamp(int(rec["user_ts"]), unit="s")
+            if "user_ts" in rec
+            else now
+        )
+        readings.append(num)
+        readings_str.append(strs)
+    # object dtype is required even when empty — pandas would otherwise
+    # default empty columns to float64, which Arrow cannot map-convert
+    return pd.DataFrame(
+        {
+            "id": pd.array(ids, dtype="Int64"),
+            "asset_code": pd.Series(assets, dtype="object"),
+            "ts": pd.array(tss, dtype="datetime64[us]"),
+            "user_ts": pd.array(user_tss, dtype="datetime64[us]"),
+            "reading": pd.Series(readings, dtype="object"),
+            "reading_str": pd.Series(readings_str, dtype="object"),
+        }
+    )

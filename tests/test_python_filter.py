@@ -1,0 +1,190 @@
+"""Golden tests for the T9 python-filter runner — the reference's own
+executable specifications (FIXTURES.md §1): scale35 ("5 -> 35, 10 -> 60"
+at scale=5/offset=10, examples/scale35.py:79-89), readings35 (+100),
+empty-payload drop, whole-batch reject on bad types, disabled
+pass-through, metadata carry/regenerate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from foglamp_filter_python35_spark.config import FilterConfig
+from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+from foglamp_filter_python35_spark.operators.python_filter import (
+    run_python_filter,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def make_readings(spark, rows):
+    return spark.createDataFrame(rows, READING_SCHEMA)
+
+
+def base_rows():
+    return [
+        (1, "lab1", T0, T0, {"power": 5.0}, {}),
+        (2, "lab1", T0, T0, {"power": 10.0}, {}),
+        (3, "lab2", T0, T0, {"power": 2.0, "temp": 0.0}, {"unit": "C"}),
+    ]
+
+
+# --- the scale35 semantics, written fresh against the documented contract
+# (multiply every numeric datapoint by scale, add offset; config via
+# set_filter_config) ---
+
+_cfg = {"scale": 5.0, "offset": 10.0}
+
+
+def set_filter_config(config):
+    import json
+
+    _cfg.update(json.loads(config["config"]))
+    return True
+
+
+def scale_filter(readings):
+    out = []
+    for r in readings:
+        newr = {}
+        for k, v in r["reading"].items():
+            if isinstance(v, (int, float)):
+                newr[k] = v * _cfg["scale"] + _cfg["offset"]
+            else:
+                newr[k] = v
+        r = dict(r)
+        r["reading"] = newr
+        out.append(r)
+    return out
+
+
+def test_scale35_golden(spark):
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(
+        df,
+        scale_filter,
+        FilterConfig(enable=True, params={"scale": 5.0, "offset": 10.0}),
+        set_filter_config=set_filter_config,
+    )
+    got = {r["id"]: r["reading"] for r in out.collect()}
+    assert got[1]["power"] == 35.0  # 5 -> 35 (examples/scale35.py:79-89)
+    assert got[2]["power"] == 60.0  # 10 -> 60
+    assert got[3]["power"] == 20.0 and got[3]["temp"] == 10.0
+    # string datapoints pass through untouched
+    strs = {r["id"]: r["reading_str"] for r in out.collect()}
+    assert strs[3] == {"unit": "C"}
+
+
+def test_readings35_add100(spark):
+    def add100(readings):
+        for r in readings:
+            for k in list(r["reading"]):
+                v = r["reading"][k]
+                if isinstance(v, (int, float)):
+                    r["reading"][k] = v + 100
+        return readings
+
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, add100, FilterConfig(enable=True))
+    got = {r["id"]: r["reading"] for r in out.collect()}
+    assert got[1]["power"] == 105.0 and got[3]["temp"] == 100.0
+
+
+def test_empty_payload_dropped(spark):
+    def drop_lab2(readings):
+        for r in readings:
+            if r["asset_code"] == "lab2":
+                r["reading"] = {}
+        return readings
+
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, drop_lab2, FilterConfig(enable=True))
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2]  # lab2 reading silently dropped
+
+
+def test_bad_type_rejects_whole_batch(spark):
+    def poison(readings):
+        readings[0]["reading"]["power"] = [1, 2, 3]  # disallowed type
+        for r in readings[1:]:
+            r["reading"]["power"] = 999.0
+        return readings
+
+    df = make_readings(spark, base_rows()).coalesce(1)
+    out = run_python_filter(df, poison, FilterConfig(enable=True))
+    got = {r["id"]: r["reading"] for r in out.collect()}
+    # whole batch passed through unmodified — including rows the filter
+    # had "successfully" touched (plugin.cpp:338-342)
+    assert got[1]["power"] == 5.0 and got[2]["power"] == 10.0
+
+
+def test_filter_exception_passes_through(spark):
+    def boom(readings):
+        raise RuntimeError("script error")
+
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, boom, FilterConfig(enable=True))
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_disabled_is_identity(spark):
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, scale_filter, FilterConfig(enable=False))
+    assert out is df
+
+
+def test_metadata_regenerated_when_absent(spark):
+    def strip_meta(readings):
+        return [
+            {"asset_code": r["asset_code"], "reading": r["reading"]}
+            for r in readings
+        ]
+
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, strip_meta, FilterConfig(enable=True))
+    rows = out.collect()
+    assert all(r["id"] is None for r in rows)  # absent id -> null
+    assert all(r["ts"].year >= 2025 for r in rows)  # fresh ingest time
+
+
+def test_row_count_can_grow(spark):
+    def duplicate(readings):
+        return readings + [dict(r, id=r.get("id", 0) + 100) for r in readings]
+
+    df = make_readings(spark, base_rows())
+    out = run_python_filter(df, duplicate, FilterConfig(enable=True))
+    assert out.count() == 6  # batch-in/any-rows-out (T9)
+
+
+def test_compat_bytes_wire(spark):
+    seen = {}
+
+    def probe(readings):
+        seen["first"] = readings[0]
+        return readings
+
+    df = make_readings(spark, base_rows()).coalesce(1)
+    out = run_python_filter(
+        df, probe, FilterConfig(enable=True), compat_bytes=True
+    )
+    out.collect()
+    # the runner executes on workers; probe into a fresh run instead
+    pdf = df.limit(1).toPandas()
+    from foglamp_filter_python35_spark.operators.python_filter import _to_wire
+
+    wire = _to_wire(pdf, compat_bytes=True)
+    assert isinstance(wire[0]["asset_code"], bytes)
+    assert all(isinstance(k, bytes) for k in wire[0]["reading"])
+
+
+def test_set_filter_config_must_return_true(spark):
+    df = make_readings(spark, base_rows())
+    with pytest.raises(ValueError, match="set_filter_config"):
+        run_python_filter(
+            df,
+            scale_filter,
+            FilterConfig(enable=True),
+            set_filter_config=lambda cfg: None,
+        )
