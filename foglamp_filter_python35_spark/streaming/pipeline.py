@@ -1,0 +1,182 @@
+"""S1/S2/S3 + T10: the reference's micro-batch dataflow on Structured
+Streaming.
+
+Reference model (``plugin.cpp:226-352``): upstream pushes a ReadingSet into
+``plugin_ingest``; the filter transforms it (or passes it through on any
+error); the result is pushed to the next stage via the OUTPUT_STREAM
+function pointer (``plugin.cpp:108-121``).  Buffering for aggregation
+across batches is explicitly allowed (``plugin.cpp:113-116``).
+
+Spark mapping:
+
+* S1 ingest  -> ``spark.readStream`` (file/rate/kafka source); each
+  micro-batch is the ReadingSet analog.
+* S2 output  -> ``writeStream.foreachBatch(sink)``; intra-query chaining
+  is DataFrame composition (``registry.apply_pipeline``).
+* S3 degraded behavior -> the foreachBatch wrapper catches any transform
+  failure and forwards the INPUT batch to the sink unmodified —
+  at-least-the-input delivery, never loss by crash
+  (``plugin.cpp:268-282``, ``:295-310``, ``:338-342``).
+* C3 reconfigure -> stop + rebuild + restart from checkpoint (exactly-once
+  resumption replaces the reference's config mutex,
+  ``python35_filter.cpp:310-436``).
+* T10 buffering -> watermarked windowed aggregation (event time =
+  ``user_ts``, the reference's dual-timestamp split,
+  ``python35_filter.cpp:94-103``) or arbitrary cross-batch state via
+  ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+from pyspark.sql.streaming.query import StreamingQuery
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from foglamp_filter_python35_spark.registry import Stage, apply_pipeline
+
+SinkFn = Callable[[DataFrame, int], None]
+
+
+def run_micro_batch_pipeline(
+    stream: DataFrame,
+    stages: list[Stage],
+    sink: SinkFn,
+    checkpoint_dir: str,
+    query_name: str = "readings-pipeline",
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Wire source -> filter chain -> sink with the reference's degraded
+    behavior: a failing transform forwards the input batch unchanged."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            out = apply_pipeline(batch_df, stages)
+            # force evaluation inside the try so transform errors (including
+            # ones raised lazily inside Python workers) hit the fallback
+            out.persist()
+            out.count()
+        except Exception:
+            # S3: error => pass the input through (plugin.cpp:295-310)
+            sink(batch_df, epoch_id)
+            return
+        try:
+            sink(out, epoch_id)
+        finally:
+            out.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# T10a — buffer-for-aggregation as watermarked windows
+# ---------------------------------------------------------------------------
+
+
+def windowed_rollup(
+    readings: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "user_ts",
+) -> DataFrame:
+    """Event-time windowed aggregate over a readings(-like) stream.
+
+    The watermark bounds state: late data beyond ``watermark`` is dropped,
+    which is the engine's explicit late-data policy (the reference has
+    none — upstream FogLAMP buffers; SURVEY.md §2.4).  Works identically
+    on batch DataFrames (window() is a plain expression).
+    """
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    df = readings
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(win.alias("win"), F.col("asset_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum(F.map_values("reading")[0]).alias("sum_first_dp"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "asset_code",
+            "n_readings",
+            "sum_first_dp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T10b — arbitrary cross-batch buffering via applyInPandasWithState.
+# The reference contract: "the plugin may not call the output stream ...
+# to buffer it for aggregation with data that follows in subsequent
+# calls" (plugin.cpp:113-116).  Here: per-asset counting buffer that
+# emits one row per micro-batch with the running total.
+# ---------------------------------------------------------------------------
+
+BUFFER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("asset_code", StringType()),
+        StructField("batch_count", LongType()),
+        StructField("running_count", LongType()),
+        StructField("last_user_ts", TimestampType()),
+    ]
+)
+
+BUFFER_STATE_SCHEMA = StructType([StructField("total", LongType())])
+
+
+def _buffer_fn(key, pdfs, state: GroupState):
+    batch = 0
+    last_ts = None
+    for pdf in pdfs:
+        batch += len(pdf)
+        if len(pdf):
+            m = pdf["user_ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+    (total,) = state.get if state.exists else (0,)
+    total += batch
+    state.update((total,))
+    yield pd.DataFrame(
+        {
+            "asset_code": [key[0]],
+            "batch_count": [batch],
+            "running_count": [total],
+            "last_user_ts": [last_ts],
+        }
+    )
+
+
+def stateful_buffer_counts(readings: DataFrame) -> DataFrame:
+    """Cross-batch per-asset running counts (stateful T10)."""
+    return readings.groupBy("asset_code").applyInPandasWithState(
+        _buffer_fn,
+        outputStructType=BUFFER_OUTPUT_SCHEMA,
+        stateStructType=BUFFER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,192 @@
+"""Phase-2 streaming parity tests: S1/S2 micro-batch pipeline with the
+error-fallback contract, C4 disabled stage, T10 windowed + stateful
+buffering.  A parquet-directory stream over the sf0.001 events drives
+everything synchronously via processAllAvailable()."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.config import FilterConfig
+from foglamp_filter_python35_spark.datamodel import (
+    READING_SCHEMA,
+    events_to_readings,
+)
+from foglamp_filter_python35_spark.registry import REGISTRY, Stage
+from foglamp_filter_python35_spark.streaming.pipeline import (
+    run_micro_batch_pipeline,
+    stateful_buffer_counts,
+    windowed_rollup,
+)
+import foglamp_filter_python35_spark.operators.readings  # noqa: F401 (registers)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "part-0.parquet")
+    )
+    return str(d)
+
+
+def _readings_stream(spark, events_stream_dir):
+    raw_schema = spark.read.parquet(events_stream_dir).schema
+    ev = spark.readStream.schema(raw_schema).parquet(events_stream_dir)
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_to_readings(ev)
+
+
+def _run_to_completion(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_micro_batch_pipeline_scale(spark, events_stream_dir, tmp_path):
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [
+        REGISTRY.stage(
+            "scale",
+            FilterConfig("scale", enable=True, params={"scale": 5, "offset": 10}),
+        ),
+        REGISTRY.stage("drop_empty_payload"),
+    ]
+    got = []
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, epoch: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _run_to_completion(q)
+    assert len(got) == 1000
+    batch = spark.read.parquet(events_stream_dir)
+    expect = {
+        r["event_id"]: r["value"] * 5 + 10 for r in batch.collect()
+    }
+    for row in got[:50]:
+        assert row["reading"]["value"] == pytest.approx(expect[row["id"]])
+
+
+def test_pipeline_error_falls_back_to_input(spark, events_stream_dir, tmp_path):
+    readings = _readings_stream(spark, events_stream_dir)
+
+    def boom(df, cfg):
+        raise RuntimeError("bad transform")
+
+    stages = [Stage("boom", boom, FilterConfig("boom", enable=True))]
+    got = []
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, epoch: got.append(df.count()),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    _run_to_completion(q)
+    # input forwarded unmodified (S3 degraded behavior)
+    assert sum(got) == 1000
+
+
+def test_disabled_stage_is_passthrough(spark, events_stream_dir, tmp_path):
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [
+        REGISTRY.stage(
+            "scale", FilterConfig("scale", enable=False, params={"scale": 100})
+        )
+    ]
+    got = []
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, epoch: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    _run_to_completion(q)
+    batch = spark.read.parquet(events_stream_dir)
+    expect = {r["event_id"]: r["value"] for r in batch.collect()}
+    assert len(got) == 1000
+    for row in got[:50]:
+        assert row["reading"]["value"] == pytest.approx(expect[row["id"]])
+
+
+def test_windowed_rollup_stream_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    readings = _readings_stream(spark, events_stream_dir)
+    agg = windowed_rollup(readings, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        (r["window_start"], r["asset_code"]): r["n_readings"]
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    batch_readings = events_to_readings(spark.read.parquet(events_stream_dir)
+                                        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    want = {
+        (r["window_start"], r["asset_code"]): r["n_readings"]
+        for r in windowed_rollup(batch_readings, window="1 hour").collect()
+    }
+    assert got == want and sum(got.values()) == 1000
+
+
+def test_stateful_buffer_accumulates_across_batches(
+    spark, tmp_path, events_stream_dir
+):
+    # two source files => at least one query restart sees prior state;
+    # within one run, maxFilesPerTrigger=1 forces two micro-batches
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(d, "a.parquet"),
+    )
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(d, "b.parquet"),
+    )
+    raw_schema = spark.read.parquet(d).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    readings = events_to_readings(ev)
+    out = stateful_buffer_counts(readings)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("buffer_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .start()
+    )
+    _run_to_completion(q)
+    rows = spark.sql("SELECT * FROM buffer_out").collect()
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_code"], []).append(r)
+    batch = spark.read.parquet(d)
+    want_totals = {
+        r["event_type"]: r["cnt"]
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for asset, emitted in per_asset.items():
+        # running_count must end at the full total over both files (state
+        # carried across micro-batches), batch_counts must sum to it
+        final = max(r["running_count"] for r in emitted)
+        assert final == want_totals[asset]
+        assert sum(r["batch_count"] for r in emitted) == final
+        assert len(emitted) >= 2  # one emission per micro-batch
