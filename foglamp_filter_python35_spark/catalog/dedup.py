@@ -1,3 +1,167 @@
-"""Placeholder — filled in a later phase."""
+"""X1/X2 dedup queries over ``documents``, oracle-checked.
 
-SPECS = []
+The MinHash oracle re-states the exact same algorithm in SQL — the hash
+function is md5 (identical hex in Spark and DuckDB) with string-prefix
+seeds, so signatures, bands, candidate sets, and verified pairs agree
+bit-for-bit across engines.  No tolerance, no sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import dedup as D
+
+# --- X1: exact dedup by content fingerprint (hash-groupBy, one shuffle) ---
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+# --- X2a: MinHash + LSH near-dup detection ---
+
+_NUM_HASHES = 12
+_ROWS_PER_BAND = 2
+_THRESHOLD = 0.8
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_near_dups(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(_NUM_HASHES)
+    )
+    n_bands = _NUM_HASHES // _ROWS_PER_BAND
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(s{b * _ROWS_PER_BAND} || '|' || s{b * _ROWS_PER_BAND + 1}) "
+        f"AS band_sig FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- X2b: exact n-gram Jaccard with prefix filtering (the non-probabilistic
+# twin; same verify, candidates from shared-shingle join) ---
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+O_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+# --- X2c: SimHash near-dups.  Bit-twiddling (conv/shift/bit_count) has no
+# clean DuckDB twin, so the driver records the weaker rows-only check; the
+# pair set is cross-validated against MinHash results in tests/. ---
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs).orderBy("id_a", "id_b")
+
+
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, O_DEDUP_EXACT),
+    QuerySpec(
+        "minhash_lsh_dedup", q_minhash_lsh_dedup, _minhash_oracle(),
+        headline=True,
+    ),
+    QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
+    QuerySpec("simhash_dedup", q_simhash_dedup, None),
+]

@@ -1,3 +1,44 @@
-"""Placeholder — filled in a later phase."""
+"""X5 multimodal queries: metadata oracle-checked; pseudo-decode feature
+extraction rows-only (the decode is a deterministic stub — real codecs
+are unavailable here; the Spark plumbing is real)."""
 
-SPECS = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import multimodal as M
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("payload_meta.mime").alias("mime"),
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.uri").alias("uri"),
+        # md5 over the binary payload == md5 over the utf8 text
+        F.md5("payload").alias("digest"),
+    )
+
+
+O_MULTIMODAL_META = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'mem://documents/' || doc_id AS uri,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
+    return M.extract_features(docs).orderBy("doc_id")
+
+
+SPECS = [
+    QuerySpec("multimodal_meta", q_multimodal_meta, O_MULTIMODAL_META),
+    QuerySpec("multimodal_features", q_multimodal_features, None),
+]

@@ -286,24 +286,26 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
 
-    def users(etype: str) -> DataFrame:
-        return ev.filter(F.col("event_type") == etype).select("user_id")
+    def users(etype: str, min_value: float) -> DataFrame:
+        return ev.filter(
+            (F.col("event_type") == etype) & (F.col("value") > min_value)
+        ).select("user_id")
 
+    # thresholds chosen so every set op contributes rows at sf0.01
     return (
-        users("purchase")
-        .intersect(users("signup"))
-        .exceptAll(users("error").distinct())
-        .distinct()
+        users("purchase", 150.0)
+        .intersect(users("view", 150.0))
+        .subtract(users("error", 180.0))
         .orderBy("user_id")
     )
 
 
 O_SET_OPS = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0
 INTERSECT
-SELECT user_id FROM events WHERE event_type = 'signup'
+SELECT user_id FROM events WHERE event_type = 'view' AND value > 150.0
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 180.0
 ORDER BY user_id
 """
 

@@ -1,3 +1,124 @@
-"""Placeholder — filled in a later phase."""
+"""X4 text-analysis queries over the ``documents`` table, oracle-checked."""
 
-SPECS = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import text as T
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+O_TEXT_STATS = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_distinct_tokens,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+O_QUALITY_SCORE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+         / len(string_split(text, ' ')) * 0.5
+       + LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         AS quality
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.language_id("text").alias("lang_pred"),
+    )
+
+
+O_LANGUAGE_ID = """
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            ELSE 'en' END AS lang_pred
+FROM documents
+"""
+
+
+def q_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+O_TOKEN_COUNT_TOTAL = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        F.size(T.regex_tokens("text")).cast("bigint").alias("n_alpha_tokens"),
+    )
+
+
+O_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' '))
+         AS fingerprint,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+         AS n_alpha_tokens
+FROM documents
+"""
+
+SPECS = [
+    QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
+    QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
+    QuerySpec("language_id", q_language_id, O_LANGUAGE_ID),
+    QuerySpec("token_count_total", q_token_count_total, O_TOKEN_COUNT_TOTAL, headline=True),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, O_DOC_FINGERPRINT),
+]

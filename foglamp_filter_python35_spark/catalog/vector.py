@@ -1,3 +1,98 @@
-"""Placeholder — filled in a later phase."""
+"""X3 similarity-search queries over ``embeddings``, oracle-checked.
 
-SPECS = []
+Cross-engine exactness: Spark's ``aggregate(zip_with(...))`` left-fold in
+doubles is bit-identical to DuckDB's ``list_inner_product(DOUBLE[], ...)``
+(verified empirically: 0 ULP difference over the corpus), and both engines
+apply the same ``dot / (sqrt(dot_aa) * sqrt(dot_bb))`` expression, so
+scores, orderings, and threshold cuts agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import similarity as S
+
+_QUERY_ID = 0
+_K = 10
+_DUP_THRESHOLD = 0.4
+_N_CENTROIDS = 8
+
+_COS_SQL = (
+    "list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return S.brute_force_topk(emb, query, _K)
+
+
+O_EMBEDDING_TOPK = f"""
+SELECT a.vec_id, {_COS_SQL} AS score
+FROM embeddings a
+JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) b ON TRUE
+ORDER BY score DESC, a.vec_id
+LIMIT {_K}
+"""
+
+
+def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, _DUP_THRESHOLD).orderBy("id_a", "id_b")
+
+
+O_EMBEDDING_COSINE_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= {_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return S.ivf_topk(emb, centroids, _QUERY_ID, _K)
+
+
+O_EMBEDDING_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assign AS (
+  SELECT a.vec_id, b.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+  FROM embeddings a CROSS JOIN cents b
+),
+a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qcell AS (SELECT cid FROM a1 WHERE vec_id = {_QUERY_ID}),
+cell AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+  JOIN qcell ON a1.cid = qcell.cid
+)
+SELECT a.vec_id, {_COS_SQL} AS score
+FROM cell a
+JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) b ON TRUE
+ORDER BY score DESC, a.vec_id
+LIMIT {_K}
+"""
+
+SPECS = [
+    QuerySpec("embedding_topk", q_embedding_topk, O_EMBEDDING_TOPK, headline=True),
+    QuerySpec(
+        "embedding_cosine_dup", q_embedding_cosine_dup, O_EMBEDDING_COSINE_DUP
+    ),
+    QuerySpec("embedding_ivf_topk", q_embedding_ivf_topk, O_EMBEDDING_IVF_TOPK),
+]

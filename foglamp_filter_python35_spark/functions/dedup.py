@@ -1,0 +1,257 @@
+"""X1/X2 — exact and near-duplicate detection at 100 TB scale.
+
+Algorithms (all shuffle-bounded, no all-pairs comparison):
+
+* exact:    hash-groupBy on content fingerprint — one shuffle.
+* MinHash+LSH: shingle -> k independent min-hashes -> band signatures ->
+  equality self-join on (band, signature) -> exact-Jaccard verify on the
+  candidate set only.  Cost is O(docs x shingles) + a band-bucket join;
+  the full cross-product is never materialized.
+* SimHash:  per-shingle hash -> bitwise majority -> band the signature ->
+  hamming verify on candidates.
+* n-gram Jaccard: prefix-filtered pair generation (only pairs sharing at
+  least one shingle) + exact verify.
+
+Hash function: md5 hex strings (lexicographic min).  md5 produces
+identical hex in every engine, which makes the whole MinHash pipeline
+reproducible bit-for-bit in the DuckDB oracle — the seeds are string
+prefixes ``"{i}|"``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(tokens_col, n: int = 3):
+    """Distinct word n-gram shingles from a token array column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per (doc, distinct shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """k min-hashes per doc in ONE hash aggregate (partial+final)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """Explode each signature into (band_id, band_sig) rows."""
+    n_bands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"s{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_id", "band.band_sig")
+
+
+def candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct doc pairs sharing at least one LSH bucket.  The join key
+    (band_id, band_sig) keeps buckets tiny, so the self-join is linear in
+    bucket volume, never quadratic in corpus size."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for the candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-duplicate pipeline with exact verify."""
+    sh = shingles(df, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    cands = candidate_pairs(bands, id_col)
+    return exact_jaccard(cands, sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dups with prefix filtering: candidate
+    pairs come from an equality join on shingles (docs sharing none are
+    never paired), then exact verify.  The scan-heavy exact twin of the
+    MinHash pipeline — same answer, higher cost, zero probabilistic
+    machinery."""
+    sh = shingles(df, id_col, text_col, ngram)
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return exact_jaccard(pairs, sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 32-bit signature via per-bit majority vote over shingle hashes.
+# Everything is integer arithmetic on md5-derived values, JVM-side.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 4 bands x 8 bits
+
+
+def simhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit simhash per doc: one hash-agg with 32 bit-majority sums."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    hashed = sh.withColumn("h", h)
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"b{j}"
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by simhash: band the 32-bit signature into 4 bytes; any
+    pair within hamming distance <= 3 of each other must agree on at
+    least one band (pigeonhole), so banding has perfect recall here."""
+    sh = shingles(df, id_col, text_col, ngram)
+    sigs = simhash_signatures(sh, id_col)
+    bits_per_band = SIMHASH_BITS // _SIMHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("bigint")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

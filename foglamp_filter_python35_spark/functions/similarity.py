@@ -1,0 +1,129 @@
+"""X3 — similarity search over embedding columns (array<float>).
+
+All vector math is Catalyst higher-order functions (``zip_with`` +
+``aggregate``) — a strict left-fold in doubles, which is bit-identical to
+DuckDB's ``list_inner_product`` over DOUBLE[], making every query here
+oracle-exact with zero tolerance.
+
+Scale design:
+
+* brute-force top-k: the query vector is a broadcast one-row dim; the
+  scan is embarrassingly parallel; top-k is a TakeOrdered (no global
+  sort).  This is the *baseline* and also the correct plan for one query
+  vector at any corpus size.
+* all-pairs near-dup at 100 TB must prune candidates: ``ivf_assign``
+  gives a coarse quantizer (cluster on centroid id -> equi-join within
+  cells), the same pattern as the LSH banding in ``dedup``.  The
+  brute-force pair query exists as the correctness oracle at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (bit-compatible with DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` against a ONE-ROW ``query`` DataFrame
+    holding column ``qv``.  Broadcast + project + TakeOrdered."""
+    scored = emb.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("qv")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (exact, O(n^2) — the verify/oracle
+    path; candidate pruning for scale lives in ivf_assign/LSH)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: assign every vector to its max-cosine centroid
+    (broadcast centroids; deterministic tie-break on centroid id).
+
+    ``centroids`` must have columns (cid, cv).  Returns (id, cid).
+    At 100 TB this is the partitioner: downstream searches touch one cell
+    (or a probe list) instead of the whole corpus.
+    """
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cv")).alias("cscore"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: quantize corpus + query, then brute-force only the
+    query's cell.  Approximate (single-probe) by design."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    emb_cells = emb.join(assign, id_col)
+    query_cell = assign.filter(F.col(id_col) == query_id).select("cid")
+    query_vec = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    cell = emb_cells.join(F.broadcast(query_cell), "cid")
+    return brute_force_topk(
+        cell.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )

@@ -1,0 +1,103 @@
+"""X4 — text analysis for LLM-data pipelines, all Catalyst-native.
+
+Tokenization, corpus statistics, language ID, quality scoring, document
+fingerprinting.  Every function here stays JVM-side (split / higher-order
+functions / regexp), so it runs inside whole-stage codegen with zero
+Python-worker cost — at 100 TB these are scan-dominated, shuffle-free
+per-row transforms (the groupBy in token counting is the one shuffle, with
+map-side partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny high-frequency English function-word list for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def regex_tokens(text: Column | str, pattern: str = "[a-z]+") -> Column:
+    """BPE-ish regex tokenization: all lowercase-alpha runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("bigint")
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length = non-space chars / token count (exact ints ->
+    one double division; deterministic across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double") / token_count(c)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_stop = F.size(
+        F.filter(tokens(c), lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    return n_stop / token_count(c)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: half stopword density
+    (natural-language-ness), half length factor saturating at 100 tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    length_factor = F.least(token_count(c).cast("double") / 100.0, F.lit(1.0))
+    return stopword_ratio(c) * 0.5 + length_factor * 0.5
+
+
+def language_id(text: Column | str) -> Column:
+    """Character-class language heuristic.
+
+    Ordered rules: CJK codepoints -> zh; German-only letters -> de;
+    Spanish marks -> es; French accents -> fr; else en.  (On the synthetic
+    ASCII corpus everything lands in 'en' — the rule chain is the
+    operator; accuracy on real corpora comes from richer rule tables.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def has(pat: str) -> Column:
+        return c.rlike(pat)
+
+    return (
+        F.when(has("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(has("[äöüß]"), F.lit("de"))
+        .when(has("[ñ¿¡]"), F.lit("es"))
+        .when(has("[àâçèêëîïôùûœ]"), F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-normalized text (identical hex in any engine)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(c)), "\\s+"))
+    return F.md5(normalized)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set as columns (the composable operator)."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_distinct_tokens", distinct_token_count(text_col))
+        .withColumn("avg_token_len", avg_token_length(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", language_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,48 @@
+"""Unit + cross-validation tests for the dedup library (X1/X2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog.dedup import (
+    q_minhash_lsh_dedup,
+    q_ngram_jaccard_pairs,
+    q_simhash_dedup,
+)
+from foglamp_filter_python35_spark.functions import dedup as D
+
+
+def test_minhash_equals_exact_on_this_corpus(spark, sf_correct):
+    """At J>=0.8 with 6 bands x 2 rows, LSH recall on the planted near-dups
+    is ~1; verify the probabilistic pipeline returns exactly the exact
+    prefix-filtered answer on this corpus."""
+    mh = {(r.id_a, r.id_b) for r in q_minhash_lsh_dedup(spark, sf_correct).collect()}
+    exact = {
+        (r.id_a, r.id_b) for r in q_ngram_jaccard_pairs(spark, sf_correct).collect()
+    }
+    assert mh == exact and len(exact) > 0
+
+
+def test_simhash_subset_of_near_dups(spark, sf_correct):
+    sim = {(r.id_a, r.id_b) for r in q_simhash_dedup(spark, sf_correct).collect()}
+    mh = {(r.id_a, r.id_b) for r in q_minhash_lsh_dedup(spark, sf_correct).collect()}
+    assert len(sim) > 0
+    # hamming<=3 on 32 bits is stricter than J>=0.8; allow no strays
+    assert sim <= mh
+
+
+def test_shingles_and_signature_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y"), (4, "q w e")],
+        ["doc_id", "text"],
+    )
+    sh = D.shingles(df)
+    got = {
+        (r.doc_id, r.shingle) for r in sh.collect()
+    }
+    assert (1, "a b c") in got and (1, "b c d") in got
+    assert not any(d == 3 for d, _ in got)  # too short for 3-grams
+    sigs = D.minhash_signatures(sh, "doc_id", 4)
+    rows = {r.doc_id: (r.s0, r.s1, r.s2, r.s3) for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs -> identical signatures
+    assert rows[1] != rows[4]
