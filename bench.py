@@ -28,9 +28,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = [s for s in all_queries().values() if s.headline]
-    # warm the JVM + parquet footers with a trivial action
-    for name in ("lineitem", "events"):
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).count()
+    # warm-up: run every headline query once at the smallest sf so JVM
+    # classloading + whole-stage-codegen compilation are excluded from the
+    # measured steady-state throughput
+    warm_dir = "/root/testdata/sf0.001"
+    for spec in specs:
+        try:
+            spec.fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for spec in specs:

@@ -25,23 +25,44 @@ from pyspark.sql import functions as F
 
 
 def word_ngrams(tokens_col, n: int = 3):
-    """Distinct word n-gram shingles from a token array column."""
+    """Distinct word n-gram shingles from a token ARRAY COLUMN (pass a
+    materialized column, not an inline split() — see ``shingles``)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+            ),
         )
     )
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    repartition: bool = True,
 ) -> DataFrame:
-    """One row per (doc, distinct shingle)."""
-    toks = F.split(F.col(text_col), " ")
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("shingle"))
+    """One row per (doc, distinct shingle).
+
+    Two deliberate plan choices:
+    * tokens are projected to a column BEFORE the n-gram lambda — Spark
+      does not common-subexpression-eliminate inside higher-order
+      functions, so an inlined split() re-executes per n-gram (measured
+      ~5x slower);
+    * optional repartition to the session's default parallelism — a small
+    corpus read as one parquet split would otherwise run the md5-heavy
+    downstream single-threaded.  At 100 TB the source has thousands of
+    splits and the repartition collapses into normal scan parallelism.
+    """
+    toks_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ts"))
+    toks_df = toks_df.filter(F.size("_ts") >= n)
+    if repartition:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        toks_df = toks_df.repartition(target)
+    return toks_df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("_ts"), n)).alias("shingle")
     )
 
 
@@ -130,6 +151,41 @@ def exact_jaccard(
     )
 
 
+def exact_jaccard_broadcast(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for a SMALL candidate-pair set: gather each candidate
+    doc's shingle set once (semi-filtered by broadcast), then intersect
+    arrays pair-wise — zero shuffles of the big shingle table.  Use when
+    candidates come from LSH banding; use ``exact_jaccard`` when the pair
+    set itself is large."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(ids), id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_common.cast("double")
+                / (F.size("set_a") + F.size("set_b") - n_common)
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -138,13 +194,26 @@ def minhash_lsh_near_dups(
     num_hashes: int = 12,
     rows_per_band: int = 2,
     threshold: float = 0.8,
+    persist_shingles: bool = True,
 ) -> DataFrame:
-    """Full MinHash+LSH near-duplicate pipeline with exact verify."""
+    """Full MinHash+LSH near-duplicate pipeline with exact verify.
+
+    The shingle table feeds four consumers (signatures, two sides of the
+    common-shingle join, set sizes); without a materialization point Spark
+    re-explodes the corpus per consumer.  ``persist_shingles`` caches it
+    (MEMORY_AND_DISK, LRU-evicted) — at 100 TB this step is a checkpoint
+    to storage instead, but the dataflow is identical.
+    """
     sh = shingles(df, id_col, text_col, ngram)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    if persist_shingles:
+        sh = sh.persist()
+    # sigs and cands are tiny (one row per doc / per candidate pair) but
+    # feed multiple consumers — persisting them stops branch recompute of
+    # the md5-heavy signature aggregation
+    sigs = minhash_signatures(sh, id_col, num_hashes).persist()
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
-    cands = candidate_pairs(bands, id_col)
-    return exact_jaccard(cands, sh, id_col).filter(
+    cands = candidate_pairs(bands, id_col).persist()
+    return exact_jaccard_broadcast(cands, sh, id_col).filter(
         F.col("jaccard") >= threshold
     )
 

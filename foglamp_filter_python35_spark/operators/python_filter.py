@@ -82,6 +82,12 @@ def run_python_filter(
         # C4 disabled => pass-through, zero cost (plugin.cpp:234-242)
         return df
 
+    # a narrow source (one parquet split) would serialize the whole batch
+    # stream through one Python worker — spread it across the cluster
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     if set_filter_config is not None:
         # configure at plan-build time; the configured state is captured
         # into the task closure by cloudpickle, so every executor sees it
@@ -129,17 +135,24 @@ def _epoch_seconds(v) -> int | None:
 
 
 def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:
+    # vectorize the metadata columns once per batch; only the payload
+    # dicts need per-row Python
+    ids = pdf["id"].to_numpy(dtype="object")
+    assets = pdf["asset_code"].to_numpy(dtype="object")
+    ts_s = (pdf["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+    ts_null = pdf["ts"].isna().to_numpy()
+    uts_s = (pdf["user_ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+    uts_null = pdf["user_ts"].isna().to_numpy()
+
     out: Wire = []
-    for row in pdf.itertuples(index=False):
+    for i, (rmap, smap) in enumerate(zip(pdf["reading"], pdf["reading_str"])):
         reading: dict = {}
-        for k, v in _as_mapping(row.reading).items():
-            if v is None:
-                continue
-            reading[k] = v
-        for k, v in _as_mapping(row.reading_str).items():
-            if v is None:
-                continue
-            reading[k] = v
+        for k, v in _as_mapping(rmap).items():
+            if v is not None:
+                reading[k] = v
+        for k, v in _as_mapping(smap).items():
+            if v is not None:
+                reading[k] = v
         if compat_bytes:
             reading = {
                 (k.encode() if isinstance(k, str) else k): (
@@ -147,18 +160,16 @@ def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:
                 )
                 for k, v in reading.items()
             }
-        asset = row.asset_code
+        asset = assets[i]
         if compat_bytes and isinstance(asset, str):
             asset = asset.encode()
         rec = {"asset_code": asset, "reading": reading}
-        if row.id is not None and not pd.isna(row.id):
-            rec["id"] = int(row.id)
-        ts = _epoch_seconds(row.ts)
-        if ts is not None:
-            rec["ts"] = ts
-        user_ts = _epoch_seconds(row.user_ts)
-        if user_ts is not None:
-            rec["user_ts"] = user_ts
+        if ids[i] is not None and not pd.isna(ids[i]):
+            rec["id"] = int(ids[i])
+        if not ts_null[i]:
+            rec["ts"] = int(ts_s[i])
+        if not uts_null[i]:
+            rec["user_ts"] = int(uts_s[i])
         out.append(rec)
     return out
 
