@@ -1,0 +1,82 @@
+"""Plan-shape assertions: the 100 TB posture, made checkable.
+
+Each helper inspects the formatted physical plan for a property that
+matters at scale (scan pruning, pushdown, broadcast vs shuffle joins,
+partial aggregation, codegen coverage).  Used by tests/test_plan_shapes.py
+to keep operator plans from silently regressing into scale hazards —
+e.g. a filter that stops reaching the parquet scan, or a dimension join
+that starts shuffling the fact table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            out.append(line.removeprefix("PushedFilters:").strip())
+    return out
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return any(fragment in p for p in pushed_filters(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every scan — column pruning evidence."""
+    return [
+        line.strip().removeprefix("ReadSchema:").strip()
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("ReadSchema:")
+    ]
+
+
+def count_occurrences(df: DataFrame, token: str) -> int:
+    return formatted_plan(df).count(token)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return count_occurrences(df, "BroadcastHashJoin") > 0
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan (lower = better, given equal
+    semantics)."""
+    return count_occurrences(df, "Exchange")
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """HashAggregate appears in partial+final pairs (map-side combine)."""
+    plan = formatted_plan(df)
+    return plan.count("HashAggregate") >= 2
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """NOTE: under AQE the formatted plan only shows codegen spans after
+    execution; prefer ``is_fully_jvm`` for plan-time checks."""
+    return count_occurrences(df, "WholeStageCodegen")
+
+
+def is_fully_jvm(df: DataFrame) -> bool:
+    """True when no Python-worker evaluation appears in the plan — the
+    whole query runs inside the JVM (codegen-eligible)."""
+    plan = formatted_plan(df)
+    return not any(
+        tok in plan
+        for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )

@@ -1,0 +1,165 @@
+"""Batch + streaming readers and scale-aware writers.
+
+The reference has no file formats or connectors (SURVEY.md §2.4) — data
+arrives as in-memory ReadingSets.  A standalone engine gets them from
+Spark; this module shapes them to the readings contract:
+
+* every reader enforces an explicit schema (``inferSchema`` is a full
+  extra pass at 100 TB — never used);
+* parquet nano-timestamps (the driver corpus) are normalized at read;
+* the Kafka source is gated behind import/availability (its connector jar
+  is not in this container) with the exact reader shape documented;
+* writers expose the two layouts that matter at scale: date/asset
+  partitioning (partition pruning for time-range queries — the dominant
+  readings access path) and bucketing (shuffle-free co-located joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+
+
+def _normalize_nanos(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    _normalize_nanos(spark)
+    return spark.read.parquet(path)
+
+
+def read_readings_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet -> canonical readings DataFrame (schema-checked)."""
+    df = read_parquet(spark, path)
+    missing = [f.name for f in READING_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"readings parquet missing columns: {missing}")
+    return df.select(*[f.name for f in READING_SCHEMA.fields])
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV with mandatory explicit schema (no inference pass)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# streaming sources (S1)
+# ---------------------------------------------------------------------------
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival micro-batch source — the closest analog of the
+    reference's push-ingest granularity for at-rest data."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_rate_readings(
+    spark: SparkSession, rows_per_second: int = 1000, n_assets: int = 5
+) -> DataFrame:
+    """Synthetic readings stream off the rate source (for tests/demos):
+    deterministic asset assignment + value derived from the row id."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("id"),
+        F.concat(F.lit("asset"), (F.col("value") % n_assets)).alias(
+            "asset_code"
+        ),
+        F.col("timestamp").alias("ts"),
+        F.col("timestamp").alias("user_ts"),
+        F.map_from_arrays(
+            F.array(F.lit("value")),
+            F.array((F.col("value") % 500).cast("double")),
+        ).alias("reading"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("reading_str"),
+    )
+
+
+def stream_kafka_readings(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: StructType,
+):
+    """Kafka source (gated: the connector jar is not in this container).
+
+    Shape: key/value binary -> from_json(value) -> readings columns.
+    Raises RuntimeError with guidance when the connector is unavailable.
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "kafka connector unavailable (add spark-sql-kafka jar to the "
+            "classpath); reader shape: readStream.format('kafka') -> "
+            "from_json(CAST(value AS STRING))"
+        ) from exc
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# scale-aware writers (S2 at-rest form)
+# ---------------------------------------------------------------------------
+
+
+def write_readings_partitioned(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Date + asset partitioning: readings queries are dominated by
+    time-range x asset filters; this layout turns them into partition
+    pruning instead of scans."""
+    (
+        df.withColumn("dt", F.to_date("user_ts"))
+        .write.mode(mode)
+        .partitionBy("dt", "asset_code")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_col`` become
+    shuffle-free (both sides co-located)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

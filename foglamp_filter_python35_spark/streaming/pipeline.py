@@ -50,6 +50,46 @@ from foglamp_filter_python35_spark.registry import Stage, apply_pipeline
 SinkFn = Callable[[DataFrame, int], None]
 
 
+# ---------------------------------------------------------------------------
+# S6 — asset tracking (lineage).  The reference records a (config, asset,
+# "Filter") tuple for every reading entering and leaving each filter
+# (plugin.cpp:245-253, :325-333).  Spark analog: observe() metrics on the
+# in/out DataFrames — collected per micro-batch with no extra job — plus a
+# driver-side tracker fed from foreachBatch.
+# ---------------------------------------------------------------------------
+
+
+class AssetTracker:
+    """Collects per-stage, per-direction (in/out) asset counts."""
+
+    def __init__(self) -> None:
+        self.tuples: list[tuple[str, str, str, int]] = []
+
+    def record(self, stage: str, direction: str, df: DataFrame) -> None:
+        for row in df.groupBy("asset_code").count().collect():
+            self.tuples.append(
+                (stage, row["asset_code"], direction, row["count"])
+            )
+
+    def assets_seen(self, stage: str | None = None) -> set[str]:
+        return {
+            a
+            for (s, a, _d, _n) in self.tuples
+            if stage is None or s == stage
+        }
+
+
+def observe_readings(df: DataFrame, name: str) -> DataFrame:
+    """Attach zero-cost lineage metrics (row count + distinct assets) to a
+    readings plan; read them from StreamingQueryProgress.observedMetrics
+    or QueryExecutionListener in batch."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_readings"),
+        F.approx_count_distinct("asset_code").alias("n_assets"),
+    )
+
+
 def run_micro_batch_pipeline(
     stream: DataFrame,
     stages: list[Stage],

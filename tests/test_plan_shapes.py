@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: catch scale hazards at plan level.
+
+These assert the *plans we'd want on a 1000-executor cluster*: filters
+reaching the parquet scan, pruned read schemas, broadcast joins for dims,
+partial aggregation, no stray cartesian products.
+"""
+
+from __future__ import annotations
+
+from foglamp_filter_python35_spark.catalog.events import (
+    q_asset_filter,
+    q_scale35,
+)
+from foglamp_filter_python35_spark.catalog.relational import (
+    q_pricing_summary,
+    q_revenue_by_nation,
+    q_top_parts,
+    q_value_band_join,
+)
+from foglamp_filter_python35_spark.catalog.vector import q_embedding_topk
+from foglamp_filter_python35_spark.plans import explain as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scale35_filter_pushed_to_scan(spark):
+    df = q_scale35(spark, SF)
+    assert E.has_pushed_filter(df, "In(event_type"), E.pushed_filters(df)
+
+
+def test_asset_filter_pushdown_both_predicates(spark):
+    df = q_asset_filter(spark, SF)
+    assert E.has_pushed_filter(df, "EqualTo(event_type,purchase)")
+    assert E.has_pushed_filter(df, "GreaterThan(value,100.0)")
+
+
+def test_pricing_summary_scan_pruned_and_agg_partial(spark):
+    df = q_pricing_summary(spark, SF)
+    schemas = E.read_schemas(df)
+    # only the 7 needed columns of 11 read from the scan
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    assert E.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    assert E.has_partial_aggregate(df)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    df = q_revenue_by_nation(spark, SF)
+    assert E.uses_broadcast_join(df)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_top_parts_broadcasts_part_dim(spark):
+    df = q_top_parts(spark, SF)
+    assert E.uses_broadcast_join(df)
+
+
+def test_value_band_join_is_equi_not_range(spark):
+    # the range join must have been rewritten to a broadcast equi-join;
+    # a nested-loop range join would be a scale hazard
+    df = q_value_band_join(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.uses_broadcast_join(df)
+
+
+def test_embedding_topk_no_shuffle_before_topk(spark):
+    df = q_embedding_topk(spark, SF)
+    plan = E.formatted_plan(df)
+    # one-row query side is broadcast; corpus side is scanned in place
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_relational_plans_stay_jvm_side(spark):
+    # no Python-worker nodes anywhere in the hot relational paths
+    for q in (q_pricing_summary, q_asset_filter, q_revenue_by_nation):
+        assert E.is_fully_jvm(q(spark, SF))
+
+
+def test_python_filter_is_the_only_python_plan(spark):
+    from foglamp_filter_python35_spark.catalog.events import (
+        q_python_filter_scale35,
+    )
+
+    # T9 is the deliberate Python surface — MapInPandas, Arrow-batched,
+    # and exactly one such node
+    plan = E.formatted_plan(q_python_filter_scale35(spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python

@@ -1,0 +1,101 @@
+"""Connector-layer tests: schema-enforced readers, partitioned writer
+with pruning evidence, rate-source readings stream, kafka gating, S6
+asset tracking."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from foglamp_filter_python35_spark.catalog import load
+from foglamp_filter_python35_spark.datamodel import events_to_readings
+from foglamp_filter_python35_spark.plans import explain as E
+from foglamp_filter_python35_spark.sources import readers as R
+from foglamp_filter_python35_spark.streaming.pipeline import (
+    AssetTracker,
+    observe_readings,
+)
+
+
+def test_readings_parquet_roundtrip(spark, sf_smoke, tmp_path):
+    readings = events_to_readings(load(spark, sf_smoke, "events"))
+    path = str(tmp_path / "readings")
+    readings.write.parquet(path)
+    back = R.read_readings_parquet(spark, path)
+    assert back.count() == 1000
+    assert [f.name for f in back.schema.fields] == [
+        "id", "asset_code", "ts", "user_ts", "reading", "reading_str",
+    ]
+
+
+def test_readings_parquet_rejects_wrong_schema(spark, sf_smoke, tmp_path):
+    path = str(tmp_path / "not_readings")
+    load(spark, sf_smoke, "events").write.parquet(path)
+    with pytest.raises(ValueError, match="missing columns"):
+        R.read_readings_parquet(spark, path)
+
+
+def test_partitioned_writer_enables_pruning(spark, sf_smoke, tmp_path):
+    readings = events_to_readings(load(spark, sf_smoke, "events"))
+    path = str(tmp_path / "parts")
+    R.write_readings_partitioned(readings, path)
+    back = spark.read.parquet(path).filter(F.col("asset_code") == "error")
+    plan = E.formatted_plan(back)
+    # partition filter, not a data filter: pruned at planning
+    assert "PartitionFilters" in plan and "asset_code" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+    total = spark.read.parquet(path).count()
+    assert total == 1000
+
+
+def test_rate_readings_stream_schema(spark, tmp_path):
+    stream = R.stream_rate_readings(spark, rows_per_second=100)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_readings")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_readings").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM rate_readings").collect()
+    finally:
+        q.stop()
+    assert rows, "rate source produced no rows in 20s"
+    r = rows[0]
+    assert r["asset_code"].startswith("asset")
+    assert "value" in r["reading"]
+
+
+def test_kafka_reader_is_gated(spark):
+    with pytest.raises(RuntimeError, match="kafka connector unavailable"):
+        R.stream_kafka_readings(spark, "localhost:9092", "t", StructType([]))
+
+
+def test_asset_tracker_in_out(spark, sf_smoke):
+    readings = events_to_readings(load(spark, sf_smoke, "events"))
+    tracker = AssetTracker()
+    tracker.record("scale", "in", readings)
+    filtered = readings.filter(F.col("asset_code") != "error")
+    tracker.record("scale", "out", filtered)
+    assert "error" in tracker.assets_seen("scale")
+    outs = {a for (s, a, d, _n) in tracker.tuples if d == "out"}
+    assert "error" not in outs and len(outs) == 4
+
+
+def test_observe_metrics_batch(spark, sf_smoke):
+    readings = observe_readings(
+        events_to_readings(load(spark, sf_smoke, "events")), "ingest"
+    )
+    readings.write.format("noop").mode("overwrite").save()
+    # observation readable in batch via the collected metrics API
+    # (in streaming: StreamingQueryProgress.observedMetrics["ingest"])
