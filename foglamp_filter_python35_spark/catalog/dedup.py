@@ -56,13 +56,17 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from foglamp_filter_python35_spark.functions.dedup import MINHASH_PRIME
+
+    p = MINHASH_PRIME
     sig_cols = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(_NUM_HASHES)
+        f"min((h1 + {i} * h2) % {p}) AS s{i}" for i in range(_NUM_HASHES)
     )
     n_bands = _NUM_HASHES // _ROWS_PER_BAND
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"md5(s{b * _ROWS_PER_BAND} || '|' || s{b * _ROWS_PER_BAND + 1}) "
+        f"md5(CAST(s{b * _ROWS_PER_BAND} AS VARCHAR) || '|' || "
+        f"CAST(s{b * _ROWS_PER_BAND + 1} AS VARCHAR)) "
         f"AS band_sig FROM sigs"
         for b in range(n_bands)
     )
@@ -74,10 +78,16 @@ sh AS (
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
   FROM toks WHERE len(ts) >= 3
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {p} AS h1,
+         CAST('0x' || substring(md5(shingle), 17, 15) AS BIGINT) % {p} AS h2
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   {band_selects}

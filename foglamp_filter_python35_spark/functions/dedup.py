@@ -12,10 +12,13 @@ Algorithms (all shuffle-bounded, no all-pairs comparison):
 * n-gram Jaccard: prefix-filtered pair generation (only pairs sharing at
   least one shingle) + exact verify.
 
-Hash function: md5 hex strings (lexicographic min).  md5 produces
-identical hex in every engine, which makes the whole MinHash pipeline
-reproducible bit-for-bit in the DuckDB oracle — the seeds are string
-prefixes ``"{i}|"``.
+Hash function: ONE md5 per shingle, split into two 60-bit halves, then
+k hash functions derived arithmetically (Kirsch-Mitzenmacher:
+``s_i = (h1 + i*h2) mod p``).  This is ~13x less hashing than k
+independent md5 calls and replaces 32-char string mins with bigint
+mins, while staying bit-for-bit reproducible in the DuckDB oracle
+(``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``).
 """
 
 from __future__ import annotations
@@ -66,13 +69,27 @@ def shingles(
     )
 
 
+MINHASH_PRIME = 1_000_000_007  # < 2^30, so h1 + 63*h2 never overflows
+
+
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """k min-hashes per doc in ONE hash aggregate (partial+final)."""
+    """k min-hashes per doc in ONE hash aggregate (partial+final).
+
+    One md5 per shingle; the k hash functions are Kirsch-Mitzenmacher
+    combinations of its two 60-bit halves: ``s_i = (h1 + i*h2) mod p``.
+    All integer arithmetic — the min-agg compares bigints, not 32-char
+    strings, and the md5 cost is independent of k.
+    """
+    p = F.lit(MINHASH_PRIME)
+    m = F.md5(F.col("shingle"))
+    h1 = (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias("h1")
+    h2 = (F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % p).alias("h2")
+    hashed = sh.select(F.col(id_col), h1, h2)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % p).alias(f"s{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
