@@ -99,6 +99,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from foglamp_filter_python35_spark.catalog import (  # noqa: PLC0415
         events as _ev,
         relational as _rel,
+        signal as _sig,
         text as _text,
         dedup as _dedup,
         vector as _vec,
@@ -106,7 +107,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (_ev, _rel, _text, _dedup, _vec, _mm):
+    for mod in (_ev, _rel, _sig, _text, _dedup, _vec, _mm):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")

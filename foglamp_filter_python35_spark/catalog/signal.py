@@ -1,0 +1,225 @@
+"""Signal-processing queries over ``events``, oracle-checked.
+
+The sensor-pipeline operator family users build on the reference's
+transform surface (plugin.cpp:29-53 — modify / drop / buffer readings):
+smoothing, rate-of-change, change suppression, alarms, downsampling,
+gap fill.  Each runs the matching operator from functions/signal.py on
+the events stream (event_type = asset, ts = event time) against a
+window-function DuckDB oracle; true deadband — inherently sequential —
+is oracled by a recursive CTE that replays the same scan serially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import signal as S
+
+_PART = ["event_type"]
+_ORDER = ["ts", "event_id"]
+_W = "PARTITION BY event_type ORDER BY ts, event_id"
+
+# --- smoothing: trailing 5-reading mean per asset ---
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.moving_average(ev, "value", _PART, _ORDER, n=5).select(
+        "event_id", "event_type", "value", "moving_avg"
+    )
+
+
+O_MOVING_AVERAGE = f"""
+SELECT event_id, event_type, value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS moving_avg
+FROM events
+WINDOW w AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+# --- rate of change: delta vs previous reading of the same asset ---
+
+
+def q_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.delta(ev, "value", _PART, _ORDER).select(
+        "event_id", "event_type", "value", "value_delta", "dt_micros"
+    )
+
+
+O_VALUE_DELTA = f"""
+SELECT event_id, event_type, value,
+       value - LAG(value) OVER w AS value_delta,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_micros
+FROM events
+WINDOW w AS ({_W})
+"""
+
+# --- stateless change detection: |value - prev| > threshold passes ---
+
+_CHANGE_THRESHOLD = 100.0
+
+
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.change_detect(
+        ev, "value", _PART, _ORDER, threshold=_CHANGE_THRESHOLD
+    ).select("event_id", "event_type", "value")
+
+
+O_CHANGE_DETECT = f"""
+SELECT event_id, event_type, value
+FROM (
+  SELECT event_id, event_type, value, LAG(value) OVER w AS prev
+  FROM events
+  WINDOW w AS ({_W})
+)
+WHERE prev IS NULL OR ABS(value - prev) > {_CHANGE_THRESHOLD}
+"""
+
+# --- threshold alarms: out-of-band readings tagged with violated bound ---
+
+_ALARM_LO, _ALARM_HI = 1.0, 400.0
+
+
+def q_threshold_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.threshold_alarm(ev, "value", _ALARM_LO, _ALARM_HI).select(
+        "event_id", "event_type", "value", "alarm"
+    )
+
+
+O_THRESHOLD_ALARM = f"""
+SELECT event_id, event_type, value,
+       CASE WHEN value < {_ALARM_LO} THEN 'low' ELSE 'high' END AS alarm
+FROM events
+WHERE value < {_ALARM_LO} OR value > {_ALARM_HI}
+"""
+
+# --- z-score anomaly over a trailing 20-reading window ---
+
+_Z_N, _Z = 20, 2.0
+
+
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.zscore_anomaly(ev, "value", _PART, _ORDER, n=_Z_N, z=_Z).select(
+        "event_id", "event_type", "value", "win_mean", "win_var"
+    )
+
+
+O_ZSCORE_ANOMALY = f"""
+WITH stats AS (
+  SELECT event_id, event_type, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / COUNT(value) OVER w AS win_mean,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / COUNT(value) OVER w AS msq
+  FROM events
+  WINDOW w AS ({_W} ROWS BETWEEN {_Z_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, value, win_mean,
+       msq - win_mean * win_mean AS win_var
+FROM stats
+WHERE n = {_Z_N}
+  AND msq - win_mean * win_mean > 0.0
+  AND ABS(value - win_mean) > {_Z} * SQRT(msq - win_mean * win_mean)
+"""
+
+# --- downsample: per (asset, hour) count / exact mean / min / max ---
+
+
+def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.resample(ev, "value", "event_type", "ts", every="hour")
+
+
+O_DOWNSAMPLE_1H = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+         AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# --- gap fill: LOCF per user, treating 'error' readings as gaps ---
+
+
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_or_null",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return S.locf(
+        ev, "value_or_null", ["user_id"], _ORDER, out_col="filled"
+    ).select("event_id", "user_id", "value_or_null", "filled")
+
+
+O_LOCF_GAP_FILL = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'error' THEN NULL ELSE value END
+         AS value_or_null,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS) OVER w AS filled
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# --- TRUE deadband (stateful, sequential per asset).  Spark runs the
+# grouped Arrow kernel; the oracle replays the identical scan with a
+# recursive CTE over row-numbered readings. ---
+
+_DEADBAND_TOL = 100.0
+
+
+def q_deadband_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return S.deadband(
+        ev, "value", "event_type", _ORDER, tolerance=_DEADBAND_TOL
+    ).select("event_id", "event_type", "value")
+
+
+O_DEADBAND_SUPPRESS = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER ({_W}) AS rn
+  FROM events
+),
+scan AS (
+  SELECT event_id, event_type, value, rn,
+         value AS last_emitted, TRUE AS emitted
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_id, q.event_type, q.value, q.rn,
+         CASE WHEN ABS(q.value - s.last_emitted) > {_DEADBAND_TOL}
+              THEN q.value ELSE s.last_emitted END,
+         ABS(q.value - s.last_emitted) > {_DEADBAND_TOL}
+  FROM scan s
+  JOIN seq q ON q.event_type = s.event_type AND q.rn = s.rn + 1
+)
+SELECT event_id, event_type, value
+FROM scan WHERE emitted
+"""
+
+SPECS = [
+    QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
+    QuerySpec("value_delta", q_value_delta, O_VALUE_DELTA),
+    QuerySpec("change_detect", q_change_detect, O_CHANGE_DETECT),
+    QuerySpec("threshold_alarm", q_threshold_alarm, O_THRESHOLD_ALARM),
+    QuerySpec("zscore_anomaly", q_zscore_anomaly, O_ZSCORE_ANOMALY),
+    QuerySpec("downsample_1h", q_downsample_1h, O_DOWNSAMPLE_1H, headline=True),
+    QuerySpec("locf_gap_fill", q_locf_gap_fill, O_LOCF_GAP_FILL),
+    QuerySpec("deadband_suppress", q_deadband_suppress, O_DEADBAND_SUPPRESS),
+]
