@@ -465,6 +465,108 @@ GROUP BY band_id, lo, hi
 ORDER BY band_id
 """
 
+# ---------------------------------------------------------------------------
+# customers_without_orders — anti join: customers with no orders since a
+# cutoff (churn detection).  Catalyst plans left_anti as a broadcast /
+# shuffled hash anti join; the build side is the filtered key column only,
+# so at 100 TB this is one shuffle of keys, never the wide fact rows.
+# ---------------------------------------------------------------------------
+
+_CHURN_CUTOFF = "2000-01-01"
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_CHURN_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+O_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CHURN_CUTOFF}'
+)
+ORDER BY c_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# cube_revenue — CUBE over (segment, priority): all 4 grouping combinations
+# in one pass.  Spark expands cube into a single expand+hash-agg (one
+# shuffle for all groupings, partials map-side).
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+O_CUBE_REVENUE = f"""
+SELECT c_mktsegment, o_orderpriority,
+       {o_dsum("o_totalprice", "revenue")},
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# orders_above_cust_avg — the correlated-subquery shape ("rows above their
+# group's average"), decorrelated as agg + self-join: one pass computes the
+# per-customer mean, re-joined on the grouping key.  At scale both sides
+# shuffle on o_custkey once; AQE picks broadcast if the agg side is small.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        davg("o_totalprice", "cust_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        orders.join(
+            avg_per_cust.filter(F.col("n") >= 2).drop("n"), "o_custkey"
+        )
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    )
+
+
+O_ORDERS_ABOVE_CUST_AVG = f"""
+WITH avg_per_cust AS (
+  SELECT o_custkey,
+         {o_davg("o_totalprice", "cust_avg")},
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+FROM orders o
+JOIN avg_per_cust a ON o.o_custkey = a.o_custkey AND a.n >= 2
+WHERE o_totalprice > cust_avg
+ORDER BY o_orderkey
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -479,4 +581,15 @@ SPECS = [
     QuerySpec("top_parts_by_revenue", q_top_parts, O_TOP_PARTS),
     QuerySpec("asof_last_signup", q_asof_last_signup, O_ASOF_LAST_SIGNUP),
     QuerySpec("value_band_join", q_value_band_join, O_VALUE_BAND_JOIN),
+    QuerySpec(
+        "customers_without_orders",
+        q_customers_without_orders,
+        O_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    QuerySpec("cube_revenue", q_cube_revenue, O_CUBE_REVENUE),
+    QuerySpec(
+        "orders_above_cust_avg",
+        q_orders_above_cust_avg,
+        O_ORDERS_ABOVE_CUST_AVG,
+    ),
 ]

@@ -115,10 +115,40 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- tf-idf top terms: two hash aggregates + windowed top-k.  Ranking is
+# (tf desc, df asc, term asc) on exact integers — the ordering float idf
+# induces, minus the float (see functions.text.top_terms docstring).
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+O_TFIDF_TOP_TERMS = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc_id, term, tf, df, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
     QuerySpec("language_id", q_language_id, O_LANGUAGE_ID),
     QuerySpec("token_count_total", q_token_count_total, O_TOKEN_COUNT_TOTAL, headline=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, O_DOC_FINGERPRINT),
+    QuerySpec("tfidf_top_terms", q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
 ]

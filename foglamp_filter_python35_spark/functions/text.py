@@ -90,6 +90,44 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """tf-idf-style top-k salient terms per document.
+
+    Ranking is (tf desc, df asc, term asc) — the same ordering tf/df or
+    tf*log(N/df) induces for fixed tf, but computed on exact integers, so
+    results are bit-deterministic across engines (float idf ties back to
+    integer comparisons).  Two hash aggregates (term frequency per doc,
+    document frequency per term) + one windowed top-k; df is a
+    per-term table, broadcast when small, shuffled otherwise.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set as columns (the composable operator)."""
     return (
