@@ -567,6 +567,52 @@ WHERE o_totalprice > cust_avg
 ORDER BY o_orderkey
 """
 
+# ---------------------------------------------------------------------------
+# skewed_asset_rollup — per-asset rollup computed through the two-phase
+# SALTED aggregation (functions/skew.py).  event_type has 5 hot keys over
+# the whole corpus — the worst-case skew shape — so a naive shuffle lands
+# each key on one task; the salted plan spreads each over 8.  The oracle
+# is the plain GROUP BY: salting is an algebraic rewrite and must produce
+# bit-identical results (decimal partials keep the sums exact).
+# ---------------------------------------------------------------------------
+
+
+def q_skewed_asset_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "sum_dec": ("sum", F.col("value").cast("decimal(38,6)")),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=8,
+        entropy_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+O_SKEWED_ASSET_ROLLUP = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")},
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -591,5 +637,8 @@ SPECS = [
         "orders_above_cust_avg",
         q_orders_above_cust_avg,
         O_ORDERS_ABOVE_CUST_AVG,
+    ),
+    QuerySpec(
+        "skewed_asset_rollup", q_skewed_asset_rollup, O_SKEWED_ASSET_ROLLUP
     ),
 ]
