@@ -170,6 +170,53 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    readings: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "user_ts",
+) -> DataFrame:
+    """Per-asset session windows: readings separated by less than ``gap``
+    merge into one session (dynamic-length windows, unlike the fixed
+    tumbling/sliding of ``windowed_rollup``).  State per open session is
+    bounded by the watermark.  Works on batch DataFrames too."""
+    df = readings
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(time_col), gap).alias("win"),
+            F.col("asset_code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_readings"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "asset_code",
+            "n_readings",
+        )
+    )
+
+
+def stream_dedup(
+    readings: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "user_ts",
+) -> DataFrame:
+    """Streaming exact dedup (X1 on an unbounded stream): keep the first
+    reading per key, with state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes it, so memory is O(keys per watermark window), not
+    O(all keys ever).  On batch input this degrades to plain
+    ``dropDuplicates`` (no watermark semantics needed)."""
+    keys = keys or ["id"]
+    if not readings.isStreaming:
+        return readings.dropDuplicates(keys)
+    wm = readings.withWatermark(time_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(keys)
+
+
 # ---------------------------------------------------------------------------
 # T10b — arbitrary cross-batch buffering via applyInPandasWithState.
 # The reference contract: "the plugin may not call the output stream ...

@@ -190,3 +190,85 @@ def test_stateful_buffer_accumulates_across_batches(
         assert final == want_totals[asset]
         assert sum(r["batch_count"] for r in emitted) == final
         assert len(emitted) >= 2  # one emission per micro-batch
+
+
+def test_session_rollup_stream_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    from foglamp_filter_python35_spark.streaming.pipeline import session_rollup
+
+    readings = _readings_stream(spark, events_stream_dir)
+    agg = session_rollup(readings, gap="10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        (r["session_start"], r["session_end"], r["asset_code"]): r["n_readings"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    batch_readings = events_to_readings(
+        spark.read.parquet(events_stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    want = {
+        (r["session_start"], r["session_end"], r["asset_code"]): r["n_readings"]
+        for r in session_rollup(batch_readings, gap="10 minutes").collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 1000
+    # sessions are dynamic-length: at least one must span > one gap
+    assert any((e - s).total_seconds() > 600 for (s, e, _a) in got)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(
+    spark, tmp_path, events_stream_dir
+):
+    from foglamp_filter_python35_spark.streaming.pipeline import stream_dedup
+
+    # the same file twice => every id arrives in two different micro-batches
+    d = str(tmp_path / "dup_src")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(d, "a.parquet"),
+    )
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(d, "b.parquet"),
+    )
+    raw_schema = spark.read.parquet(d).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    readings = events_to_readings(ev)
+    out = stream_dedup(readings, keys=["id"], watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt7"))
+        .start()
+    )
+    _run_to_completion(q)
+    ids = [r["id"] for r in spark.sql("SELECT id FROM dedup_out").collect()]
+    assert len(ids) == 1000  # 2000 arrived, each id exactly once
+    assert len(set(ids)) == 1000
+
+
+def test_stream_dedup_batch_degrades_to_drop_duplicates(spark, events_stream_dir):
+    from foglamp_filter_python35_spark.streaming.pipeline import stream_dedup
+
+    batch = events_to_readings(
+        spark.read.parquet(events_stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    doubled = batch.union(batch)
+    assert stream_dedup(doubled, keys=["id"]).count() == 1000
