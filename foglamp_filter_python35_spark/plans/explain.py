@@ -54,10 +54,26 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return count_occurrences(df, "BroadcastHashJoin") > 0
 
 
+def node_count(df: DataFrame, node: str) -> int:
+    """Count physical-plan NODES of a type.  The formatted plan prints
+    every node twice (tree line + detail header), so a raw substring
+    count double-counts; the ``(n) NodeName`` detail header appears
+    exactly once per node."""
+    import re  # noqa: PLC0415
+
+    return len(
+        re.findall(
+            rf"^\(\d+\) {re.escape(node)}\b",
+            formatted_plan(df),
+            flags=re.MULTILINE,
+        )
+    )
+
+
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan (lower = better, given equal
+    """Number of exchange nodes in the plan (lower = better, given equal
     semantics)."""
-    return count_occurrences(df, "Exchange")
+    return node_count(df, "Exchange")
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:

@@ -87,3 +87,60 @@ def test_python_filter_is_the_only_python_plan(spark):
     plan = E.formatted_plan(q_python_filter_scale35(spark, SF))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_threshold_alarm_filter_pushed_to_scan(spark):
+    from foglamp_filter_python35_spark.catalog.signal import q_threshold_alarm
+
+    df = q_threshold_alarm(spark, SF)
+    # the out-of-band predicate must reach the parquet scan
+    assert E.has_pushed_filter(df, "value"), E.pushed_filters(df)
+
+
+def test_signal_windows_share_one_exchange(spark):
+    from foglamp_filter_python35_spark.catalog.signal import q_zscore_anomaly
+
+    # mean and mean-of-squares share one window over one shuffle — a
+    # second Exchange would mean the frame was recomputed per aggregate
+    assert E.shuffle_count(q_zscore_anomaly(spark, SF)) <= 1
+
+
+def test_anti_join_is_hash_not_cartesian(spark):
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_customers_without_orders,
+    )
+
+    plan = E.formatted_plan(q_customers_without_orders(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_cube_is_single_expand_pass(spark):
+    from foglamp_filter_python35_spark.catalog.relational import q_cube_revenue
+
+    plan = E.formatted_plan(q_cube_revenue(spark, SF))
+    # CUBE compiles to one Expand + hash aggregate, not one job per grouping
+    assert "Expand" in plan
+    assert E.has_partial_aggregate(q_cube_revenue(spark, SF))
+
+
+def test_salted_agg_is_two_hash_aggregates(spark):
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_skewed_asset_rollup,
+    )
+
+    df = q_skewed_asset_rollup(spark, SF)
+    plan = E.formatted_plan(df)
+    assert E.is_fully_jvm(df)
+    # phase-1 agg on (key, salt) + phase-2 agg on key, each partial+final
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_deadband_shuffles_once_by_asset(spark):
+    from foglamp_filter_python35_spark.catalog.signal import q_deadband_suppress
+
+    df = q_deadband_suppress(spark, SF)
+    # one hash-partition by asset feeding the Arrow kernel; no extra sort
+    # or shuffle after the grouped map
+    assert E.node_count(df, "FlatMapGroupsInPandas") == 1
+    assert E.shuffle_count(df) == 1
