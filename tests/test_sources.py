@@ -99,3 +99,30 @@ def test_observe_metrics_batch(spark, sf_smoke):
     readings.write.format("noop").mode("overwrite").save()
     # observation readable in batch via the collected metrics API
     # (in streaming: StreamingQueryProgress.observedMetrics["ingest"])
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_smoke, tmp_path):
+    """The 100 TB co-location story: two tables bucketed on the join key
+    join with ZERO exchanges — Catalyst trusts the bucketing layout."""
+    orders = load(spark, sf_smoke, "orders")
+    cust = load(spark, sf_smoke, "customer")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        R.write_bucketed(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            "b_orders", "custkey", n_buckets=8,
+        )
+        R.write_bucketed(
+            cust.withColumnRenamed("c_custkey", "custkey"),
+            "b_cust", "custkey", n_buckets=8,
+        )
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "custkey")
+        assert E.shuffle_count(joined) == 0, E.formatted_plan(joined)
+        # and the join still returns the right number of rows
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
