@@ -89,10 +89,50 @@ ORDER BY score DESC, a.vec_id
 LIMIT {_K}
 """
 
+_N_QUERIES = 8
+
+
+def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.knn_join(emb, queries, k=5).orderBy("qid", "rank")
+
+
+O_EMBEDDING_KNN_JOIN = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, a.vec_id,
+         list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))))
+           AS score
+  FROM embeddings a CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, score, rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
 SPECS = [
     QuerySpec("embedding_topk", q_embedding_topk, O_EMBEDDING_TOPK, headline=True),
     QuerySpec(
         "embedding_cosine_dup", q_embedding_cosine_dup, O_EMBEDDING_COSINE_DUP
     ),
     QuerySpec("embedding_ivf_topk", q_embedding_ivf_topk, O_EMBEDDING_IVF_TOPK),
+    QuerySpec(
+        "embedding_knn_join", q_embedding_knn_join, O_EMBEDDING_KNN_JOIN
+    ),
 ]

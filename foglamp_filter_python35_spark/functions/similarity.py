@@ -56,6 +56,38 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Batch top-k: cosine k nearest corpus vectors for EVERY query
+    vector.  The query set is broadcast (it's the small side by
+    construction); scoring is a map-side projection over the corpus scan;
+    the per-query top-k is a window ranked on (score desc, id) — at scale
+    that shuffles only on qid, and candidate rows per task are bounded by
+    the rank filter pushed into the sort."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,
