@@ -1,0 +1,224 @@
+"""Property-based tests (hypothesis) for the contracts that matter most:
+
+* T9 python-filter runner == applying the same function locally to the
+  wire list, for arbitrary readings and a shape-changing transform;
+* true deadband == the serial Python reference scan, for arbitrary series;
+* salted aggregation == plain aggregation, for arbitrary skewed frames;
+* MinHash-LSH verified pairs are a SUBSET of exact n-gram-Jaccard pairs
+  with identical jaccard values (verification makes precision exact; only
+  recall is probabilistic).
+
+Spark round-trips cost ~100ms per example, so examples are capped low —
+these are contract probes, not fuzzing marathons.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.config import FilterConfig
+from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+from foglamp_filter_python35_spark.functions import dedup as D
+from foglamp_filter_python35_spark.functions import signal as SIG
+from foglamp_filter_python35_spark.functions.skew import salted_agg
+from foglamp_filter_python35_spark.operators.python_filter import (
+    run_python_filter,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+# --- strategies -----------------------------------------------------------
+
+_finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+_reading = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=0, max_value=2**40),
+        "asset_code": st.sampled_from(["a", "b", "c"]),
+        "values": st.dictionaries(
+            st.sampled_from(["x", "y", "z"]), _finite, min_size=0, max_size=3
+        ),
+    }
+)
+
+
+def _readings_df(spark, readings):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            r["id"],
+            r["asset_code"],
+            base + dt.timedelta(seconds=i),
+            base + dt.timedelta(seconds=i),
+            r["values"],
+            {},
+        )
+        for i, r in enumerate(readings)
+    ]
+    return spark.createDataFrame(rows, READING_SCHEMA)
+
+
+# --- T9: runner == local application --------------------------------------
+
+
+def _transform(batch):
+    """Shape-changing reference-contract filter: scale x by 2, drop
+    readings whose asset is 'c', rename y -> y2."""
+    out = []
+    for r in batch:
+        if r["asset_code"] == "c":
+            continue
+        new = {}
+        for k, v in r["reading"].items():
+            if k == "x":
+                new["x"] = v * 2.0
+            elif k == "y":
+                new["y2"] = v
+            else:
+                new[k] = v
+        r["reading"] = new
+        out.append(r)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_reading, min_size=0, max_size=12))
+def test_python_filter_matches_local_application(spark, readings):
+    # unique ids keep the comparison well-defined
+    seen = set()
+    readings = [
+        r for r in readings if r["id"] not in seen and not seen.add(r["id"])
+    ]
+    df = _readings_df(spark, readings)
+    out = run_python_filter(df, _transform, FilterConfig(enable=True))
+    got = {
+        (r["id"], r["asset_code"], tuple(sorted((r["reading"] or {}).items())))
+        for r in out.collect()
+    }
+
+    wire = [
+        {
+            "id": r["id"],
+            "asset_code": r["asset_code"],
+            "reading": dict(r["values"]),
+        }
+        for r in readings
+    ]
+    expected = {
+        (r["id"], r["asset_code"], tuple(sorted(r["reading"].items())))
+        for r in _transform(wire)
+        if r["reading"]  # empty payloads are dropped (T6)
+    }
+    assert got == expected
+
+
+# --- deadband == serial reference ------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_finite, min_size=0, max_size=30),
+    st.floats(min_value=0.1, max_value=100.0),
+)
+def test_deadband_matches_serial_scan(spark, values, tol):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "a", base + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = SIG.deadband(df, "value", "event_type", ["ts", "event_id"], tol)
+    got = sorted(r.event_id for r in out.collect())
+
+    keep, last = [], None
+    for i, v in enumerate(values):
+        if last is None or abs(v - last) > tol:
+            keep.append(i)
+            last = v
+    assert got == keep
+
+
+# --- salted agg == plain agg ------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "k1", "k2"]), _finite),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_matches_plain_agg(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id long, k string, v double",
+    )
+    plain = {
+        r.k: (r.n, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": ("count", F.lit(1)),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+            },
+            n_salts=4,
+            entropy_cols=["id"],
+        ).collect()
+    }
+    assert plain == salted
+
+
+# --- MinHash precision vs exact Jaccard -------------------------------------
+
+_vocab = st.sampled_from(["red", "green", "blue", "cyan", "teal"])
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(_vocab, min_size=5, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    thr = 0.5
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_near_dups(
+            docs, threshold=thr, persist_shingles=False
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=thr).collect()
+    }
+    # every LSH-verified pair exists in the exact result with the same score
+    for pair, j in lsh.items():
+        assert pair in exact
+        assert math.isclose(j, exact[pair], rel_tol=0, abs_tol=0)
