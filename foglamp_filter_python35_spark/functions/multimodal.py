@@ -112,6 +112,48 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+    ]
+)
+
+
+def resize(
+    docs_with_payload: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Arrow-batched resize: in production the body is one PIL/opencv
+    call per payload; here the stand-in emits a deterministic
+    payload whose length scales with the target area (the schema,
+    batching, and partition-parallelism are the real contract).  Output
+    rows are 1:1 with inputs — Catalyst can pipeline this between scans
+    and downstream operators without a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            resized = []
+            for payload in pdf["payload"]:
+                # deterministic downsample: stride the bytes to ~area size
+                stride = max(1, len(payload) // target)
+                resized.append(bytes(payload[::stride][:target]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized_payload": pd.Series(resized, dtype="object"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

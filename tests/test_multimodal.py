@@ -45,3 +45,14 @@ def test_frame_sampling_fans_out(spark, sf_smoke):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG...")
+
+
+def test_resize_is_deterministic_and_bounded(spark, sf_smoke):
+    docs = M.attach_binary_payload(load(spark, sf_smoke, "documents").limit(50))
+    out = {r.doc_id: r for r in M.resize(docs, width=16, height=16).collect()}
+    again = {r.doc_id: r for r in M.resize(docs, width=16, height=16).collect()}
+    assert len(out) == 50
+    for doc_id, r in out.items():
+        assert (r.width, r.height) == (16, 16)
+        assert len(r.resized_payload) <= 16 * 16
+        assert r.resized_payload == again[doc_id].resized_payload

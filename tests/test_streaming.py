@@ -272,3 +272,68 @@ def test_stream_dedup_batch_degrades_to_drop_duplicates(spark, events_stream_dir
     )
     doubled = batch.union(batch)
     assert stream_dedup(doubled, keys=["id"]).count() == 1000
+
+
+def test_reconfigure_restarts_from_checkpoint(spark, tmp_path, events_stream_dir):
+    """C3: reconfigure = stop -> rebuild with new config -> restart from
+    the SAME checkpoint.  The restarted query must resume at the stored
+    offset (no reprocessing of batch A) and apply the new transform."""
+    src = str(tmp_path / "c3_src")
+    ckpt = str(tmp_path / "c3_ckpt")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(src, "a.parquet"),
+    )
+    raw_schema = spark.read.parquet(src).schema
+
+    def readings():
+        ev = spark.readStream.schema(raw_schema).parquet(src)
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_to_readings(ev)
+
+    got: list[tuple[int, float]] = []
+
+    def sink(df, _epoch):
+        got.extend(
+            (r["id"], r["reading"]["value"]) for r in df.collect()
+        )
+
+    # phase 1: scale=5/offset=10
+    q = run_micro_batch_pipeline(
+        readings(),
+        [REGISTRY.stage("scale", FilterConfig("scale", enable=True,
+                                              params={"scale": 5, "offset": 10}))],
+        sink, ckpt,
+    )
+    _run_to_completion(q)
+    phase1 = dict(got)
+    assert len(phase1) == 1000
+
+    # new data arrives while "reconfiguring"
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(src, "b.parquet"),
+    )
+
+    # phase 2: same checkpoint, new config scale=1/offset=1000
+    got.clear()
+    q = run_micro_batch_pipeline(
+        readings(),
+        [REGISTRY.stage("scale", FilterConfig("scale", enable=True,
+                                              params={"scale": 1, "offset": 1000}))],
+        sink, ckpt,
+    )
+    _run_to_completion(q)
+    phase2 = dict(got)
+
+    # only file b was processed (offsets resumed), with the NEW transform
+    assert len(phase2) == 1000
+    raw = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(src).collect()
+    }
+    for rid, v in phase2.items():
+        assert v == raw[rid] * 1 + 1000
+    for rid, v in phase1.items():
+        assert v == raw[rid] * 5 + 10
