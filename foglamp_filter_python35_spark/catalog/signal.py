@@ -175,6 +175,91 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
+# --- session windows (batch form of streaming session_rollup): readings
+# separated by < gap merge into one dynamic-length session.  Spark uses
+# the native session_window; the oracle derives identical sessions with
+# gaps-and-islands SQL (new-session flag -> running sum -> group), the
+# standard relational formulation. ---
+
+_SESSION_GAP_MIN = 30
+
+
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(
+                F.col("ts"), f"{_SESSION_GAP_MIN} minutes"
+            ).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_readings"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            F.col("event_type"),
+            "n_readings",
+        )
+        .orderBy("event_type", "session_start")
+    )
+
+
+O_SESSION_ROLLUP = f"""
+WITH flagged AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_W})
+                   >= {_SESSION_GAP_MIN} * 60 * 1000000
+              OR LAG(ts) OVER ({_W}) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT event_type, ts,
+         SUM(new_session) OVER ({_W}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS session_end,
+       event_type,
+       COUNT(*) AS n_readings
+FROM numbered
+GROUP BY event_type, session_id
+ORDER BY event_type, session_start
+"""
+
+# --- per-asset percentile summary.  Exact percentile (Spark sort-based
+# `percentile` == DuckDB `quantile_cont`, verified 0-ULP on this corpus);
+# at 100 TB the production variant is approx_percentile (t-digest,
+# mergeable partials) — exact here because the oracle gate needs
+# bit-equality, same tradeoff as the decimal sums. ---
+
+
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_PERCENTILE_SUMMARY = """
+SELECT event_type,
+       COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # --- TRUE deadband (stateful, sequential per asset).  Spark runs the
 # grouped Arrow kernel; the oracle replays the identical scan with a
 # recursive CTE over row-numbered readings. ---
@@ -221,5 +306,9 @@ SPECS = [
     QuerySpec("zscore_anomaly", q_zscore_anomaly, O_ZSCORE_ANOMALY),
     QuerySpec("downsample_1h", q_downsample_1h, O_DOWNSAMPLE_1H, headline=True),
     QuerySpec("locf_gap_fill", q_locf_gap_fill, O_LOCF_GAP_FILL),
+    QuerySpec("session_rollup", q_session_rollup, O_SESSION_ROLLUP),
+    QuerySpec(
+        "percentile_summary", q_percentile_summary, O_PERCENTILE_SUMMARY
+    ),
     QuerySpec("deadband_suppress", q_deadband_suppress, O_DEADBAND_SUPPRESS),
 ]
