@@ -148,7 +148,8 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search: quantize corpus + query, then brute-force only the
-    query's cell.  Approximate (single-probe) by design."""
+    query's cell.  Approximate (single-probe) by design; see
+    ``ivf_topk_multiprobe`` for the recall/latency dial."""
     assign = ivf_assign(emb, centroids, id_col, vec_col)
     emb_cells = emb.join(assign, id_col)
     query_cell = assign.filter(F.col(id_col) == query_id).select("cid")
@@ -156,6 +157,43 @@ def ivf_topk(
         F.col(vec_col).alias("qv")
     )
     cell = emb_cells.join(F.broadcast(query_cell), "cid")
+    return brute_force_topk(
+        cell.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
+def ivf_topk_multiprobe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF: search the ``nprobe`` cells whose centroids are
+    closest to the QUERY VECTOR (not just the query's own cell) — the
+    standard recall dial.  nprobe == n_centroids degrades gracefully to
+    exact brute force; cost scales ~linearly with nprobe because only
+    probed cells are scanned (broadcast semi-join on cid prunes the
+    rest; with the corpus stored partitioned-by-cell that pruning is
+    partition pruning at the scan)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    query_vec = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    probe_scored = centroids.crossJoin(F.broadcast(query_vec)).select(
+        "cid", cosine(F.col("cv"), F.col("qv")).alias("cscore")
+    )
+    w = Window.orderBy(F.col("cscore").desc(), F.col("cid"))
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("cid")
+    )
+    cell = emb.join(assign, id_col).join(F.broadcast(probes), "cid")
     return brute_force_topk(
         cell.select(id_col, vec_col), query_vec, k, id_col, vec_col
     )

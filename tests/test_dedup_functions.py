@@ -46,3 +46,38 @@ def test_shingles_and_signature_shape(spark):
     rows = {r.doc_id: (r.s0, r.s1, r.s2, r.s3) for r in sigs.collect()}
     assert rows[1] == rows[2]  # identical docs -> identical signatures
     assert rows[1] != rows[4]
+
+
+def test_ivf_multiprobe_recall_improves_and_converges(spark, sf_smoke):
+    """nprobe is the recall dial: probing more cells can only add
+    candidates, and probing every cell IS brute force."""
+    from pyspark.sql import functions as F
+
+    from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk_multiprobe,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    n_cents = 8
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [r.vec_id for r in brute_force_topk(emb, qv, 10).collect()]
+
+    def recall(nprobe):
+        got = {
+            r.vec_id
+            for r in ivf_topk_multiprobe(
+                emb, cents, query_id=0, k=10, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & set(exact)) / len(exact)
+
+    r1, r3, rall = recall(1), recall(3), recall(n_cents)
+    assert r1 <= r3 <= rall
+    assert rall == 1.0  # probing every cell == exact
