@@ -108,7 +108,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DOC_FINGERPRINT = """
 SELECT doc_id,
-       md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' '))
+       md5(array_to_string(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> ''), ' '))
          AS fingerprint,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
          AS n_alpha_tokens

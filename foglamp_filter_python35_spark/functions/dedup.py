@@ -29,15 +29,20 @@ from pyspark.sql import functions as F
 
 def word_ngrams(tokens_col, n: int = 3):
     """Distinct word n-gram shingles from a token ARRAY COLUMN (pass a
-    materialized column, not an inline split() — see ``shingles``)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
-            ),
-        )
+    materialized column, not an inline split() — see ``shingles``).
+
+    Documents shorter than n tokens yield an EMPTY array — guarded with
+    when(), because sequence(1, 0) is the descending array [1, 0], not
+    empty, and would crash element_at."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
     )
+    return F.when(
+        F.size(tokens_col) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(
@@ -96,6 +101,12 @@ def lsh_bands(
     sigs: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
     """Explode each signature into (band_id, band_sig) rows."""
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by "
+            f"rows_per_band={rows_per_band}: trailing signatures would be "
+            "silently unbanded, changing the LSH threshold curve"
+        )
     n_bands = num_hashes // rows_per_band
     band_structs = F.array(
         *[
@@ -230,9 +241,17 @@ def minhash_lsh_near_dups(
     sigs = minhash_signatures(sh, id_col, num_hashes).persist()
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = candidate_pairs(bands, id_col).persist()
-    return exact_jaccard_broadcast(cands, sh, id_col).filter(
+    out = exact_jaccard_broadcast(cands, sh, id_col).filter(
         F.col("jaccard") >= threshold
     )
+    # materialize the (small) verified-pair result, then release the
+    # intermediate cache — otherwise every invocation leaks three
+    # persisted lineages into the session until LRU thrashing
+    out = out.persist()
+    out.count()
+    for cached in (sigs, cands, *((sh,) if persist_shingles else ())):
+        cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

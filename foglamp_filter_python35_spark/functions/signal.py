@@ -213,11 +213,18 @@ def deadband(
     schema = df.schema
 
     def _scan(pdf):
+        import math  # noqa: PLC0415
+
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         vals = pdf[value_col].to_numpy()
         keep = [False] * len(vals)
         last = None
         for i, v in enumerate(vals):
+            # null readings (NaN after Arrow) are dropped WITHOUT touching
+            # state — otherwise abs(v - NaN) > tol is permanently False and
+            # one null would silently suppress the asset forever
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
             if last is None or abs(v - last) > tolerance:
                 keep[i] = True
                 last = v

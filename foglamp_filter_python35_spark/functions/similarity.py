@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold double dot product (bit-compatible with DuckDB)."""
+    """Left-fold double dot product (bit-compatible with DuckDB).
+
+    Mismatched dimensions propagate as NULL (zip_with pads the shorter
+    side) — downstream score filters drop such rows rather than crash;
+    audit with a ``size(a) != size(b)`` check when corpus hygiene is in
+    question (e.g. mixed embedding-model versions)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,7 +42,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (excluded downstream, never a crash) for
+    zero-norm vectors — under Spark 4's default ANSI mode a bare division
+    would abort the whole job on one degenerate row."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -150,7 +158,10 @@ def ivf_topk(
     """IVF search: quantize corpus + query, then brute-force only the
     query's cell.  Approximate (single-probe) by design; see
     ``ivf_topk_multiprobe`` for the recall/latency dial."""
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    # assign feeds two consumers (cell join + query-cell lookup); persist
+    # or the corpus x centroids quantization runs twice.  At 100 TB the
+    # assignment is a precomputed stored column, not a per-query job.
+    assign = ivf_assign(emb, centroids, id_col, vec_col).persist()
     emb_cells = emb.join(assign, id_col)
     query_cell = assign.filter(F.col(id_col) == query_id).select("cid")
     query_vec = emb.filter(F.col(id_col) == query_id).select(
@@ -180,7 +191,10 @@ def ivf_topk_multiprobe(
     partition pruning at the scan)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    # single consumer chains below, but the probe scoring and the final
+    # brute force both hang off query_vec/assign — persist the assignment
+    # (precomputed stored column at scale, see ivf_topk)
+    assign = ivf_assign(emb, centroids, id_col, vec_col).persist()
     query_vec = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv")
     )

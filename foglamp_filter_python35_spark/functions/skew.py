@@ -57,7 +57,25 @@ def salted_join(
     hottest-key volume to average-task volume, not higher.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    entropy = list(entropy_cols) if entropy_cols else big.columns
+    # right/full outer joins are WRONG under salting: every unmatched
+    # (key, salt) replica of the small side would surface as its own
+    # outer row (n_salts copies).  Only big-side-preserving joins are
+    # algebraically invisible.
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; '{how}' would "
+            "duplicate unmatched small-side replicas per salt"
+        )
+    entropy = list(entropy_cols) if entropy_cols else [
+        c for c in big.columns if c not in keys
+    ]
+    if not entropy:
+        raise ValueError(
+            "no entropy columns: salting by the join key alone puts every "
+            "hot-key row back in one bucket; pass entropy_cols explicitly"
+        )
     big_s = with_salt(big, n_salts, entropy)
     small_s = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -95,7 +113,14 @@ def salted_agg(
     min -> min, max -> max).  Algebraically identical to a direct
     ``groupBy(keys).agg(...)`` — oracle-checked by ``skewed_asset_rollup``.
     """
-    entropy = list(entropy_cols) if entropy_cols else df.columns
+    entropy = list(entropy_cols) if entropy_cols else [
+        c for c in df.columns if c not in keys
+    ]
+    if not entropy:
+        raise ValueError(
+            "no entropy columns: salting by the group key alone is a "
+            "no-op; pass entropy_cols explicitly"
+        )
     salted = with_salt(df, n_salts, entropy)
     partials, finals = [], []
     for name, (op, col) in aggs.items():

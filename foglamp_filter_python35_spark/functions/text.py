@@ -84,10 +84,14 @@ def language_id(text: Column | str) -> Column:
 
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased,
-    whitespace-normalized text (identical hex in any engine)."""
+    whitespace-normalized text (identical hex in any engine).
+
+    Empty tokens are filtered AFTER the split rather than relying on
+    trim(): trim strips only ASCII spaces, so leading tabs/newlines would
+    otherwise survive as an empty first token and change the hash."""
     c = F.col(text) if isinstance(text, str) else text
-    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(c)), "\\s+"))
-    return F.md5(normalized)
+    toks = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
+    return F.md5(F.concat_ws(" ", toks))
 
 
 def top_terms(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from foglamp_filter_python35_spark.catalog.dedup import (
@@ -81,3 +82,43 @@ def test_ivf_multiprobe_recall_improves_and_converges(spark, sf_smoke):
     r1, r3, rall = recall(1), recall(3), recall(n_cents)
     assert r1 <= r3 <= rall
     assert rall == 1.0  # probing every cell == exact
+
+
+def test_word_ngrams_short_doc_is_empty_not_crash(spark):
+    from foglamp_filter_python35_spark.functions.dedup import word_ngrams
+
+    df = spark.createDataFrame([("a b",), ("x y z",)], "text string")
+    out = df.select(
+        F.size(word_ngrams(F.split("text", " "), 3)).alias("n")
+    ).collect()
+    assert sorted(r.n for r in out) == [0, 1]
+
+
+def test_lsh_bands_rejects_ragged_banding(spark):
+    from foglamp_filter_python35_spark.functions.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sigs = minhash_signatures(shingles(docs), "doc_id", 12)
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_bands(sigs, "doc_id", 12, 5)
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    from foglamp_filter_python35_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    rows = {r.vec_id: r.score for r in brute_force_topk(emb, qv, 3).collect()}
+    assert rows[1] is None  # degenerate vector excluded, job survives
+    assert rows[0] == 1.0

@@ -15,3 +15,14 @@ _SPECS = [s for s in all_queries().values() if s.oracle is not None]
 @pytest.mark.parametrize("spec", _SPECS, ids=[s.name for s in _SPECS])
 def test_query_matches_oracle(spark, sf_correct, spec):
     compare_spark_vs_oracle(spark, spec.fn, spec.oracle, sf_correct)
+
+
+def test_fingerprint_normalizes_non_space_whitespace(spark):
+    from foglamp_filter_python35_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a b",), ("\ta b\n",), ("a\t b",)], "text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert len(set(fps)) == 1  # identical up to whitespace => same hash

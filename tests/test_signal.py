@@ -132,3 +132,18 @@ def test_resample_hour_buckets(spark):
         for r in out.collect()
     }
     assert got == {(0, 2, 20.0, 10.0, 30.0), (1, 1, 7.0, 7.0, 7.0)}
+
+
+def test_deadband_null_reading_does_not_poison_state(spark):
+    # a null value must be dropped WITHOUT updating last-emitted state;
+    # the NaN-poisoning variant would suppress the asset forever
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, "a", base, None),
+        (1, "a", base + dt.timedelta(seconds=1), 100.0),
+        (2, "a", base + dt.timedelta(seconds=2), 100.5),
+        (3, "a", base + dt.timedelta(seconds=3), 200.0),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = S.deadband(df, "value", "event_type", ["ts", "event_id"], 10.0)
+    assert sorted(r.event_id for r in out.collect()) == [1, 3]

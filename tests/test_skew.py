@@ -86,3 +86,18 @@ def test_salt_spreads_hot_key(skewed):
 def test_salted_agg_rejects_non_algebraic(skewed):
     with pytest.raises(ValueError, match="unsupported"):
         salted_agg(skewed, ["k"], {"bad": ("avg", "v")})
+
+
+def test_salted_join_rejects_small_side_preserving_joins(skewed, dim):
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", how="full")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", how="right")
+
+
+def test_salting_requires_non_key_entropy(spark, dim):
+    keys_only = spark.createDataFrame([("hot",)], "k string")
+    with pytest.raises(ValueError, match="entropy"):
+        salted_join(keys_only, dim, "k")
+    with pytest.raises(ValueError, match="entropy"):
+        salted_agg(keys_only, ["k"], {"n": ("count", F.lit(1))})
