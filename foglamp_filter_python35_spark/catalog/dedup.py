@@ -63,11 +63,17 @@ def _minhash_oracle() -> str:
         f"min((h1 + {i} * h2) % {p}) AS s{i}" for i in range(_NUM_HASHES)
     )
     n_bands = _NUM_HASHES // _ROWS_PER_BAND
+    # concat ALL rows_per_band signature columns per band, generated from
+    # the same constant as the Spark side (a hard-coded pair would
+    # silently desynchronize the oracle if _ROWS_PER_BAND changes)
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"md5(CAST(s{b * _ROWS_PER_BAND} AS VARCHAR) || '|' || "
-        f"CAST(s{b * _ROWS_PER_BAND + 1} AS VARCHAR)) "
-        f"AS band_sig FROM sigs"
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"CAST(s{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
         for b in range(n_bands)
     )
     return f"""

@@ -491,10 +491,11 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CUSTOMERS_WITHOUT_ORDERS = f"""
 SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey NOT IN (
-  SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '{_CHURN_CUTOFF}'
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{_CHURN_CUTOFF}'
 )
 ORDER BY c_custkey
 """

@@ -82,11 +82,14 @@ def run_python_filter(
         # C4 disabled => pass-through, zero cost (plugin.cpp:234-242)
         return df
 
-    # a narrow source (one parquet split) would serialize the whole batch
-    # stream through one Python worker — spread it across the cluster
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # a narrow batch source (one parquet split) would serialize the whole
+    # stream through one Python worker — spread it across the cluster.
+    # Streaming plans cannot be probed via .rdd (and their partitioning is
+    # the source's concern), so the probe is batch-only.
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
 
     if set_filter_config is not None:
         # configure at plan-build time; the configured state is captured
@@ -126,12 +129,6 @@ def _as_mapping(v) -> dict:
     if isinstance(v, dict):
         return v
     return dict(v)
-
-
-def _epoch_seconds(v) -> int | None:
-    if v is None or v is pd.NaT:
-        return None
-    return int(pd.Timestamp(v).timestamp())
 
 
 def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:

@@ -114,10 +114,14 @@ def rename_datapoint(df: DataFrame, old: str, new: str) -> DataFrame:
 
 
 def add_datapoint(df: DataFrame, name: str, value: Column) -> DataFrame:
+    """Add or OVERWRITE a datapoint (last-write-wins, matching the
+    reference's dict assignment).  The existing key is filtered out
+    before map_concat — Spark's default mapKeyDedupPolicy=EXCEPTION makes
+    a bare map_concat throw DUPLICATED_MAP_KEY at runtime otherwise."""
     return df.withColumn(
         "reading",
         F.map_concat(
-            F.col("reading"),
+            F.map_filter(F.col("reading"), lambda k, _v: k != F.lit(name)),
             F.map_from_arrays(F.array(F.lit(name)), F.array(value.cast("double"))),
         ),
     )
@@ -171,11 +175,17 @@ def regenerate_metadata(df: DataFrame) -> DataFrame:
 
 def coerce_numeric_to_long(df: DataFrame) -> DataFrame:
     """Truncate every numeric datapoint to a signed 64-bit integer value
-    (carried as double in the map to keep the map homogeneous)."""
+    (carried as double in the map to keep the map homogeneous).
+
+    try_cast, not cast: under Spark 4's default ANSI mode a bare cast
+    raises CAST_OVERFLOW on NaN/Inf/|v|>2^63 and would abort the whole
+    batch; the documented T8 contract is truncation with null for
+    unrepresentable values."""
     return df.withColumn(
         "reading",
         F.transform_values(
-            F.col("reading"), lambda _k, v: v.cast("long").cast("double")
+            F.col("reading"),
+            lambda _k, v: v.try_cast("long").cast("double"),
         ),
     )
 

@@ -36,12 +36,37 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_readings_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet -> canonical readings DataFrame (schema-checked)."""
+    """Parquet -> canonical readings DataFrame (schema-checked).
+
+    TIMESTAMP(NANOS) columns surface as nano longs under
+    ``nanosAsLong`` and are rebuilt to timestamps here (integer div —
+    float division loses precision on e18 nanos); after the rebuild every
+    column's dtype is validated against READING_SCHEMA, not just its
+    name."""
+    from pyspark.sql.types import LongType, TimestampType  # noqa: PLC0415
+
     df = read_parquet(spark, path)
     missing = [f.name for f in READING_SCHEMA.fields if f.name not in df.columns]
     if missing:
         raise ValueError(f"readings parquet missing columns: {missing}")
-    return df.select(*[f.name for f in READING_SCHEMA.fields])
+    for field in READING_SCHEMA.fields:
+        actual = df.schema[field.name].dataType
+        if isinstance(field.dataType, TimestampType) and isinstance(
+            actual, LongType
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    df = df.select(*[f.name for f in READING_SCHEMA.fields])
+    mismatched = [
+        (f.name, str(df.schema[f.name].dataType), str(f.dataType))
+        for f in READING_SCHEMA.fields
+        if df.schema[f.name].dataType != f.dataType
+    ]
+    if mismatched:
+        raise ValueError(f"readings parquet dtype mismatches: {mismatched}")
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:

@@ -102,20 +102,28 @@ def run_micro_batch_pipeline(
     behavior: a failing transform forwards the input batch unchanged."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = None
         try:
-            out = apply_pipeline(batch_df, stages)
-            # force evaluation inside the try so transform errors (including
-            # ones raised lazily inside Python workers) hit the fallback
-            out.persist()
-            out.count()
-        except Exception:
-            # S3: error => pass the input through (plugin.cpp:295-310)
-            sink(batch_df, epoch_id)
-            return
-        try:
+            try:
+                out = apply_pipeline(batch_df, stages)
+                # force evaluation inside the try so transform errors
+                # (including ones raised lazily inside Python workers)
+                # hit the fallback
+                out.persist()
+                out.count()
+            except Exception:
+                # S3: error => pass the input through (plugin.cpp:295-310)
+                sink(batch_df, epoch_id)
+                return
             sink(out, epoch_id)
         finally:
-            out.unpersist()
+            # unpersist on EVERY path — a lazily-failing stage would
+            # otherwise leak one cached lineage per failing micro-batch
+            if out is not None:
+                try:
+                    out.unpersist()
+                except Exception:
+                    pass
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -158,7 +166,10 @@ def windowed_rollup(
         df.groupBy(win.alias("win"), F.col("asset_code"))
         .agg(
             F.count(F.lit(1)).alias("n_readings"),
-            F.sum(F.map_values("reading")[0]).alias("sum_first_dp"),
+            # F.get is null-safe on empty maps; [0] raises
+            # INVALID_ARRAY_INDEX under ANSI when a reading carries only
+            # string datapoints (legal: empty numeric map)
+            F.sum(F.get(F.map_values("reading"), 0)).alias("sum_first_dp"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -209,12 +220,24 @@ def stream_dedup(
     ``dropDuplicatesWithinWatermark`` evicts a key's state once the
     watermark passes it, so memory is O(keys per watermark window), not
     O(all keys ever).  On batch input this degrades to plain
-    ``dropDuplicates`` (no watermark semantics needed)."""
+    ``dropDuplicates`` (no watermark semantics needed).
+
+    Null-key readings are passed through UNTOUCHED: dropDuplicates treats
+    all nulls as equal, and the engine's own contract mints null ids for
+    readings regenerated without one (python_filter T7) — deduping those
+    would collapse every anonymous reading into a single survivor.
+    """
     keys = keys or ["id"]
+    any_null = None
+    for k in keys:
+        c = F.col(k).isNull()
+        any_null = c if any_null is None else (any_null | c)
     if not readings.isStreaming:
-        return readings.dropDuplicates(keys)
+        keyed = readings.filter(~any_null).dropDuplicates(keys)
+        return keyed.unionByName(readings.filter(any_null))
     wm = readings.withWatermark(time_col, watermark)
-    return wm.dropDuplicatesWithinWatermark(keys)
+    keyed = wm.filter(~any_null).dropDuplicatesWithinWatermark(keys)
+    return keyed.unionByName(wm.filter(any_null))
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,57 @@ def test_set_filter_config_must_return_true(spark):
             FilterConfig(enable=True),
             set_filter_config=lambda cfg: None,
         )
+
+
+def test_coerce_to_long_survives_nan_and_overflow(spark):
+    """T8 under ANSI mode: NaN/Inf/overflow truncate to null, never abort."""
+    import datetime as dt
+
+    from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+    from foglamp_filter_python35_spark.operators.readings import (
+        coerce_numeric_to_long,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t, t, {"ok": 3.7, "nan": float("nan"), "big": 1e300}, {}),
+    ]
+    df = spark.createDataFrame(rows, READING_SCHEMA)
+    out = coerce_numeric_to_long(df).collect()[0]["reading"]
+    assert out["ok"] == 3.0
+    assert out["nan"] is None
+    assert out["big"] is None
+
+
+def test_add_datapoint_overwrites_existing_key(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+    from foglamp_filter_python35_spark.operators.readings import add_datapoint
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "a", t, t, {"value": 1.0, "other": 2.0}, {})], READING_SCHEMA
+    )
+    out = add_datapoint(df, "value", F.lit(99.0)).collect()[0]["reading"]
+    assert out == {"value": 99.0, "other": 2.0}
+
+
+def test_windowed_rollup_tolerates_empty_numeric_map(spark):
+    import datetime as dt
+
+    from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+    from foglamp_filter_python35_spark.streaming.pipeline import windowed_rollup
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t, t, {"value": 5.0}, {}),
+        (2, "a", t, t, {}, {"note": "string-only reading"}),
+    ]
+    df = spark.createDataFrame(rows, READING_SCHEMA)
+    got = windowed_rollup(df, window="1 hour").collect()
+    assert len(got) == 1
+    assert got[0]["n_readings"] == 2
+    assert got[0]["sum_first_dp"] == 5.0  # null from the empty map ignored

@@ -337,3 +337,20 @@ def test_reconfigure_restarts_from_checkpoint(spark, tmp_path, events_stream_dir
         assert v == raw[rid] * 1 + 1000
     for rid, v in phase1.items():
         assert v == raw[rid] * 5 + 10
+
+
+def test_stream_dedup_passes_null_ids_through(spark, events_stream_dir):
+    from foglamp_filter_python35_spark.streaming.pipeline import stream_dedup
+
+    batch = events_to_readings(
+        spark.read.parquet(events_stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    nulled = batch.withColumn(
+        "id", F.when(F.col("id") < 100, F.lit(None)).otherwise(F.col("id"))
+    )
+    out = stream_dedup(nulled.union(nulled), keys=["id"])
+    n_null_in = nulled.filter(F.col("id").isNull()).count()
+    # keyed rows dedup to one each; null-id rows pass through untouched
+    assert out.filter(F.col("id").isNull()).count() == 2 * n_null_in
+    assert out.filter(F.col("id").isNotNull()).count() == 1000 - n_null_in
