@@ -23,7 +23,13 @@ from foglamp_filter_python35_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        # informational metadata only — never abort the bench over a
+        # dataset dir that isn't named sf<number>
+        sf = float(base.removeprefix("sf")) if base.startswith("sf") else base
+    except ValueError:
+        sf = base
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -40,20 +46,26 @@ def main() -> None:
         except Exception:
             pass
 
-    times: dict[str, float] = {}
+    times: dict[str, float | None] = {}
     for spec in specs:
         # min of 2 runs: a single sample is hostage to co-tenant load
         # spikes; the minimum is the best estimate of the plan's cost
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        times[spec.name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[spec.name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            # one failing query must not discard the other timings or the
+            # JSON line the harness consumes
+            print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
+            times[spec.name] = None
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(t for t in times.values() if t is not None), 3)
     print(
         json.dumps(
             {

@@ -38,6 +38,10 @@ class FilterConfig:
         ``scale``/``offset`` (``examples/scale35.py:67-77``).
         """
         obj = json.loads(raw) if raw else {}
+        if not isinstance(obj, dict):
+            raise ValueError(
+                f"filter config must be a JSON object, got: {raw!r}"
+            )
         enable = _truthy(obj.pop("enable", False))
         return cls(name=name, enable=enable, params=obj)
 

@@ -91,4 +91,15 @@ def validate_readings(df: DataFrame) -> DataFrame:
     missing = [c for c in READING_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(f"readings DataFrame missing columns: {missing}")
-    return df.select(*READING_COLUMNS)
+    out = df.select(*READING_COLUMNS)
+    mismatched = [
+        (f.name, str(out.schema[f.name].dataType), str(f.dataType))
+        for f in READING_SCHEMA.fields
+        if out.schema[f.name].dataType != f.dataType
+    ]
+    if mismatched:
+        raise ValueError(
+            "readings DataFrame dtype mismatches (col, actual, expected): "
+            f"{mismatched}"
+        )
+    return out

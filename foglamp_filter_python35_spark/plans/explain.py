@@ -77,9 +77,11 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:
-    """HashAggregate appears in partial+final pairs (map-side combine)."""
-    plan = formatted_plan(df)
-    return plan.count("HashAggregate") >= 2
+    """HashAggregate NODES appear in partial+final pairs (map-side
+    combine).  Must count nodes — the formatted plan prints each node
+    twice (tree + detail), so a substring count is always >= 2 whenever
+    any hash aggregate exists and would pass vacuously."""
+    return node_count(df, "HashAggregate") >= 2
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
@@ -88,11 +90,23 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     return count_occurrences(df, "WholeStageCodegen")
 
 
+#: every physical node that evaluates user Python (row-at-a-time, Arrow
+#: scalar, grouped map/agg, co-grouped, arrow-native, stateful, UDTF)
+_PYTHON_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",  # also matches ...InPandasWithState
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+    "MapInArrow",  # also matches PythonMapInArrow
+    "BatchEvalPythonUDTF",
+)
+
+
 def is_fully_jvm(df: DataFrame) -> bool:
     """True when no Python-worker evaluation appears in the plan — the
     whole query runs inside the JVM (codegen-eligible)."""
     plan = formatted_plan(df)
-    return not any(
-        tok in plan
-        for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
-    )
+    return not any(tok in plan for tok in _PYTHON_NODES)

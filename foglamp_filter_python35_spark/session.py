@@ -19,7 +19,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# NOTE: read inside get_spark, not at import time — the master URL and
+# shuffle sizing must agree even when the env var is set after import
+def _default_shuffle_partitions() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(
@@ -41,7 +44,7 @@ def get_spark(
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
 
-    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    n_shuffle = shuffle_partitions or _default_shuffle_partitions()
     conf = {
         # --- correctness across engines ---
         "spark.sql.session.timeZone": "UTC",
@@ -72,14 +75,19 @@ def get_spark(
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
-    """Load every driver table in ``sf_dir`` as a dict of DataFrames."""
+    """Load every driver table in ``sf_dir`` as a dict of DataFrames.
+
+    Delegates to ``catalog.load`` so nano-timestamp rebuilding happens
+    exactly once, in one place — a raw ``spark.read.parquet`` here would
+    hand back nano longs for events/lineitem/orders time columns."""
+    from foglamp_filter_python35_spark.catalog import load  # noqa: PLC0415
+
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    out = {}
-    for n in names:
-        path = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(path):
-            out[n] = spark.read.parquet(path)
-    return out
+    return {
+        n: load(spark, sf_dir, n)
+        for n in names
+        if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    }
