@@ -89,6 +89,71 @@ ORDER BY score DESC, a.vec_id
 LIMIT {_K}
 """
 
+# --- X3b: random-hyperplane LSH near-dups (the LSH-bucketed scale path;
+# IVF is the other).  The SAME deterministic plane literals are embedded
+# in the Spark plan and the oracle SQL, so buckets, candidates, and
+# verified pairs agree exactly. ---
+
+_LSH_PLANES = 16
+_LSH_BITS = 4
+_LSH_DIM = 64
+_LSH_THRESHOLD = 0.4
+
+
+def q_embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.rp_lsh_near_dups(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        n_planes=_LSH_PLANES,
+        bits_per_band=_LSH_BITS,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_oracle() -> str:
+    planes = S.random_hyperplanes(_LSH_PLANES, _LSH_DIM)
+    n_bands = _LSH_PLANES // _LSH_BITS
+
+    def band_expr(b: int) -> str:
+        terms = []
+        for i in range(_LSH_BITS):
+            lit = "[" + ", ".join(repr(x) for x in planes[b * _LSH_BITS + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+                f"{lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, {band_expr(b)} AS band_val"
+        f" FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       list_inner_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])))
+          * sqrt(list_inner_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[]))))
+         AS score
+FROM cand
+WHERE list_inner_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])))
+          * sqrt(list_inner_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[]))))
+      >= {_LSH_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 _N_QUERIES = 8
 
 
@@ -135,4 +200,5 @@ SPECS = [
     QuerySpec(
         "embedding_knn_join", q_embedding_knn_join, O_EMBEDDING_KNN_JOIN
     ),
+    QuerySpec("embedding_lsh_dup", q_embedding_lsh_dup, _lsh_oracle()),
 ]

@@ -96,6 +96,106 @@ def knn_join(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42):
+    """Deterministic random hyperplanes for sign-LSH, as plain Python
+    lists — embedded as literals into BOTH the Spark plan and the DuckDB
+    oracle so the bucketing is engine-identical.  (A fixed seed, not
+    runtime randomness: reproducibility is part of the operator
+    contract.)"""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def rp_lsh_sketch(
+    vec: Column, planes: list[list[float]], bits_per_band: int
+) -> Column:
+    """Sign-LSH band values: one integer per band, bit i = sign of the
+    dot product with plane (band*bits+i).  All JVM-side arithmetic."""
+    n_bands = len(planes) // bits_per_band
+    bands = []
+    for b in range(n_bands):
+        val: Column | None = None
+        for i in range(bits_per_band):
+            plane = planes[b * bits_per_band + i]
+            d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+            bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+            term = bit * F.lit(1 << i)
+            val = term if val is None else val + term
+        bands.append(val.alias(f"band{b}"))
+    return F.array(*bands)
+
+
+def rp_lsh_near_dups(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by random-hyperplane LSH + exact cosine
+    verify — the LSH-bucketed alternative to IVF pruning.
+
+    Vectors agreeing on ANY band (bits_per_band sign bits) become
+    candidates via a band-bucket equi-join (linear in bucket volume, the
+    same shape as MinHash banding); exact cosine then filters to
+    >= threshold.  Precision is exact; recall is tuned by
+    n_planes/bits_per_band.  The all-pairs product is never formed.
+    """
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = random_hyperplanes(n_planes, dim, seed)
+    n_bands = n_planes // bits_per_band
+    sk = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_lsh_sketch(F.col(vec_col), planes, bits_per_band).alias("bands"),
+    )
+    banded = sk.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col("bands")[b].alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, vec_col, "band.band_id", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

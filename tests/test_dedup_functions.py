@@ -122,3 +122,25 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     rows = {r.vec_id: r.score for r in brute_force_topk(emb, qv, 3).collect()}
     assert rows[1] is None  # degenerate vector excluded, job survives
     assert rows[0] == 1.0
+
+
+def test_rp_lsh_pairs_subset_of_brute_force_with_equal_scores(spark, sf_correct):
+    from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.functions.similarity import (
+        cosine_pairs,
+        rp_lsh_near_dups,
+    )
+
+    emb = load(spark, sf_correct, "embeddings")
+    thr = 0.4
+    lsh = {
+        (r.id_a, r.id_b): r.score
+        for r in rp_lsh_near_dups(emb, threshold=thr).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_pairs(emb, thr).collect()
+    }
+    assert len(lsh) > 0  # the operator finds real pairs on this corpus
+    for pair, s in lsh.items():
+        assert pair in exact and s == exact[pair]
