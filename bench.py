@@ -4,6 +4,14 @@
 
 Each query is fully materialized through the ``noop`` sink (all work, no
 collect/serialize cost on the driver).
+
+Besides the per-query wall times, the JSON carries a throughput section
+comparing the engine's T9 python-filter path against a faithful pure-
+Python simulation of the reference's hot loop (marshal ReadingSet ->
+list-of-dicts -> call filter fn -> validate/rebuild, single-threaded
+behind one interpreter — plugin.cpp:255-310, python35_filter.cpp:35-258)
+on the SAME rows with the SAME transform: the matches-or-beats evidence
+the reference itself never published numbers for.
 """
 
 from __future__ import annotations
@@ -19,6 +27,97 @@ if _REPO_ROOT not in sys.path:
 
 from foglamp_filter_python35_spark.catalog import all_queries  # noqa: E402
 from foglamp_filter_python35_spark.session import get_spark  # noqa: E402
+
+
+def _scale_fn(readings):
+    """The reference's canonical transform (examples/scale35.py:110-121):
+    value * scale + offset over every numeric datapoint."""
+    for r in readings:
+        new = {}
+        for k, v in r["reading"].items():
+            new[k] = v * 5.0 + 10.0 if isinstance(v, (int, float)) else v
+        r["reading"] = new
+    return readings
+
+
+def _python_filter_throughput(spark, sf_dir: str) -> dict:
+    """rows/sec of the T9 engine path vs the simulated reference loop.
+
+    Reference simulation: one Python interpreter walks list-of-dicts
+    batches sequentially (its marshal in python35_filter.cpp:35-119
+    builds the list; execution is one GIL-serialized call per batch,
+    plugin.cpp:262-287).  The dict-building cost IS the reference's
+    marshal cost, so it is included on both sides; batch size mirrors the
+    engine's Arrow batch setting.
+    """
+    import time  # noqa: PLC0415
+
+    from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.config import FilterConfig
+    from foglamp_filter_python35_spark.datamodel import events_to_readings
+    from foglamp_filter_python35_spark.operators.python_filter import (
+        run_python_filter,
+    )
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    base = events_to_readings(load(spark, sf_dir, "events"))
+    out: dict[str, dict] = {}
+    for label, mult in (("1x", 1), ("10x", 10)):
+        readings = base
+        if mult > 1:
+            readings = base.crossJoin(
+                spark.range(mult).select(F.col("id").alias("_rep"))
+            ).drop("_rep")
+        # materialize BEFORE timing so both sides measure the same work —
+        # wire-marshal + filter fn + validate/rebuild — not the parquet
+        # scan and JSON parsing that only the engine side would pay
+        readings = readings.persist()
+        n = readings.count()
+
+        # --- engine path: Arrow-batched mapInPandas, executor-parallel ---
+        best_engine = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_python_filter(
+                readings, _scale_fn, FilterConfig(enable=True)
+            ).write.format("noop").mode("overwrite").save()
+            best_engine = min(best_engine, time.perf_counter() - t0)
+
+        # --- simulated reference: single-threaded list-of-dicts loop ---
+        rows = readings.collect()
+        readings.unpersist()
+        batch = 10000  # == spark.sql.execution.arrow.maxRecordsPerBatch
+        t0 = time.perf_counter()
+        kept = []
+        for start in range(0, len(rows), batch):
+            wire = [
+                {
+                    "asset_code": r["asset_code"],
+                    "reading": dict(r["reading"]),
+                    "id": r["id"],
+                    "ts": r["ts"],
+                    "user_ts": r["user_ts"],
+                }
+                for r in rows[start : start + batch]
+            ]
+            result = _scale_fn(wire)
+            # marshal-in: validate + rebuild (python35_filter.cpp:132-258)
+            kept.extend(
+                {**r, "reading": dict(r["reading"])}
+                for r in result
+                if r["reading"]
+            )
+        ref_secs = time.perf_counter() - t0
+        del rows, kept
+
+        out[label] = {
+            "rows": n,
+            "engine_rows_per_sec": round(n / best_engine),
+            "reference_sim_rows_per_sec": round(n / ref_secs),
+            "speedup": round((n / best_engine) / (n / ref_secs), 2),
+        }
+    return out
 
 
 def main() -> None:
@@ -65,6 +164,8 @@ def main() -> None:
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
             times[spec.name] = None
 
+    throughput = _python_filter_throughput(spark, sf_dir)
+
     total = round(sum(t for t in times.values() if t is not None), 3)
     print(
         json.dumps(
@@ -73,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "python_filter_throughput": throughput,
                 "sf": sf,
             }
         )
