@@ -162,14 +162,71 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
-# --- X2c: SimHash near-dups.  Bit-twiddling (conv/shift/bit_count) has no
-# clean DuckDB twin, so the driver records the weaker rows-only check; the
-# pair set is cross-validated against MinHash results in tests/. ---
+# --- X2c: SimHash near-dups, oracle-checked.  The full bit pipeline has
+# DuckDB twins: hex->bigint via CAST('0x'||...), shifts/masks, xor +
+# bit_count for hamming — so signatures, bands, candidates, and distances
+# agree exactly. ---
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    bits = D.SIMHASH_BITS
+    n_bands = 4
+    bpb = bits // n_bands
+    max_hamming = 3
+    bit_sums = ",\n         ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})"
+        for j in range(bits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * bpb}) & {(1 << bpb) - 1} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {sig_terms} AS simhash FROM bitsums
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 SPECS = [
@@ -179,5 +236,5 @@ SPECS = [
         headline=True,
     ),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
-    QuerySpec("simhash_dedup", q_simhash_dedup, None),
+    QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
 ]
