@@ -1,6 +1,10 @@
-"""X5 multimodal queries: metadata oracle-checked; pseudo-decode feature
-extraction rows-only (the decode is a deterministic stub — real codecs
-are unavailable here; the Spark plumbing is real)."""
+"""X5 multimodal queries, all oracle-checked.
+
+The decode is a deterministic stub (real codecs are unavailable here;
+the Spark plumbing — Arrow batching, schema, fan-out — is real), and the
+stub derives its 'media properties' from md5 digest bytes, which DuckDB
+reproduces exactly (byte k of the digest == hex chars 2k+1..2k+2), so
+even the mapInPandas feature extractor gets the full hash-match gate."""
 
 from __future__ import annotations
 
@@ -38,7 +42,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(docs).orderBy("doc_id")
 
 
+def _byte(k: int) -> str:
+    """DuckDB expression for byte k of md5(text)'s digest."""
+    return f"CAST('0x' || substring(md5(text), {2 * k + 1}, 2) AS INTEGER)"
+
+
+O_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(64 + {_byte(0)} % 64 AS INTEGER) AS width,
+       CAST(64 + {_byte(1)} % 64 AS INTEGER) AS height,
+       CAST(1 + {_byte(2)} % 8 AS INTEGER) AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
+
 SPECS = [
     QuerySpec("multimodal_meta", q_multimodal_meta, O_MULTIMODAL_META),
-    QuerySpec("multimodal_features", q_multimodal_features, None),
+    QuerySpec(
+        "multimodal_features", q_multimodal_features, O_MULTIMODAL_FEATURES
+    ),
 ]
