@@ -614,6 +614,140 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# ---------------------------------------------------------------------------
+# shipping_priority — TPC-H Q3 shape: 3-way join, filter both fact sides,
+# group + top-10 by revenue.  Both date filters push to their scans; the
+# top-10 is TakeOrdered (no global sort).
+# ---------------------------------------------------------------------------
+
+_Q3_DATE = "1998-01-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate,
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '{_Q3_DATE}'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# forecast_revenue — TPC-H Q6 shape: pure scan + 3 pushed predicates + one
+# global sum.  The "is the scan actually pruned" microbenchmark.
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_FORECAST_REVENUE = f"""
+SELECT {o_dsum("l_extendedprice * l_discount", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+# ---------------------------------------------------------------------------
+# event_funnel — signup -> purchase conversion per user: the canonical
+# event-analytics shape.  One window pass finds each user's first signup;
+# a conditional aggregate counts who purchased after it.  At scale: one
+# shuffle on user_id, then a tiny global rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    converted = (
+        first_signup.join(purchases, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("purchase_ts") >= F.col("signup_ts"), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+
+
+O_EVENT_FUNNEL = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         MAX(CASE WHEN p.ts >= f.signup_ts THEN 1 ELSE 0 END) AS converted
+  FROM first_signup f
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = f.user_id
+  GROUP BY f.user_id
+)
+SELECT COUNT(*) AS n_signup_users,
+       SUM(converted) AS n_converted
+FROM conv
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -642,4 +776,7 @@ SPECS = [
     QuerySpec(
         "skewed_asset_rollup", q_skewed_asset_rollup, O_SKEWED_ASSET_ROLLUP
     ),
+    QuerySpec("shipping_priority", q_shipping_priority, O_SHIPPING_PRIORITY),
+    QuerySpec("forecast_revenue", q_forecast_revenue, O_FORECAST_REVENUE),
+    QuerySpec("event_funnel", q_event_funnel, O_EVENT_FUNNEL),
 ]

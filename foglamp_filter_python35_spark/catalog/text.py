@@ -117,6 +117,41 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- corpus bigram frequencies: explode 2-grams, count, top 20.  The
+# n-gram language-model building block (explode is map-side; the count is
+# one partial+final hash agg; top-k is TakeOrdered).
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.dedup import word_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("_ts"))
+    grams = toks.select(
+        F.explode(word_ngrams(F.col("_ts"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+O_BIGRAM_TOPK = """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT unnest(list_distinct(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1]))) AS bigram
+  FROM toks WHERE len(ts) >= 2
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM grams
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 20
+"""
+
 # --- tf-idf top terms: two hash aggregates + windowed top-k.  Ranking is
 # (tf desc, df asc, term asc) on exact integers — the ordering float idf
 # induces, minus the float (see functions.text.top_terms docstring).
@@ -153,4 +188,5 @@ SPECS = [
     QuerySpec("token_count_total", q_token_count_total, O_TOKEN_COUNT_TOTAL, headline=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, O_DOC_FINGERPRINT),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
+    QuerySpec("bigram_topk", q_bigram_topk, O_BIGRAM_TOPK),
 ]
