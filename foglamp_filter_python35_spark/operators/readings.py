@@ -210,3 +210,69 @@ _reg("project_datapoints", lambda df, cfg: project_datapoints(
 _reg("coerce_numeric_to_long", lambda df, cfg: coerce_numeric_to_long(df))
 _reg("regenerate_metadata", lambda df, cfg: regenerate_metadata(df))
 _reg("identity", lambda df, cfg: df)
+
+
+# --- signal-family stages over the readings schema.  They run inside
+# foreachBatch (a batch context), so window/lag semantics are PER
+# MICRO-BATCH — exactly the reference's per-ReadingSet filter scope
+# (each plugin_ingest call sees one batch, plugin.cpp:226-352);
+# cross-batch state belongs to T10 (applyInPandasWithState). ---
+
+
+def _signal_stage(df: DataFrame, run) -> DataFrame:
+    """Lift a flat-column signal operator to the readings schema: expose
+    reading['value'] as a column, run, restore the envelope."""
+    cols = df.columns
+    flat = df.withColumn("_v", F.col("reading")["value"])
+    return run(flat).select(*cols)
+
+
+def _deadband_stage(df: DataFrame, cfg) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.signal import deadband
+
+    return _signal_stage(
+        df,
+        lambda flat: deadband(
+            flat,
+            "_v",
+            "asset_code",
+            ["user_ts", "id"],
+            float(cfg.get("tolerance", 10.0)),
+        ),
+    )
+
+
+def _change_detect_stage(df: DataFrame, cfg) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.signal import change_detect
+
+    return _signal_stage(
+        df,
+        lambda flat: change_detect(
+            flat,
+            "_v",
+            ["asset_code"],
+            ["user_ts", "id"],
+            float(cfg.get("threshold", 10.0)),
+        ),
+    )
+
+
+def _threshold_alarm_stage(df: DataFrame, cfg) -> DataFrame:
+    """Keep only out-of-band readings and tag the violated bound as a
+    string datapoint (reading_str['alarm'])."""
+    lo = float(cfg.get("lo", 0.0))
+    hi = float(cfg.get("hi", 100.0))
+    v = F.col("reading")["value"]
+    tag = F.when(v < F.lit(lo), F.lit("low")).otherwise(F.lit("high"))
+    return df.filter((v < F.lit(lo)) | (v > F.lit(hi))).withColumn(
+        "reading_str",
+        F.map_concat(
+            F.map_filter(F.col("reading_str"), lambda k, _v: k != F.lit("alarm")),
+            F.map_from_arrays(F.array(F.lit("alarm")), F.array(tag)),
+        ),
+    )
+
+
+_reg("deadband", _deadband_stage)
+_reg("change_detect", _change_detect_stage)
+_reg("threshold_alarm", _threshold_alarm_stage)

@@ -354,3 +354,32 @@ def test_stream_dedup_passes_null_ids_through(spark, events_stream_dir):
     # keyed rows dedup to one each; null-id rows pass through untouched
     assert out.filter(F.col("id").isNull()).count() == 2 * n_null_in
     assert out.filter(F.col("id").isNotNull()).count() == 1000 - n_null_in
+
+
+def test_signal_stages_in_micro_batch_pipeline(spark, events_stream_dir, tmp_path):
+    """Signal-family stages compose into the S1->S2 pipeline like any
+    reference filter: deadband suppresses within each micro-batch, the
+    alarm stage tags out-of-band survivors."""
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [
+        REGISTRY.stage(
+            "deadband",
+            FilterConfig("deadband", enable=True, params={"tolerance": 50.0}),
+        ),
+        REGISTRY.stage(
+            "threshold_alarm",
+            FilterConfig("threshold_alarm", enable=True,
+                         params={"lo": 1.0, "hi": 400.0}),
+        ),
+    ]
+    got = []
+    q = run_micro_batch_pipeline(
+        readings, stages, lambda df, _e: got.extend(df.collect()),
+        str(tmp_path / "ckpt_sig"),
+    )
+    _run_to_completion(q)
+    assert len(got) > 0
+    for r in got:
+        v = r["reading"]["value"]
+        assert v < 1.0 or v > 400.0
+        assert r["reading_str"]["alarm"] in ("low", "high")
