@@ -748,6 +748,55 @@ SELECT COUNT(*) AS n_signup_users,
 FROM conv
 """
 
+# ---------------------------------------------------------------------------
+# top_suppliers — TPC-H Q15 shape: per-supplier revenue over a shipdate
+# range, enriched with broadcast supplier+nation dims, top 5.  The fact
+# side aggregates BEFORE the dim joins, so the join input is one row per
+# supplier, not one per lineitem.
+# ---------------------------------------------------------------------------
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(revenue, "total_revenue"))
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "total_revenue")
+        .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
+        .limit(5)
+    )
+
+
+O_TOP_SUPPLIERS = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         {o_dsum("l_extendedprice * (1.0 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, total_revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+ORDER BY total_revenue DESC, s_suppkey
+LIMIT 5
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -779,4 +828,5 @@ SPECS = [
     QuerySpec("shipping_priority", q_shipping_priority, O_SHIPPING_PRIORITY),
     QuerySpec("forecast_revenue", q_forecast_revenue, O_FORECAST_REVENUE),
     QuerySpec("event_funnel", q_event_funnel, O_EVENT_FUNNEL),
+    QuerySpec("top_suppliers", q_top_suppliers, O_TOP_SUPPLIERS),
 ]
