@@ -71,3 +71,72 @@ def apply_pipeline(df: DataFrame, stages: list[Stage]) -> DataFrame:
 
 #: Default engine registry, populated by the operator modules on import.
 REGISTRY = TransformRegistry()
+
+
+# ---------------------------------------------------------------------------
+# C2 — user-script loading with the reference's naming convention.
+# The reference imports a module named after the script file and resolves
+# a filter method whose name equals the script name, where a leading
+# "<anything>_script_" prefix is stripped first (python35_filter.cpp:
+# 447-476: "xxx_script_myfilter.py" -> method "myfilter"); the loaded
+# callable takes/returns the list-of-dicts wire shape, and an optional
+# module-level set_filter_config receives {"config": <json>} and must
+# return True before data flows (python35_filter.cpp:564-615).
+# ---------------------------------------------------------------------------
+
+
+def script_method_name(script_path: str) -> str:
+    """Method name derived from the script file name (reference rule)."""
+    import os  # noqa: PLC0415
+
+    stem = os.path.basename(script_path)
+    if stem.endswith(".py"):
+        stem = stem[:-3]
+    marker = "_script_"
+    if marker in stem:
+        stem = stem.split(marker, 1)[1]
+    return stem
+
+
+def load_filter_script(
+    script_path: str,
+    registry: TransformRegistry | None = None,
+) -> str:
+    """Import a user filter script and register it as a T9 stage.
+
+    Returns the registered transform name (== the resolved method name).
+    Missing file or a method that is absent/not callable aborts
+    registration with a clear error — the analog of plugin_init
+    returning NULL (plugin.cpp:213-214).
+    """
+    import importlib.util  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    reg = registry or REGISTRY
+    if not os.path.exists(script_path):
+        raise FileNotFoundError(f"filter script not found: {script_path}")
+    method = script_method_name(script_path)
+    spec = importlib.util.spec_from_file_location(
+        f"_filter_script_{method}", script_path
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    fn = getattr(module, method, None)
+    if not callable(fn):
+        raise AttributeError(
+            f"script {script_path!r} does not define a callable "
+            f"{method!r} (reference naming rule: python35_filter.cpp:449-476)"
+        )
+    set_cfg = getattr(module, "set_filter_config", None)
+
+    def stage_fn(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+        from foglamp_filter_python35_spark.operators.python_filter import (  # noqa: PLC0415
+            run_python_filter,
+        )
+
+        return run_python_filter(
+            df, fn, cfg, set_filter_config=set_cfg
+        )
+
+    reg.register(method, stage_fn)
+    return method
