@@ -79,12 +79,16 @@ class AssetTracker:
         }
 
 
-def observe_readings(df: DataFrame, name: str) -> DataFrame:
+def observe_readings(df: DataFrame, observation) -> DataFrame:
     """Attach zero-cost lineage metrics (row count + distinct assets) to a
-    readings plan; read them from StreamingQueryProgress.observedMetrics
-    or QueryExecutionListener in batch."""
+    readings plan.
+
+    ``observation`` is either a string name (streaming: read the metrics
+    from ``StreamingQueryProgress.observedMetrics[name]``) or a
+    ``pyspark.sql.Observation`` (batch: read ``observation.get`` after
+    the first action)."""
     return df.observe(
-        name,
+        observation,
         F.count(F.lit(1)).alias("n_readings"),
         F.approx_count_distinct("asset_code").alias("n_assets"),
     )

@@ -34,6 +34,9 @@ def test_frame_sampling_fans_out(spark, sf_smoke):
     for r in frames:
         by_doc.setdefault(r.doc_id, []).append(r)
     raw = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    # every input doc must fan out — a doc silently dropped by the kernel
+    # would otherwise never be iterated below
+    assert set(by_doc) == set(raw)
     for doc_id, fr in by_doc.items():
         n = M.pseudo_decode(raw[doc_id].encode())["n_frames"]
         assert sorted(r.frame_idx for r in fr) == list(range(n))

@@ -159,18 +159,28 @@ def test_row_count_can_grow(spark):
 
 
 def test_compat_bytes_wire(spark):
-    seen = {}
-
     def probe(readings):
-        seen["first"] = readings[0]
+        # encode the evidence INTO the data — worker-side closures never
+        # reach the driver, so a side-channel dict cannot assert anything
+        for r in readings:
+            r["reading"] = {
+                b"asset_was_bytes": 1.0 if isinstance(r["asset_code"], bytes) else 0.0,
+                b"keys_were_bytes": 1.0
+                if all(isinstance(k, bytes) for k in r["reading"])
+                else 0.0,
+            }
         return readings
 
     df = make_readings(spark, base_rows()).coalesce(1)
     out = run_python_filter(
         df, probe, FilterConfig(enable=True), compat_bytes=True
-    )
-    out.collect()
-    # the runner executes on workers; probe into a fresh run instead
+    ).collect()
+    assert out  # probe returned valid wire, so no fallback fired
+    for r in out:
+        assert r["reading"]["asset_was_bytes"] == 1.0
+        assert r["reading"]["keys_were_bytes"] == 1.0
+
+    # and the codec itself round-trips bytes keys/values
     pdf = df.limit(1).toPandas()
     from foglamp_filter_python35_spark.operators.python_filter import _to_wire
 
