@@ -797,6 +797,89 @@ ORDER BY total_revenue DESC, s_suppkey
 LIMIT 5
 """
 
+# ---------------------------------------------------------------------------
+# returned_items — TPC-H Q10 shape: customers ranked by revenue lost to
+# returns in a quarter.  Fact filter pushes to both scans; the customer
+# dim joins AFTER the per-customer aggregate (one row per customer).
+# ---------------------------------------------------------------------------
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(dsum(revenue, "lost_revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+O_RETURNED_ITEMS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         {o_dsum("l_extendedprice * (1.0 - l_discount)", "lost_revenue")}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment, lost_revenue
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# priority_by_linestatus — TPC-H Q12 shape: conditional aggregation
+# (CASE-WHEN counts inside one hash agg) after a fact-fact join.
+# ---------------------------------------------------------------------------
+
+
+def q_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+O_PRIORITY_BY_LINESTATUS = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -829,4 +912,10 @@ SPECS = [
     QuerySpec("forecast_revenue", q_forecast_revenue, O_FORECAST_REVENUE),
     QuerySpec("event_funnel", q_event_funnel, O_EVENT_FUNNEL),
     QuerySpec("top_suppliers", q_top_suppliers, O_TOP_SUPPLIERS),
+    QuerySpec("returned_items", q_returned_items, O_RETURNED_ITEMS),
+    QuerySpec(
+        "priority_by_linestatus",
+        q_priority_by_linestatus,
+        O_PRIORITY_BY_LINESTATUS,
+    ),
 ]
