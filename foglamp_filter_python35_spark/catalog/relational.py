@@ -744,7 +744,7 @@ conv AS (
   GROUP BY f.user_id
 )
 SELECT COUNT(*) AS n_signup_users,
-       SUM(converted) AS n_converted
+       CAST(SUM(converted) AS BIGINT) AS n_converted
 FROM conv
 """
 
@@ -871,10 +871,10 @@ def q_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PRIORITY_BY_LINESTATUS = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 ORDER BY l_linestatus

@@ -51,6 +51,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare_spark_vs_oracle(spark, fn, sql: str, sf_dir: str) -> None:
     got = _canon(fn(spark, sf_dir).toPandas())
     con = duckdb_conn(sf_dir)
@@ -64,6 +76,16 @@ def compare_spark_vs_oracle(spark, fn, sql: str, sf_dir: str) -> None:
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        gk, wk = _dtype_class(g), _dtype_class(w)
+        # The driver hashes stringified values, so an int64-vs-float64 split
+        # (e.g. DuckDB HUGEINT from a bare integer SUM -> float64) diverges
+        # there even when values are numerically identical.  Fail loudly here
+        # instead of silently coercing both sides to float.
+        assert gk == wk, (
+            f"dtype class mismatch in column {c!r}: spark={g.dtype} ({gk}) "
+            f"oracle={w.dtype} ({wk}) — the driver's stringified hash would "
+            f"diverge; align the oracle's type (e.g. CAST(SUM(..) AS BIGINT))"
+        )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ga = g.astype("float64").to_numpy()
             wa = w.astype("float64").to_numpy()
