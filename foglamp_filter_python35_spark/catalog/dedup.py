@@ -141,9 +141,15 @@ sh AS (
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
   FROM toks WHERE len(ts) >= 3
 ),
+rare AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {D.NGRAM_MAX_DF}) dfreq USING (shingle)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (

@@ -45,13 +45,36 @@ LIMIT {_K}
 
 
 def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector near-dups via IVF-cell pruning + exact cosine verify.  The
+    all-pairs theta join (``S.cosine_pairs``) is test-only ground truth —
+    never a catalog plan; candidates here come from an equi-join on the
+    coarse-quantizer cell id."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(emb, _DUP_THRESHOLD).orderBy("id_a", "id_b")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return S.ivf_cell_pairs(emb, centroids, _DUP_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
 
 
 O_EMBEDDING_COSINE_DUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assign AS (
+  SELECT a.vec_id, b.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+  FROM embeddings a CROSS JOIN cents b
+),
+a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+cells AS (
+  SELECT e.vec_id, e.embedding, a1.cid
+  FROM embeddings e JOIN a1 USING (vec_id)
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
 WHERE {_COS_SQL} >= {_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
@@ -107,6 +130,7 @@ def q_embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_LSH_THRESHOLD,
         n_planes=_LSH_PLANES,
         bits_per_band=_LSH_BITS,
+        dim=_LSH_DIM,
     ).orderBy("id_a", "id_b")
 
 

@@ -77,6 +77,63 @@ def shingles(
 MINHASH_PRIME = 1_000_000_007  # < 2^30, so h1 + 63*h2 never overflows
 
 
+def minhash_doc_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    repartition: bool = True,
+) -> DataFrame:
+    """(id, sset, s0..s{k-1}) in ONE map-only pass — zero shuffles.
+
+    The per-doc shingle SET is just the distinct n-gram array, so both
+    the signatures (array_min over Kirsch-Mitzenmacher combinations of
+    one md5 per shingle) and the exact-verify sets come from array
+    higher-order functions, never an explode + groupBy.  Signature
+    values are bit-identical to the exploded ``minhash_signatures``
+    path (asserted in tests).  Each transform stage is projected to a
+    real column first — Spark does not CSE inside lambda bodies, so an
+    inlined md5 would re-hash per derived value."""
+    p = F.lit(MINHASH_PRIME)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ts"))
+    base = base.filter(F.size("_ts") >= ngram)
+    if repartition:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        base = base.repartition(target)
+    sets = base.select(
+        F.col(id_col), word_ngrams(F.col("_ts"), ngram).alias("sset")
+    )
+    hashed = sets.select(
+        F.col(id_col),
+        "sset",
+        F.transform("sset", lambda x: F.md5(x)).alias("_md5s"),
+    ).select(
+        F.col(id_col),
+        "sset",
+        F.transform(
+            "_md5s",
+            lambda m: F.struct(
+                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias(
+                    "h1"
+                ),
+                (
+                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % p
+                ).alias("h2"),
+            ),
+        ).alias("_hs"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "_hs", lambda h: (h["h1"] + F.lit(i) * h["h2"]) % p
+            )
+        ).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), "sset", *sig_cols)
+
+
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """k min-hashes per doc in ONE hash aggregate (partial+final).
 
@@ -222,36 +279,87 @@ def minhash_lsh_near_dups(
     num_hashes: int = 12,
     rows_per_band: int = 2,
     threshold: float = 0.8,
-    persist_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-duplicate pipeline with exact verify.
 
-    The shingle table feeds four consumers (signatures, two sides of the
-    common-shingle join, set sizes); without a materialization point Spark
-    re-explodes the corpus per consumer.  ``persist_shingles`` caches it
-    (MEMORY_AND_DISK, LRU-evicted) — at 100 TB this step is a checkpoint
-    to storage instead, but the dataflow is identical.
-    """
-    sh = shingles(df, id_col, text_col, ngram)
-    if persist_shingles:
-        sh = sh.persist()
-    # sigs and cands are tiny (one row per doc / per candidate pair) but
-    # feed multiple consumers — persisting them stops branch recompute of
-    # the md5-heavy signature aggregation
-    sigs = minhash_signatures(sh, id_col, num_hashes).persist()
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
-    cands = candidate_pairs(bands, id_col).persist()
-    out = exact_jaccard_broadcast(cands, sh, id_col).filter(
-        F.col("jaccard") >= threshold
+    Construction is PURE PLAN-BUILDING — no Spark job runs until the
+    caller acts on the result (asserted by
+    test_builders_launch_no_jobs_at_plan_build), and no intermediate
+    needs persist/checkpoint: signatures are MAP-SIDE per-doc array
+    folds (``minhash_doc_sets``), so the only shuffles are the band
+    bucket self-join (its exchange is identical on both sides ->
+    ReusedExchange computes it once) and the candidate distinct.  The
+    verify branch re-reads the doc-set projection, where Catalyst's
+    column pruning drops every md5/signature expression — the re-scan
+    costs a split + n-gram pass, not the hash pipeline.
+
+    At 100 TB the doc-set table (id, sset, s0..sk) is written to
+    storage once and reused across MANY pipeline runs; the per-query
+    dataflow is identical."""
+    ds = minhash_doc_sets(df, id_col, text_col, ngram, num_hashes)
+    sigs = ds.select(
+        F.col(id_col), *[F.col(f"s{i}") for i in range(num_hashes)]
     )
-    # materialize the (small) verified-pair result, then release the
-    # intermediate cache — otherwise every invocation leaks three
-    # persisted lineages into the session until LRU thrashing
-    out = out.persist()
-    out.count()
-    for cached in (sigs, cands, *((sh,) if persist_shingles else ())):
-        cached.unpersist()
-    return out
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    cands = candidate_pairs(bands, id_col)
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = ds.join(F.broadcast(ids), id_col).select(F.col(id_col), "sset")
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_common.cast("double")
+                / (F.size("set_a") + F.size("set_b") - n_common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# Candidate generation ignores shingles present in more than this many
+# documents.  A corpus-ubiquitous shingle ("in the the", boilerplate
+# headers) creates a bucket of every doc containing it — the pair join
+# over that bucket is quadratic in corpus size.  Rare shingles carry the
+# near-dup signal: at threshold 0.8 two near-dup docs share most of
+# their shingle sets, so they share rare shingles unless EVERY shared
+# shingle is corpus-common (boilerplate-only docs — not near-dups in the
+# training-data sense).  The cutoff bounds any bucket to max_df rows ->
+# max_df^2 candidate pairs, independent of corpus size.
+NGRAM_MAX_DF = 50
+
+
+def ngram_candidate_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_df: int = NGRAM_MAX_DF
+) -> DataFrame:
+    """DF-pruned prefix filtering: candidate pairs from an equality join
+    on shingles whose document frequency is <= max_df.  The DF aggregate
+    shares its shuffle key (shingle) with the pair join, so pruning costs
+    one map-side-combined count, and every join bucket is bounded."""
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    pruned = sh.join(rare, "shingle")
+    sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -260,21 +368,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.8,
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dups with prefix filtering: candidate
-    pairs come from an equality join on shingles (docs sharing none are
-    never paired), then exact verify.  The scan-heavy exact twin of the
-    MinHash pipeline — same answer, higher cost, zero probabilistic
-    machinery."""
+    """Exact n-gram-Jaccard near-dups with DF-pruned prefix filtering:
+    candidate pairs come from an equality join on RARE shingles (document
+    frequency <= max_df), then exact verify over the FULL shingle sets.
+    The scan-heavy exact twin of the MinHash pipeline.
+
+    Recall contract: a pair whose shared shingles are ALL corpus-common
+    (df > max_df) is not reported — those shingles are boilerplate, not
+    duplication signal, and including them makes the pair join quadratic
+    in corpus size."""
     sh = shingles(df, id_col, text_col, ngram)
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
-        sa.join(sb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = ngram_candidate_pairs(sh, id_col, max_df)
     return exact_jaccard(pairs, sh, id_col).filter(
         F.col("jaccard") >= threshold
     )

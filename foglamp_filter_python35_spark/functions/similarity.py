@@ -138,6 +138,7 @@ def rp_lsh_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by random-hyperplane LSH + exact cosine
     verify — the LSH-bucketed alternative to IVF pruning.
@@ -147,8 +148,13 @@ def rp_lsh_near_dups(
     same shape as MinHash banding); exact cosine then filters to
     >= threshold.  Precision is exact; recall is tuned by
     n_planes/bits_per_band.  The all-pairs product is never formed.
+
+    Pass ``dim`` (the embedding dimensionality — config, known to any
+    real corpus) so plan construction launches no Spark job; omitting it
+    falls back to probing one row, a convenience for interactive use.
     """
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     planes = random_hyperplanes(n_planes, dim, seed)
     n_bands = n_planes // bits_per_band
     sk = emb.select(
@@ -202,8 +208,12 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (exact, O(n^2) — the verify/oracle
-    path; candidate pruning for scale lives in ivf_assign/LSH)."""
+    """All-pairs cosine >= threshold — exact, O(n^2) BY CONSTRUCTION.
+
+    TEST-SCALE ORACLE ONLY: this is the ground-truth twin that pruned
+    variants (``ivf_cell_pairs``, ``rp_lsh_near_dups``) are validated
+    against in tests.  It is deliberately NOT exposed as a catalog query;
+    at corpus scale the pair join is quadratic and must never run."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -212,6 +222,43 @@ def cosine_pairs(
             "id_a",
             "id_b",
             cosine(F.col("va"), F.col("vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_cell_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs with IVF coarse-quantizer pruning +
+    exact cosine verify — the scale path for all-pairs similarity.
+
+    Vectors are assigned to their max-cosine centroid; candidate pairs
+    come from an EQUI-JOIN on the cell id (never an all-pairs theta
+    join), then exact cosine filters to >= threshold.  Precision is
+    exact; recall contract: a pair straddling a cell boundary is missed
+    — recall is tuned by the number of centroids (fewer cells = higher
+    recall, bigger buckets).  At 100 TB the assignment is a precomputed
+    stored column and the corpus is partitioned by cid, so the pair join
+    is partition-local; a jumbo cell is handled by salting the verify or
+    splitting the centroid, not by widening the join."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    cells = emb.join(assign, id_col)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cid"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cid"
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
         )
         .filter(F.col("score") >= threshold)
     )

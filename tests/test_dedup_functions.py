@@ -94,6 +94,61 @@ def test_word_ngrams_short_doc_is_empty_not_crash(spark):
     assert sorted(r.n for r in out) == [0, 1]
 
 
+def test_doc_set_signatures_match_exploded_path(spark):
+    """The map-side array-fold signatures (minhash_doc_sets) must be
+    bit-identical to the exploded groupBy path (minhash_signatures) —
+    they share the md5 + Kirsch-Mitzenmacher arithmetic, differing only
+    in physical shape (zero shuffles vs explode + hash-agg)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w"), (4, "q w")],
+        "doc_id long, text string",
+    )
+    k = 6
+    exploded = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(k))
+        for r in D.minhash_signatures(D.shingles(docs), "doc_id", k).collect()
+    }
+    mapside = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(k))
+        for r in D.minhash_doc_sets(docs, num_hashes=k).collect()
+    }
+    assert exploded == mapside and 4 not in mapside  # too-short doc dropped
+    # and the doc-set column equals the distinct shingle set
+    sset = {
+        r.doc_id: sorted(r.sset)
+        for r in D.minhash_doc_sets(docs, num_hashes=1).collect()
+    }
+    sh = D.shingles(docs).collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, []).append(r.shingle)
+    assert sset == {d: sorted(v) for d, v in by_doc.items()}
+
+
+def test_ngram_candidates_bounded_under_ubiquitous_shingle(spark):
+    """One corpus-common shingle must not pair every doc with every other
+    doc: with the DF cutoff, candidates come only from rare shingles, so
+    a hot shingle contributes zero pairs instead of O(n^2)."""
+    n = 40
+    # every doc contains the hot shingle "spam spam spam"; docs 0/1 are
+    # near-dups sharing rare content, everything else is unique
+    rows = [(0, "spam spam spam alpha beta gamma delta one"),
+            (1, "spam spam spam alpha beta gamma delta two")]
+    rows += [
+        (i, f"spam spam spam uniq{i}a uniq{i}b uniq{i}c uniq{i}d")
+        for i in range(2, n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingles(docs)
+    cands = D.ngram_candidate_pairs(sh, "doc_id", max_df=10).collect()
+    got = {(r.id_a, r.id_b) for r in cands}
+    # without the cutoff the hot shingle alone yields n*(n-1)/2 = 780 pairs
+    assert got == {(0, 1)}
+    # the full pipeline still verifies the surviving pair exactly
+    dups = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    assert {(r.id_a, r.id_b) for r in dups} == {(0, 1)}
+
+
 def test_lsh_bands_rejects_ragged_banding(spark):
     from foglamp_filter_python35_spark.functions.dedup import (
         lsh_bands,
@@ -144,3 +199,66 @@ def test_rp_lsh_pairs_subset_of_brute_force_with_equal_scores(spark, sf_correct)
     assert len(lsh) > 0  # the operator finds real pairs on this corpus
     for pair, s in lsh.items():
         assert pair in exact and s == exact[pair]
+
+
+def test_ivf_cell_pairs_subset_of_brute_force_with_equal_scores(
+    spark, sf_correct
+):
+    """The IVF-pruned near-dup query (the catalog's embedding_cosine_dup
+    plan) returns a subset of the all-pairs ground truth, with identical
+    scores — pruning may cost recall, never precision."""
+    from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.functions.similarity import (
+        cosine_pairs,
+        ivf_cell_pairs,
+    )
+
+    emb = load(spark, sf_correct, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    thr = 0.4
+    pruned = {
+        (r.id_a, r.id_b): r.score
+        for r in ivf_cell_pairs(emb, centroids, thr).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.score for r in cosine_pairs(emb, thr).collect()
+    }
+    assert len(pruned) > 0
+    for pair, s in pruned.items():
+        assert pair in exact and s == exact[pair]
+
+
+def test_builders_launch_no_jobs_at_plan_build(spark):
+    """Query builders are pure plan construction: no Spark job may run
+    until the caller acts.  Guards against eager count()/first() creeping
+    back into minhash / RP-LSH / IVF construction."""
+    from foglamp_filter_python35_spark.functions.similarity import (
+        ivf_cell_pairs,
+        rp_lsh_near_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = emb.limit(2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build-probe", "builders must not launch jobs")
+    try:
+        D.minhash_lsh_near_dups(docs)
+        D.ngram_jaccard_pairs(docs)
+        D.simhash_near_dups(docs)
+        rp_lsh_near_dups(emb, threshold=0.5, dim=3)
+        ivf_cell_pairs(emb, cents, 0.5)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan construction launched Spark jobs: {jobs}"

@@ -154,3 +154,23 @@ def test_deadband_shuffles_once_by_asset(spark):
     # or shuffle after the grouped map
     assert E.node_count(df, "FlatMapGroupsInPandas") == 1
     assert E.shuffle_count(df) == 1
+
+
+def test_embedding_cosine_dup_pair_join_is_pruned_equi(spark):
+    """The near-dup catalog query must never form the all-pairs theta
+    join: pair generation is an equi-join on the IVF cell id.  The only
+    nested-loop joins allowed are the bounded 8-row centroid-quantizer
+    broadcasts (one per self-join side)."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_embedding_cosine_dup,
+    )
+
+    df = q_embedding_cosine_dup(spark, SF)
+    assert E.node_count(df, "CartesianProduct") == 0
+    equi = (
+        E.node_count(df, "SortMergeJoin")
+        + E.node_count(df, "ShuffledHashJoin")
+        + E.node_count(df, "BroadcastHashJoin")
+    )
+    assert equi >= 1  # the cid pair join (+ emb-assign joins)
+    assert E.node_count(df, "BroadcastNestedLoopJoin") <= 2

@@ -210,9 +210,7 @@ def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, texts):
     thr = 0.5
     lsh = {
         (r.id_a, r.id_b): r.jaccard
-        for r in D.minhash_lsh_near_dups(
-            docs, threshold=thr, persist_shingles=False
-        ).collect()
+        for r in D.minhash_lsh_near_dups(docs, threshold=thr).collect()
     }
     exact = {
         (r.id_a, r.id_b): r.jaccard
