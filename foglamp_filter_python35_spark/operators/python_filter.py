@@ -18,9 +18,15 @@ This module reproduces that contract on Spark:
   with ``compat_bytes=True`` reproducing the reference's bytes keys /
   bytes string-values exactly (``python35_filter.cpp:73-87``);
 * the whole-batch contract: any exception from the user function, a
-  non-list result, or any disallowed datapoint type (anything but
-  int/float/str/bytes — ``python35_filter.cpp:197-203``) rejects the
-  WHOLE batch and passes the input through unmodified
+  non-list result, or any disallowed datapoint type rejects the
+  WHOLE batch and passes the input through unmodified.  The reference
+  accepts only int/float/bytes (``python35_filter.cpp:185-203`` has a
+  PyBytes_Check but no unicode branch); this engine ADDITIONALLY accepts
+  ``str`` — a deliberate divergence (like the unsigned-mask note in
+  datamodel.py): Python-3 user code naturally returns str, and rejecting
+  it would silently discard every batch from otherwise-correct filters.
+  Strict reference behavior is available via ``compat_bytes=True``,
+  whose wire hands the user bytes in and re-accepts them
   (``plugin.cpp:295-310``, ``:338-342``) — at-least-the-input delivery.
   Batch granularity here is the Arrow batch
   (``spark.sql.execution.arrow.maxRecordsPerBatch``), the Spark analog of
@@ -65,6 +71,16 @@ class BatchReject(Exception):
     """Raised when a returned batch violates the type/shape contract."""
 
 
+class FilterSetupError(ValueError):
+    """Stage CONSTRUCTION failure (set_filter_config rejected/raised) —
+    the analog of plugin_init returning NULL (plugin.cpp:213-214).
+
+    Distinct from runtime transform errors: the S3 degraded path
+    (forward the input batch) applies only to per-batch transform
+    failures; a setup failure must abort the query, or a misconfigured
+    filter silently forwards unfiltered data forever."""
+
+
 def run_python_filter(
     df: DataFrame,
     fn: FilterFn,
@@ -93,13 +109,28 @@ def run_python_filter(
 
     if set_filter_config is not None:
         # configure at plan-build time; the configured state is captured
-        # into the task closure by cloudpickle, so every executor sees it
-        ok = set_filter_config({"config": json.dumps(cfg.params)})
-        if ok is not True:
-            raise ValueError(
-                "set_filter_config did not return True; aborting pipeline "
-                "construction (reference plugin.cpp:213-214)"
-            )
+        # into the task closure by cloudpickle, so every executor sees it.
+        # Memoized per config payload: the reference configures once at
+        # plugin_init, not per ReadingSet — without this, a streaming
+        # pipeline would re-run the user callback every micro-batch.
+        payload = json.dumps(cfg.params)
+        if getattr(set_filter_config, "_configured_with", None) != payload:
+            try:
+                ok = set_filter_config({"config": payload})
+            except Exception as exc:
+                raise FilterSetupError(
+                    f"set_filter_config raised {exc!r}; aborting pipeline "
+                    "construction (reference plugin.cpp:213-214)"
+                ) from exc
+            if ok is not True:
+                raise FilterSetupError(
+                    "set_filter_config did not return True; aborting "
+                    "pipeline construction (reference plugin.cpp:213-214)"
+                )
+            try:
+                set_filter_config._configured_with = payload
+            except AttributeError:
+                pass  # non-function callable without settable attrs
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -86,16 +86,22 @@ REGISTRY = TransformRegistry()
 
 
 def script_method_name(script_path: str) -> str:
-    """Method name derived from the script file name (reference rule)."""
+    """Method name derived from the script file name (reference rule).
+
+    The method is everything after the LAST ``_script_`` marker — the
+    reference uses rfind (python35_filter.cpp:460-464), so
+    ``a_script_b_script_c.py`` resolves to ``c``.  With no marker the
+    name is EMPTY: the reference force-disables the filter rather than
+    guessing a method (python35_filter.cpp:487-493)."""
     import os  # noqa: PLC0415
 
     stem = os.path.basename(script_path)
     if stem.endswith(".py"):
         stem = stem[:-3]
     marker = "_script_"
-    if marker in stem:
-        stem = stem.split(marker, 1)[1]
-    return stem
+    if marker not in stem:
+        return ""
+    return stem.rsplit(marker, 1)[1]
 
 
 def load_filter_script(
@@ -108,6 +114,11 @@ def load_filter_script(
     Missing file or a method that is absent/not callable aborts
     registration with a clear error — the analog of plugin_init
     returning NULL (plugin.cpp:213-214).
+
+    A file name WITHOUT the ``_script_`` marker registers a disabled
+    identity stage under the file stem and never imports the module —
+    the reference force-disables the filter in this case (pass-through,
+    python35_filter.cpp:487-493) to keep reconfiguration possible.
     """
     import importlib.util  # noqa: PLC0415
     import os  # noqa: PLC0415
@@ -116,6 +127,10 @@ def load_filter_script(
     if not os.path.exists(script_path):
         raise FileNotFoundError(f"filter script not found: {script_path}")
     method = script_method_name(script_path)
+    if not method:
+        stem = os.path.basename(script_path).removesuffix(".py")
+        reg.register(stem, lambda df, cfg: df)
+        return stem
     spec = importlib.util.spec_from_file_location(
         f"_filter_script_{method}", script_path
     )

@@ -106,6 +106,10 @@ def run_micro_batch_pipeline(
     behavior: a failing transform forwards the input batch unchanged."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from foglamp_filter_python35_spark.operators.python_filter import (  # noqa: PLC0415
+            FilterSetupError,
+        )
+
         out = None
         try:
             try:
@@ -115,6 +119,11 @@ def run_micro_batch_pipeline(
                 # hit the fallback
                 out.persist()
                 out.count()
+            except FilterSetupError:
+                # misconfigured stage: fail the QUERY (plugin_init
+                # returning NULL) — falling back here would silently
+                # forward unfiltered data every micro-batch
+                raise
             except Exception:
                 # S3: error => pass the input through (plugin.cpp:295-310)
                 sink(batch_df, epoch_id)
@@ -264,7 +273,24 @@ BUFFER_OUTPUT_SCHEMA = StructType(
 BUFFER_STATE_SCHEMA = StructType([StructField("total", LongType())])
 
 
+#: event-time TTL for idle per-asset buffer state: once the watermark
+#: passes last-seen + TTL with no new readings, the asset's state is
+#: evicted.  Without this the state store grows with every asset ever
+#: seen — unbounded on a stream with churning asset ids.
+BUFFER_STATE_TTL_MS = 30 * 60 * 1000
+
+
 def _buffer_fn(key, pdfs, state: GroupState):
+    """Per-asset running count with event-time state eviction.
+
+    A timed-out invocation (watermark passed this asset's TTL and no new
+    data arrived) removes the state and emits nothing; if the asset
+    reappears later its running count restarts — the documented contract
+    (the reference's buffering never outlives FogLAMP's bounded batches,
+    plugin.cpp:113-116; an unbounded stream needs an explicit TTL)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     batch = 0
     last_ts = None
     for pdf in pdfs:
@@ -275,6 +301,11 @@ def _buffer_fn(key, pdfs, state: GroupState):
     (total,) = state.get if state.exists else (0,)
     total += batch
     state.update((total,))
+    # keep state until the watermark passes last-seen + TTL; the
+    # timestamp must exceed the current watermark or Spark rejects it
+    wm = state.getCurrentWatermarkMs()
+    last_ms = int(last_ts.timestamp() * 1000) if last_ts is not None else wm
+    state.setTimeoutTimestamp(max(last_ms, wm + 1) + BUFFER_STATE_TTL_MS)
     yield pd.DataFrame(
         {
             "asset_code": [key[0]],
@@ -285,12 +316,23 @@ def _buffer_fn(key, pdfs, state: GroupState):
     )
 
 
-def stateful_buffer_counts(readings: DataFrame) -> DataFrame:
-    """Cross-batch per-asset running counts (stateful T10)."""
-    return readings.groupBy("asset_code").applyInPandasWithState(
+def stateful_buffer_counts(
+    readings: DataFrame,
+    watermark: str = "10 minutes",
+    time_col: str = "user_ts",
+) -> DataFrame:
+    """Cross-batch per-asset running counts (stateful T10).
+
+    State is watermark-bounded: EventTimeTimeout + the TTL in
+    ``_buffer_fn`` evict assets idle past ``BUFFER_STATE_TTL_MS``, so
+    state size is O(assets active per TTL window), not O(assets ever)."""
+    df = readings
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return df.groupBy("asset_code").applyInPandasWithState(
         _buffer_fn,
         outputStructType=BUFFER_OUTPUT_SCHEMA,
         stateStructType=BUFFER_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout",
     )

@@ -20,7 +20,25 @@ from foglamp_filter_python35_spark.registry import (
 
 def test_method_name_strips_script_prefix():
     assert script_method_name("/x/y/abc123_script_myfilter.py") == "myfilter"
-    assert script_method_name("readings35.py") == "readings35"
+    # rfind semantics: the LAST marker wins (python35_filter.cpp:460)
+    assert script_method_name("a_script_b_script_c.py") == "c"
+    # no marker -> empty method -> the filter is force-disabled
+    assert script_method_name("readings35.py") == ""
+
+
+def test_markerless_script_registers_disabled_passthrough(spark, tmp_path):
+    """Reference parity: a script file without '_script_' in its name
+    disables the filter (pass-through) instead of resolving a method —
+    and the module is never imported (a poison import proves it)."""
+    script = tmp_path / "nomarker.py"
+    script.write_text("raise RuntimeError('must never be imported')\n")
+    reg = TransformRegistry()
+    name = load_filter_script(str(script), reg)
+    assert name == "nomarker"
+    readings = _events_readings(spark).limit(5)
+    stage = reg.stage(name, FilterConfig(name, enable=True))
+    out = stage.fn(readings, stage.config)
+    assert out.collect() == readings.collect()
 
 
 def _events_readings(spark):

@@ -191,6 +191,142 @@ def test_stateful_buffer_accumulates_across_batches(
         assert len(emitted) >= 2  # one emission per micro-batch
 
 
+def _two_file_stream(spark, events_stream_dir, tmp_path):
+    d = str(tmp_path / "src2")
+    os.makedirs(d)
+    for name in ("a.parquet", "b.parquet"):
+        shutil.copy(
+            os.path.join(events_stream_dir, "part-0.parquet"),
+            os.path.join(d, name),
+        )
+    raw_schema = spark.read.parquet(d).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_to_readings(ev)
+
+
+def test_setup_error_fails_query_not_silent_passthrough(
+    spark, events_stream_dir, tmp_path
+):
+    """A set_filter_config rejection is a SETUP error: the streaming
+    query must terminate with it (plugin_init returning NULL), not fall
+    back to forwarding unfiltered batches forever."""
+    from foglamp_filter_python35_spark.operators.python_filter import (
+        run_python_filter,
+    )
+
+    def bad_cfg(configuration):
+        return False
+
+    def identity(readings):
+        return readings
+
+    def stage_fn(df, cfg):
+        return run_python_filter(df, identity, cfg, set_filter_config=bad_cfg)
+
+    stages = [Stage("bad_setup", stage_fn, FilterConfig("bad_setup", enable=True))]
+    readings = _readings_stream(spark, events_stream_dir)
+    sunk = []
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, e: sunk.append(df.count()),
+        checkpoint_dir=str(tmp_path / "ckpt_badsetup"),
+    )
+    with pytest.raises(Exception, match="set_filter_config"):
+        q.processAllAvailable()
+    q.stop()
+    assert sunk == []  # nothing was silently forwarded
+
+
+def test_set_filter_config_runs_once_across_micro_batches(
+    spark, events_stream_dir, tmp_path
+):
+    """The reference configures once at plugin_init, not per ReadingSet:
+    the config callback must not re-run every micro-batch."""
+    from foglamp_filter_python35_spark.operators.python_filter import (
+        run_python_filter,
+    )
+
+    calls = []
+
+    def cfg_cb(configuration):
+        calls.append(configuration)
+        return True
+
+    def identity(readings):
+        return readings
+
+    def stage_fn(df, cfg):
+        return run_python_filter(df, identity, cfg, set_filter_config=cfg_cb)
+
+    stages = [Stage("cfg_once", stage_fn, FilterConfig("cfg_once", enable=True))]
+    readings = _two_file_stream(spark, events_stream_dir, tmp_path)
+    batches = []
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, e: batches.append(e),
+        checkpoint_dir=str(tmp_path / "ckpt_cfgonce"),
+    )
+    _run_to_completion(q)
+    assert len(batches) >= 2  # two micro-batches actually flowed
+    assert len(calls) == 1  # callback ran once, before data flowed
+
+
+def test_stateful_buffer_evicts_idle_asset_state(spark, tmp_path):
+    """EventTimeTimeout bounds T10b state: an asset idle past the TTL is
+    evicted once the watermark passes, so when it reappears its running
+    count RESTARTS instead of continuing — proving the state store does
+    not hold every asset ever seen."""
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "asset_code string, user_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([("a", t0), ("b", t0)])
+    readings = spark.readStream.schema(
+        "asset_code string, user_ts timestamp"
+    ).parquet(src)
+    out = stateful_buffer_counts(readings, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # b1: a and b seen at t0
+        # b advances event time far past a's TTL (30 min) + watermark lag
+        write_batch([("b", t0 + timedelta(hours=2))])
+        q.processAllAvailable()  # watermark after: t0 - 10min -> no evict yet
+        write_batch([("b", t0 + timedelta(hours=2, minutes=1))])
+        q.processAllAvailable()  # watermark t0+1h50m > t0+30m: a evicted
+        write_batch([("a", t0 + timedelta(hours=2, minutes=2))])
+        q.processAllAvailable()  # a reappears with FRESH state
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM evict_out ORDER BY last_user_ts").collect()
+    a_counts = [r["running_count"] for r in rows if r["asset_code"] == "a"]
+    b_counts = [r["running_count"] for r in rows if r["asset_code"] == "b"]
+    # a appeared twice but state was evicted in between: both emissions
+    # show running_count 1 (NoTimeout would make the second one 2)
+    assert a_counts == [1, 1]
+    # b was never idle past the TTL: its count accumulates to 3
+    assert b_counts[-1] == 3
+
+
 def test_session_rollup_stream_matches_batch(
     spark, events_stream_dir, tmp_path
 ):
