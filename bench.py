@@ -132,10 +132,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = [s for s in all_queries().values() if s.headline]
-    # warm-up: run every headline query once at the smallest sf so JVM
-    # classloading + whole-stage-codegen compilation are excluded from the
-    # measured steady-state throughput
+    specs = list(all_queries().values())
+    # warm-up: run every query once at the smallest sf so JVM classloading
+    # + whole-stage-codegen compilation are excluded from the measured
+    # steady-state throughput
     warm_dir = "/root/testdata/sf0.001"
     for spec in specs:
         try:
@@ -145,7 +145,10 @@ def main() -> None:
         except Exception:
             pass
 
-    times: dict[str, float | None] = {}
+    # the FULL catalog is timed with stable keys so round-over-round
+    # regressions are attributable query-by-query; the headline subset is
+    # reported separately under the same keys as round 1
+    all_times: dict[str, float | None] = {}
     for spec in specs:
         # min of 2 runs: a single sample is hostage to co-tenant load
         # spikes; the minimum is the best estimate of the plan's cost
@@ -157,16 +160,21 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
-            times[spec.name] = round(best, 3)
+            all_times[spec.name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             # one failing query must not discard the other timings or the
             # JSON line the harness consumes
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
-            times[spec.name] = None
+            all_times[spec.name] = None
+
+    times = {s.name: all_times[s.name] for s in specs if s.headline}
 
     throughput = _python_filter_throughput(spark, sf_dir)
 
     total = round(sum(t for t in times.values() if t is not None), 3)
+    all_total = round(
+        sum(t for t in all_times.values() if t is not None), 3
+    )
     print(
         json.dumps(
             {
@@ -174,6 +182,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "all_queries": all_times,
+                "all_queries_total_wall": all_total,
                 "python_filter_throughput": throughput,
                 "sf": sf,
             }
