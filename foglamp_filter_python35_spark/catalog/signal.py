@@ -298,6 +298,26 @@ SELECT event_id, event_type, value
 FROM scan WHERE emitted
 """
 
+# --- chunked deadband: identical semantics, hot-asset-parallel plan.
+# Same recursive-CTE oracle as deadband_suppress — the chunk decomposition
+# is an algebraic rewrite and must be bit-identical. ---
+
+
+def q_deadband_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return S.deadband_chunked(
+        ev,
+        "value",
+        "event_type",
+        _ORDER,
+        tolerance=_DEADBAND_TOL,
+        ts_col="ts",
+        chunk_micros=6 * 3600 * 1_000_000,
+    ).select("event_id", "event_type", "value")
+
+
 SPECS = [
     QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
     QuerySpec("value_delta", q_value_delta, O_VALUE_DELTA),
@@ -311,4 +331,5 @@ SPECS = [
         "percentile_summary", q_percentile_summary, O_PERCENTILE_SUMMARY
     ),
     QuerySpec("deadband_suppress", q_deadband_suppress, O_DEADBAND_SUPPRESS),
+    QuerySpec("deadband_chunked", q_deadband_chunked, O_DEADBAND_SUPPRESS),
 ]

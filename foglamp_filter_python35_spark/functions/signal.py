@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -191,6 +192,48 @@ def locf(
     )
 
 
+def _next_cross(v: np.ndarray, start: int, last: float, tol: float) -> int:
+    """First index >= start with |v[i] - last| > tol, else -1.
+
+    Scans in doubling blocks so each chain hop costs O(hop length), never
+    O(remaining array) — keeps chain walks linear on emission-dense data.
+    NaN compares False, so null readings are skipped without a branch.
+    """
+    n = len(v)
+    i, block = start, 64
+    while i < n:
+        j = min(n, i + block)
+        hits = np.abs(v[i:j] - last) > tol
+        if hits.any():
+            return i + int(np.argmax(hits))
+        i, block = j, block * 2
+    return -1
+
+
+def _deadband_scan(vals, tolerance: float, last: float | None):
+    """The deadband kernel shared by ``deadband`` and ``deadband_chunked``:
+    chain-hop over the array emitting rows that deviate from the last
+    *emitted* value by more than ``tolerance``.  Returns
+    (keep_mask, final_last).
+
+    Null readings (NaN after Arrow — ``np.array`` maps None to NaN too)
+    are dropped WITHOUT touching state: abs(v - NaN) > tol is False, so a
+    null can never emit, and state only advances on emitted values.
+    """
+    # plain-Python float loop: faster than per-hop numpy calls when
+    # emissions are dense (hops of 1-2 rows), and within 2x of vectorized
+    # hops when sparse — the robust choice for unknown densities
+    lst = np.array(vals, dtype="float64").tolist()
+    keep = np.zeros(len(lst), dtype=bool)
+    for i, x in enumerate(lst):
+        if x != x:  # NaN
+            continue
+        if last is None or abs(x - last) > tolerance:
+            keep[i] = True
+            last = x
+    return keep, last
+
+
 def deadband(
     df: DataFrame,
     value_col: str,
@@ -206,28 +249,223 @@ def deadband(
     unbounded prefix — not expressible as a window function — so this is
     the one operator in the family that runs as a grouped Arrow kernel:
     hash-partition by asset, sort within group, one linear numpy pass.
-    State never crosses assets, so at 100 TB each group streams through
-    one task; skewed assets are the caller's salting decision.
+    State never crosses assets, so each asset streams through one task; a
+    single hot asset serializes — ``deadband_chunked`` below is the exact
+    parallel decomposition for that shape.
     """
     order_cols = list(order_cols)
     schema = df.schema
 
     def _scan(pdf):
-        import math  # noqa: PLC0415
-
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        vals = pdf[value_col].to_numpy()
-        keep = [False] * len(vals)
-        last = None
-        for i, v in enumerate(vals):
-            # null readings (NaN after Arrow) are dropped WITHOUT touching
-            # state — otherwise abs(v - NaN) > tol is permanently False and
-            # one null would silently suppress the asset forever
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                continue
-            if last is None or abs(v - last) > tolerance:
-                keep[i] = True
-                last = v
+        keep, _ = _deadband_scan(pdf[value_col].to_numpy(), tolerance, None)
         return pdf[keep]
 
     return df.groupBy(asset_col).applyInPandas(_scan, schema=schema)
+
+
+def deadband_chunked(
+    df: DataFrame,
+    value_col: str,
+    asset_col: str,
+    order_cols: Iterable[str],
+    tolerance: float,
+    ts_col: str = "ts",
+    chunk_micros: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Exact deadband with hot-asset parallelism: identical output to
+    ``deadband``, but each asset's timeline is split into fixed time
+    chunks that scan in parallel, so one hot asset no longer serializes
+    into a single task.
+
+    Two passes plus a tiny stitch, all lazy (no driver actions):
+
+    1. *Summaries* (parallel per (asset, chunk), narrow projection): the
+       deadband state entering a chunk is just "last emitted value L (or
+       none)", and the first emission inside a chunk at incoming state L
+       is necessarily at a strict running-max changepoint (first v with
+       v - L > tol) or running-min changepoint (first v with L - v > tol)
+       — any non-changepoint crossing is preceded by a changepoint that
+       crossed first.  So a chunk's entire effect on downstream state is
+       captured by its changepoint positions/values plus, per changepoint
+       p, the chunk-final emitted value e(p) of a scan that first emits
+       at p (memoized chain walk; chains from different starts merge).
+    2. *Stitch* (per asset over ONE summary row per chunk, not raw rows):
+       fold incoming state across chunks in order.  Serial per asset but
+       over n_chunks rows — for a 1e9-row asset in 1e4 chunks this is
+       1e4 tiny rows, not 1e9.
+    3. *Re-scan* (parallel per (asset, chunk)): join each chunk's
+       incoming state back (equi-join on (asset, chunk), co-partitioned
+       with the groupBy that follows) and run the plain kernel from that
+       state.
+
+    Float-exactness: the stitch evaluates crossings as ``v - L > tol`` /
+    ``L - v > tol`` — bit-identical to the kernel's ``abs(v-L) > tol``
+    (IEEE abs/negate are exact) — so both passes agree on every edge.
+
+    Worst-case summary size is the changepoint count (bounded by chunk
+    rows, O(log n) expected for exchangeable data); e(p) memoized chain
+    walks are O(changepoints x chunk) worst, near-linear typically.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    order_cols = list(order_cols)
+    out_schema = df.schema
+    asset_type = df.schema[asset_col].dataType
+    # integer div: float division + floor rounds at chunk boundaries for
+    # micros near 2^53 (same hazard as the nano-timestamp rebuild)
+    chunk_expr = F.expr(f"unix_micros(`{ts_col}`) div {int(chunk_micros)}")
+
+    nn = (
+        df.select(
+            F.col(asset_col).alias("_asset"),
+            chunk_expr.alias("_chunk"),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
+    )
+
+    summary_schema = StructType(
+        [
+            StructField("_asset", asset_type),
+            StructField("_chunk", LongType()),
+            StructField("hi_pos", ArrayType(IntegerType())),
+            StructField("hi_val", ArrayType(DoubleType())),
+            StructField("e_hi", ArrayType(DoubleType())),
+            StructField("lo_pos", ArrayType(IntegerType())),
+            StructField("lo_val", ArrayType(DoubleType())),
+            StructField("e_lo", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _summary(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf["_v"].to_numpy(dtype="float64")
+        runmax = np.maximum.accumulate(vals)
+        runmin = np.minimum.accumulate(vals)
+        first = np.array([True])
+        hi = np.flatnonzero(np.concatenate((first, runmax[1:] > runmax[:-1])))
+        lo = np.flatnonzero(np.concatenate((first, runmin[1:] < runmin[:-1])))
+
+        memo: dict[int, float] = {}
+
+        def e_of(p: int) -> float:
+            # final emitted value of a scan that first emits at p; chains
+            # from different starts merge, so memoize per position
+            chain = []
+            cur: int | None = int(p)
+            while cur is not None and cur not in memo:
+                chain.append(cur)
+                nxt = _next_cross(vals, cur + 1, float(vals[cur]), tolerance)
+                cur = nxt if nxt >= 0 else None
+            end = memo[cur] if cur is not None else vals[chain[-1]]
+            for c in chain:
+                memo[c] = end
+            return end
+
+        return pd.DataFrame(
+            {
+                "_asset": [pdf["_asset"].iloc[0]],
+                "_chunk": [pdf["_chunk"].iloc[0]],
+                "hi_pos": [hi.astype("int32")],
+                "hi_val": [vals[hi]],
+                "e_hi": [np.array([e_of(p) for p in hi])],
+                "lo_pos": [lo.astype("int32")],
+                "lo_val": [vals[lo]],
+                "e_lo": [np.array([e_of(p) for p in lo])],
+            }
+        )
+
+    summaries = nn.groupBy("_asset", "_chunk").applyInPandas(
+        _summary, schema=summary_schema
+    )
+
+    stitch_schema = StructType(
+        [
+            StructField("_asset", asset_type),
+            StructField("_chunk", LongType()),
+            StructField("_incoming", DoubleType()),
+            StructField("_has_state", BooleanType()),
+        ]
+    )
+
+    def _stitch(pdf):
+        pdf = pdf.sort_values("_chunk", kind="mergesort")
+        state: float | None = None
+        chunks, incomings, flags = [], [], []
+        for row in pdf.to_dict("records"):
+            chunks.append(row["_chunk"])
+            incomings.append(state)
+            flags.append(state is not None)
+            if state is None:
+                # no prior emission: the chunk's first (non-null) reading
+                # emits — position 0, always a changepoint of both lists
+                state = float(row["e_hi"][0])
+                continue
+            ph = pl = None
+            for i, v in enumerate(row["hi_val"]):
+                if v - state > tolerance:  # same float expr as the kernel
+                    ph = i
+                    break
+            for j, v in enumerate(row["lo_val"]):
+                if state - v > tolerance:
+                    pl = j
+                    break
+            if ph is None and pl is None:
+                continue  # chunk never crosses: state flows through
+            hp = row["hi_pos"][ph] if ph is not None else None
+            lp = row["lo_pos"][pl] if pl is not None else None
+            if lp is None or (hp is not None and hp <= lp):
+                state = float(row["e_hi"][ph])
+            else:
+                state = float(row["e_lo"][pl])
+        return pd.DataFrame(
+            {
+                "_asset": [pdf["_asset"].iloc[0]] * len(chunks),
+                "_chunk": chunks,
+                "_incoming": incomings,
+                "_has_state": flags,
+            }
+        )
+
+    states = summaries.groupBy("_asset").applyInPandas(
+        _stitch, schema=stitch_schema
+    )
+
+    src = df.withColumn("_chunk", chunk_expr)
+    joined = src.join(
+        states,
+        (src[asset_col] == states["_asset"])
+        & (src["_chunk"] == states["_chunk"]),
+        "left",
+    ).drop(states["_chunk"]).drop("_asset")
+
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _scan(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        has = pdf["_has_state"].iloc[0]
+        # null-safe: chunks with no summary row (all-null values) join no
+        # state; pd.NA/None must read as "no incoming state"
+        last = (
+            float(pdf["_incoming"].iloc[0])
+            if (pd.notna(has) and bool(has))
+            else None
+        )
+        keep, _ = _deadband_scan(pdf[value_col].to_numpy(), tolerance, last)
+        return pdf[keep][out_cols]
+
+    return joined.groupBy(asset_col, "_chunk").applyInPandas(
+        _scan, schema=out_schema
+    )

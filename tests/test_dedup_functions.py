@@ -250,6 +250,14 @@ def test_builders_launch_no_jobs_at_plan_build(spark):
     cents = emb.limit(2).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
+    import datetime as _dt
+
+    from foglamp_filter_python35_spark.functions import signal as _S
+
+    readings = spark.createDataFrame(
+        [(1, "a", _dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
     sc = spark.sparkContext
     sc.setJobGroup("plan-build-probe", "builders must not launch jobs")
     try:
@@ -258,6 +266,9 @@ def test_builders_launch_no_jobs_at_plan_build(spark):
         D.simhash_near_dups(docs)
         rp_lsh_near_dups(emb, threshold=0.5, dim=3)
         ivf_cell_pairs(emb, cents, 0.5)
+        _S.deadband_chunked(
+            readings, "value", "event_type", ["ts", "event_id"], 10.0
+        )
     finally:
         jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
         sc.setJobGroup("", "")

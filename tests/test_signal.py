@@ -147,3 +147,77 @@ def test_deadband_null_reading_does_not_poison_state(spark):
     df = spark.createDataFrame(rows, _SCHEMA)
     out = S.deadband(df, "value", "event_type", ["ts", "event_id"], 10.0)
     assert sorted(r.event_id for r in out.collect()) == [1, 3]
+
+
+def _chunked_vs_plain(spark, rows, tolerance, chunk_micros):
+    df = spark.createDataFrame(rows, _SCHEMA)
+    order = ["ts", "event_id"]
+    plain = S.deadband(df, "value", "event_type", order, tolerance)
+    chunked = S.deadband_chunked(
+        df, "value", "event_type", order, tolerance,
+        ts_col="ts", chunk_micros=chunk_micros,
+    )
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in chunked.collect())
+    assert a == b
+    return a
+
+
+def test_deadband_chunked_matches_plain_adversarial(spark):
+    # monotone ramps (every changepoint is a prefix-extreme), plateaus,
+    # random walk, nulls, NaNs, and ts ties across three assets; chunk
+    # interval small enough that state crosses many chunk boundaries
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for asset in ("a", "b", "hot"):
+        n = 900 if asset == "hot" else 250
+        vals = np.cumsum(rng.normal(0, 40, n))
+        vals[50:150] = np.arange(100) * 7.0
+        vals[200:240] = 42.0
+        for i in range(n):
+            v = float(vals[i])
+            if i % 83 == 0:
+                v = None
+            elif i % 71 == 0:
+                v = float("nan")
+            ts = base + dt.timedelta(seconds=(i // 3) * 700)
+            rows.append((i, asset, ts, v))
+    kept = _chunked_vs_plain(spark, rows, 55.0, 3600 * 1_000_000)
+    assert len(kept) > 0
+
+
+def test_deadband_chunked_state_crosses_quiet_chunks(spark):
+    # chunks 2..3 never cross the tolerance: incoming state must flow
+    # through them unchanged and still suppress chunk 4's first reading
+    base = dt.datetime(2024, 1, 1)
+    vals = [0.0, 100.0,            # chunk 0: emits 0, then 100
+            101.0, 102.0,          # chunk 1: inside band of 100
+            103.0, 104.0,          # chunk 2: still inside
+            105.0, 300.0]          # chunk 3: 105 suppressed, 300 emits
+    rows = [
+        (i, "a", base + dt.timedelta(hours=i // 2), v)
+        for i, v in enumerate(vals)
+    ]
+    kept = _chunked_vs_plain(spark, rows, 50.0, 3600 * 1_000_000)
+    assert [r[3] for r in kept] == [0.0, 100.0, 300.0]
+
+
+def test_deadband_chunked_hot_asset_parallelizes(spark):
+    # one asset spanning many chunk intervals: the rescan stage must have
+    # one group per (asset, chunk) — >1 task utilized for a single asset
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "hot", base + dt.timedelta(minutes=i * 30), float(i % 7) * 40.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    n_chunks = (
+        df.select(F.expr(f"unix_micros(ts) div {6 * 3600 * 1_000_000}"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 1
+    _chunked_vs_plain(spark, rows, 55.0, 6 * 3600 * 1_000_000)
