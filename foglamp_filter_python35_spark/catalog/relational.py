@@ -880,6 +880,495 @@ GROUP BY l_linestatus
 ORDER BY l_linestatus
 """
 
+# ---------------------------------------------------------------------------
+# volume_shipping — TPC-H Q7 shape: two independent dimension lookups on the
+# SAME tiny table (nation), both broadcast; the fact-fact chain shuffles on
+# its keys.  The symmetric nation-pair filter lands after the broadcasts, so
+# the fact side is filtered before the group-by.
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_VOLUME_SHIPPING = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {o_dsum("volume", "revenue")}
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = '{_Q7_N1}' AND nc.n_name = '{_Q7_N2}')
+     OR (ns.n_name = '{_Q7_N2}' AND nc.n_name = '{_Q7_N1}')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# ---------------------------------------------------------------------------
+# market_share — TPC-H Q8 shape: ratio of a conditional aggregate to the
+# total, per year.  Both numerator and denominator are exact decimal sums
+# computed in ONE pass (no second scan), divided once in double.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION, _Q8_REGION = "NATION_5", "EUROPE"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cr_key"),
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    national = F.when(
+        F.col("supp_nation") == _Q8_NATION, volume
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region), F.col("cr_key") == region.r_regionkey
+        )
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("r_name") == _Q8_REGION)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(national, "national_volume"),
+            dsum(volume, "total_volume"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.col("national_volume") / F.col("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+O_MARKET_SHARE = f"""
+SELECT o_year,
+       {o_dsum("national", "national_volume")},
+       {o_dsum("volume", "total_volume")},
+       CAST(SUM(CAST(national AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS volume,
+         CASE WHEN ns.n_name = '{_Q8_NATION}'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+           AS national
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{_Q8_REGION}'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# ---------------------------------------------------------------------------
+# product_profit — TPC-H Q9 shape: substring part filter (pushed to the
+# broadcast-dim scan, prunes the fact join), profit by supplier nation and
+# year.
+# ---------------------------------------------------------------------------
+
+_Q9_TOKEN = "widget"
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains(_Q9_TOKEN))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+O_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "sum_profit")}
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{_Q9_TOKEN}%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+# ---------------------------------------------------------------------------
+# important_parts — TPC-H Q11 shape: group-by + HAVING against a scalar
+# subquery over the same fact.  Spark: one aggregated frame, its grand
+# total broadcast back as a 1-row cross join — the fact is scanned once
+# for the partials; no correlated re-execution.
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.0008
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(revenue, "part_value"))
+    total = per_part.agg(
+        dsum(F.col("part_value"), "total_value", scale=6)
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.col("total_value") * F.lit(_Q11_FRACTION)
+        )
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+O_IMPORTANT_PARTS = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {o_dsum("l_extendedprice * (1.0 - l_discount)", "part_value")}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (
+  SELECT {o_dsum("part_value", "t")} FROM per_part
+) * CAST({_Q11_FRACTION} AS DOUBLE)
+ORDER BY part_value DESC, l_partkey
+"""
+
+# ---------------------------------------------------------------------------
+# custdist — TPC-H Q13 shape: LEFT join (customers with zero orders must
+# survive), per-customer count, then a second aggregation over the counts.
+# Two shuffles total; both aggregates are partial+final.
+# ---------------------------------------------------------------------------
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+O_CUSTDIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# ---------------------------------------------------------------------------
+# promo_revenue — TPC-H Q14 shape: conditional-sum ratio over one month of
+# shipments; the date filter pushes to the scan, part is broadcast.
+# ---------------------------------------------------------------------------
+
+_Q14_START, _Q14_END = "1998-01-01", "1998-04-01"
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo, "promo_volume"),
+            dsum(revenue, "total_volume"),
+        )
+        .withColumn(
+            "promo_revenue",
+            F.lit(100.0) * F.col("promo_volume") / F.col("total_volume"),
+        )
+    )
+
+
+O_PROMO_REVENUE = f"""
+SELECT {o_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", "promo_volume")},
+       {o_dsum("l_extendedprice * (1.0 - l_discount)", "total_volume")},
+       CAST(100.0 AS DOUBLE)
+         * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{_Q14_START}'
+  AND l_shipdate <  TIMESTAMP '{_Q14_END}'
+"""
+
+# ---------------------------------------------------------------------------
+# small_qty_revenue — TPC-H Q17 shape: correlated per-part average
+# decorrelated into agg + join; the brand filter prunes via the broadcast
+# part dim while the per-part average is computed over ALL lineitems of the
+# part (Q17's inner query ignores the outer brand filter).
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#3"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == _Q17_BRAND)),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice", "s") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+O_SMALL_QTY_REVENUE = f"""
+WITH avg_q AS (
+  SELECT l_partkey AS ap_key, {o_davg("l_quantity", "avg_qty")}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part  ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = ap_key
+WHERE p_brand = '{_Q17_BRAND}'
+  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+"""
+
+# ---------------------------------------------------------------------------
+# large_orders — TPC-H Q18 shape: group-by-HAVING on the fact, then join
+# the surviving keys back to orders/customer.  The HAVING side aggregates
+# BEFORE the joins, so only qualifying orderkeys enter them.
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 250.0
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_key"))
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_key"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+O_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey AS big_key, {o_dsum("l_quantity", "sum_qty")}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         > {_Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = big_key
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# disjunctive_filter — TPC-H Q19 shape: OR-of-ANDs across both join sides.
+# Catalyst pushes the part-only and lineitem-only conjuncts to their scans
+# and evaluates the residual disjunction after the broadcast join — the
+# shape that breaks naive pushdown implementations.
+# ---------------------------------------------------------------------------
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & q.between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & q.between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & q.between(20.0, 30.0)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+O_DISJUNCTIVE_FILTER = f"""
+SELECT {o_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+# ---------------------------------------------------------------------------
+# sales_opportunity — TPC-H Q22 shape: scalar subquery (average positive
+# balance) + anti join (customers with no RECENT orders), grouped by
+# nation.  The scalar is one tiny broadcast row; the anti join ships the
+# filtered key column only.
+# ---------------------------------------------------------------------------
+
+_Q22_CUTOFF = "2001-01-01"
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+O_SALES_OPPORTUNITY = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {o_dsum("c_acctbal", "totacctbal")}
+FROM customer c
+WHERE c_acctbal > (
+  SELECT {o_davg("c_acctbal", "a")} FROM customer WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -918,4 +1407,18 @@ SPECS = [
         q_priority_by_linestatus,
         O_PRIORITY_BY_LINESTATUS,
     ),
+    QuerySpec("volume_shipping", q_volume_shipping, O_VOLUME_SHIPPING),
+    QuerySpec("market_share", q_market_share, O_MARKET_SHARE),
+    QuerySpec("product_profit", q_product_profit, O_PRODUCT_PROFIT),
+    QuerySpec("important_parts", q_important_parts, O_IMPORTANT_PARTS),
+    QuerySpec("custdist", q_custdist, O_CUSTDIST),
+    QuerySpec("promo_revenue", q_promo_revenue, O_PROMO_REVENUE),
+    QuerySpec(
+        "small_qty_revenue", q_small_qty_revenue, O_SMALL_QTY_REVENUE
+    ),
+    QuerySpec("large_orders", q_large_orders, O_LARGE_ORDERS),
+    QuerySpec(
+        "disjunctive_filter", q_disjunctive_filter, O_DISJUNCTIVE_FILTER
+    ),
+    QuerySpec("sales_opportunity", q_sales_opportunity, O_SALES_OPPORTUNITY),
 ]

@@ -174,3 +174,50 @@ def test_embedding_cosine_dup_pair_join_is_pruned_equi(spark):
     )
     assert equi >= 1  # the cid pair join (+ emb-assign joins)
     assert E.node_count(df, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_new_tpch_shapes_broadcast_and_no_cartesian(spark):
+    # Q7/Q8/Q9: every dim lookup is broadcast; no cartesian anywhere.
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_market_share,
+        q_product_profit,
+        q_volume_shipping,
+    )
+
+    for q in (q_volume_shipping, q_market_share, q_product_profit):
+        df = q(spark, SF)
+        plan = E.formatted_plan(df)
+        assert E.uses_broadcast_join(df)
+        assert "CartesianProduct" not in plan
+        assert E.is_fully_jvm(df)
+
+
+def test_large_orders_aggregates_before_joins(spark):
+    # Q18: the HAVING aggregate must run on lineitem BEFORE the joins so
+    # only qualifying orderkeys enter them — partial agg present, and the
+    # plan has a hash aggregate below the join (not all aggs above joins)
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_large_orders,
+    )
+
+    df = q_large_orders(spark, SF)
+    assert E.has_partial_aggregate(df)
+    plan = E.formatted_plan(df)
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+
+
+def test_scalar_subquery_shapes_are_single_row_broadcasts(spark):
+    # Q11/Q22: the scalar side is a 1-row aggregate; its join must be a
+    # broadcast (nested-loop against ONE row is constant work, but it must
+    # never be a shuffled cartesian of the fact side)
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_important_parts,
+        q_sales_opportunity,
+    )
+
+    for q in (q_important_parts, q_sales_opportunity):
+        plan = E.formatted_plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "Broadcast" in plan
