@@ -1369,6 +1369,46 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+# ---------------------------------------------------------------------------
+# props_json_stats — semi-structured extraction: pull a typed field out of
+# the JSON props payload and aggregate it.  get_json_object evaluates
+# JVM-side inside codegen (no Python); at 100 TB the JSON parse is the
+# per-row cost and the aggregate shuffles partials only.  Integer SUM is
+# CAST to BIGINT on the oracle side (DuckDB widens to HUGEINT).
+# ---------------------------------------------------------------------------
+
+
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_PROPS_JSON_STATS = """
+SELECT event_type,
+       COUNT(k) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -1421,4 +1461,5 @@ SPECS = [
         "disjunctive_filter", q_disjunctive_filter, O_DISJUNCTIVE_FILTER
     ),
     QuerySpec("sales_opportunity", q_sales_opportunity, O_SALES_OPPORTUNITY),
+    QuerySpec("props_json_stats", q_props_json_stats, O_PROPS_JSON_STATS),
 ]

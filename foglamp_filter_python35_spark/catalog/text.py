@@ -181,6 +181,111 @@ FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
 
+# --- deterministic train/val/test split: md5-bucket of doc_id, counted
+# per (source, split).  The split is a pure function of the id — stable
+# across runs, partitionings, and engines; at 100 TB this is the standard
+# leakage-free dataset split (no sampling, no shuffle beyond the count).
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.hash_split("doc_id").alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+O_TRAIN_TEST_SPLIT = """
+SELECT source,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+# --- overlapping token-window chunking (LLM context prep): one row per
+# (doc, chunk), chunk k covering tokens [k*40, k*40+50).  Explode is
+# map-side; no shuffle, no Python.
+
+_CHUNK_W, _CHUNK_S = 50, 40
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.chunk_tokens(
+        docs, "doc_id", "text", window=_CHUNK_W, stride=_CHUNK_S
+    ).orderBy("doc_id", "chunk_idx")
+
+
+O_DOC_CHUNKING = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           CASE WHEN len(toks) > {_CHUNK_W}
+                THEN (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                     // {_CHUNK_S} + 1
+                ELSE 1 END)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(toks[chunk_idx * {_CHUNK_S} + 1 :
+                     chunk_idx * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * {_CHUNK_S} + 1 :
+                            chunk_idx * {_CHUNK_S} + {_CHUNK_W}], ' ')
+         AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+# --- metadata validation: predicted language vs labeled language.  The
+# confusion-matrix shape of corpus QA — a derived column grouped against
+# a stored label, mismatches only.
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_label"),
+            T.language_id("text").alias("lang_pred"),
+        )
+        .filter(F.col("lang_label") != F.col("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+O_LANG_MISMATCH = """
+SELECT lang AS lang_label,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            ELSE 'en' END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE lang <> (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                    WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+                    WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                    ELSE 'en' END)
+GROUP BY lang_label, lang_pred
+ORDER BY lang_label, lang_pred
+"""
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
@@ -189,4 +294,7 @@ SPECS = [
     QuerySpec("doc_fingerprint", q_doc_fingerprint, O_DOC_FINGERPRINT),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
     QuerySpec("bigram_topk", q_bigram_topk, O_BIGRAM_TOPK),
+    QuerySpec("train_test_split", q_train_test_split, O_TRAIN_TEST_SPLIT),
+    QuerySpec("doc_chunking", q_doc_chunking, O_DOC_CHUNKING),
+    QuerySpec("lang_mismatch", q_lang_mismatch, O_LANG_MISMATCH),
 ]

@@ -215,6 +215,47 @@ FROM ranked WHERE rank <= 5
 ORDER BY qid, rank
 """
 
+# --- per-label centroids: posexplode over the vector dimension, exact
+# decimal mean per (label, dim).  The embedding-space summarization step
+# (class prototypes / IVF training stats); explode is map-side, one
+# partial+final hash agg on (label, dim) — at 100 TB the shuffle carries
+# one partial row per (label, dim, map task), never raw vectors.
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import davg  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(davg("v", "centroid"), F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "dim")
+    )
+
+
+O_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(v) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (
+  -- two unnests in one SELECT zip positionally in DuckDB
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS gs,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
 SPECS = [
     QuerySpec("embedding_topk", q_embedding_topk, O_EMBEDDING_TOPK, headline=True),
     QuerySpec(
@@ -225,4 +266,7 @@ SPECS = [
         "embedding_knn_join", q_embedding_knn_join, O_EMBEDDING_KNN_JOIN
     ),
     QuerySpec("embedding_lsh_dup", q_embedding_lsh_dup, _lsh_oracle()),
+    QuerySpec(
+        "embedding_centroids", q_embedding_centroids, O_EMBEDDING_CENTROIDS
+    ),
 ]

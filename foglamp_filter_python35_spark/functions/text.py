@@ -132,6 +132,70 @@ def top_terms(
     )
 
 
+def hash_split(
+    id_col: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """Deterministic train/val/test assignment from md5 of the row id.
+
+    The split must be a pure function of the id — stable across runs,
+    partitionings, and engines — so shuffling-based sampling is out.
+    15 hex chars of md5 (60 bits, fits signed 64) mod 100 gives the
+    bucket; the same arithmetic is expressible in any engine
+    (DuckDB: CAST('0x' || substring(md5(id), 1, 15) AS BIGINT)).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Overlapping token-window chunking (the LLM-context prep step):
+    one output row per (doc, chunk), chunk k covering tokens
+    [k*stride, k*stride + window).  All array higher-order functions —
+    explode fans out JVM-side, no shuffle, no Python.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # last chunk index: smallest k with k*stride + window >= n_tokens, so
+    # the tail is covered exactly once and no chunk is fully contained in
+    # its predecessor (n <= window -> single chunk 0)
+    last_k = F.when(
+        n > window,
+        F.floor((n - window + stride - 1) / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), last_k)
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_k"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("_k") * stride + F.lit(1), F.lit(window)
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("_k").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set as columns (the composable operator)."""
     return (

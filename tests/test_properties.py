@@ -220,3 +220,44 @@ def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, texts):
     for pair, j in lsh.items():
         assert pair in exact
         assert math.isclose(j, exact[pair], rel_tol=0, abs_tol=0)
+
+
+def test_chunk_tokens_covers_tail_exactly_once(spark):
+    # every token index is inside >=1 chunk; the final chunk ends at the
+    # last token; no chunk is fully contained in its predecessor
+    from foglamp_filter_python35_spark.functions.text import chunk_tokens
+
+    rows = [
+        (n, " ".join(f"t{i}" for i in range(n)))
+        for n in (1, 49, 50, 51, 90, 91, 130)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", window=50, stride=40).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        covered = set()
+        for r in chunks:
+            start = r.chunk_idx * 40
+            covered |= set(range(start, start + r.n_chunk_tokens))
+        assert covered == set(range(n)), f"gap for n={n}"
+        last = chunks[-1]
+        assert last.chunk_idx * 40 + last.n_chunk_tokens == n
+        if len(chunks) > 1:  # tail chunk must add new tokens
+            prev_end = chunks[-2].chunk_idx * 40 + 50
+            assert last.chunk_idx * 40 + last.n_chunk_tokens > prev_end - 10
+
+
+def test_hash_split_is_deterministic_and_partitions(spark):
+    from foglamp_filter_python35_spark.functions.text import hash_split
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id", hash_split("doc_id").alias("split"))
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in out.repartition(13).collect()}
+    assert a == b  # pure function of the id, partitioning-independent
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert set(frac) == {"train", "val", "test"}
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2
