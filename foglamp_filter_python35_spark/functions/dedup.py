@@ -466,3 +466,54 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 8,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over a near-dup
+    pair graph by min-label propagation (HashMin): ``iterations`` rounds
+    of "take the minimum label over my neighbors and myself".
+
+    Converges exactly when ``iterations`` covers every node's distance
+    to its component's minimum-label node; near-dup components at high
+    thresholds are tiny and dense (pairs must share most of their
+    content), so the default 8 is generous — and the catalog query is
+    additionally asserted against a transitive-closure oracle, which
+    fails loudly if the bound is ever insufficient.  Pass a larger
+    ``iterations`` for general graphs (cost grows linearly).
+
+    The build is fully lazy (zero Spark jobs): the previous label frame
+    is referenced exactly ONCE per round — self-loop edges replace the
+    usual "left join my own label back" second reference — so the plan
+    grows linearly in ``iterations``, never exponentially.  Each round
+    shuffles label rows (node, comp) only, never document contents.
+    ``edges`` is persisted (lazily) so its pair-generation lineage runs
+    once at execution despite appearing in every round's plan.  At
+    100 TB: checkpoint the label frame every few rounds (plan-size
+    hygiene) and switch to alternating large-star/small-star, which
+    converges in O(log n) rounds independent of diameter.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    # self-loops make "min over neighbors" include the node's own label,
+    # collapsing the round to ONE join + ONE aggregate with a single
+    # reference to the previous labels
+    withself = edges.union(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).persist()
+    comp = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(iterations):
+        comp = (
+            withself.join(comp, withself.v == comp.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("u").alias("node"), "comp")
+        )
+    return comp

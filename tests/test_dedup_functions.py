@@ -269,7 +269,49 @@ def test_builders_launch_no_jobs_at_plan_build(spark):
         _S.deadband_chunked(
             readings, "value", "event_type", ["ts", "event_id"], 10.0
         )
+        D.connected_components(
+            spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        )
     finally:
         jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
         sc.setJobGroup("", "")
     assert jobs == [], f"plan construction launched Spark jobs: {jobs}"
+
+
+def test_connected_components_vs_union_find(spark):
+    # random sparse graph (long paths possible -> explicit iteration
+    # budget) + a deliberate 8-node chain; labels must equal true
+    # components from a union-find reference
+    import random
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(40)}
+    edges = {(a, b) for a, b in edges if a != b}
+    edges |= {(100 + i, 101 + i) for i in range(7)}  # chain 100..107
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(edges)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.comp
+        for r in D.connected_components(pairs, iterations=30).collect()
+    }
+    assert got == want
