@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.streaming.query import StreamingQuery
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -335,4 +336,99 @@ def stateful_buffer_counts(
         stateStructType=BUFFER_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="EventTimeTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4-stream — TRUE deadband on an unbounded stream.  The per-asset
+# last-EMITTED value is exactly one double of state per asset, carried
+# across micro-batches via applyInPandasWithState; the same TTL policy as
+# the T10b buffer bounds it to assets active per TTL window.
+# ---------------------------------------------------------------------------
+
+DEADBAND_STATE_SCHEMA = StructType(
+    [StructField("last_emitted", DoubleType())]
+)
+
+#: same eviction policy as BUFFER_STATE_TTL_MS: an asset idle past the
+#: TTL loses its state, and on reappearing its first reading emits again
+#: (first-sight semantics), the documented restart contract.
+DEADBAND_STATE_TTL_MS = 30 * 60 * 1000
+
+
+def stream_deadband(
+    readings: DataFrame,
+    tolerance: float,
+    value_col: str = "value",
+    asset_col: str = "asset_code",
+    order_cols: tuple[str, ...] = ("user_ts", "id"),
+    time_col: str = "user_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``functions.signal.deadband``: emit a reading
+    only when it deviates from the last *emitted* reading of its asset by
+    more than ``tolerance``, with the last-emitted value persisted across
+    micro-batches.
+
+    Ordering contract: rows are ordered by ``order_cols`` WITHIN each
+    micro-batch; across batches the scan runs in arrival order (state
+    cannot be rewritten retroactively on an unbounded stream).  With an
+    in-order source this equals the batch operator exactly — asserted by
+    the stream==batch parity test.  On batch input it degrades to the
+    batch operator itself.
+    """
+    from foglamp_filter_python35_spark.functions.signal import (  # noqa: PLC0415
+        _deadband_scan,
+        deadband,
+    )
+
+    if not readings.isStreaming:
+        return deadband(
+            readings, value_col, asset_col, list(order_cols), tolerance
+        )
+
+    out_schema = readings.schema
+    cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        (last,) = state.get if state.exists else (None,)
+        keep, new_last = _deadband_scan(
+            pdf[value_col].to_numpy(), tolerance, last
+        )
+        if new_last is not None:
+            state.update((float(new_last),))
+        wm = state.getCurrentWatermarkMs()
+        last_ts = pdf[time_col].max()
+        last_ms = (
+            int(last_ts.timestamp() * 1000) if pd.notna(last_ts) else wm
+        )
+        state.setTimeoutTimestamp(
+            max(last_ms, wm + 1) + DEADBAND_STATE_TTL_MS
+        )
+        out = pdf[keep][cols]
+        if len(out):
+            yield out
+
+    return (
+        readings.withWatermark(time_col, watermark)
+        .groupBy(asset_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=DEADBAND_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )

@@ -520,3 +520,124 @@ def test_signal_stages_in_micro_batch_pipeline(spark, events_stream_dir, tmp_pat
         v = r["reading"]["value"]
         assert v < 1.0 or v > 400.0
         assert r["reading_str"]["alarm"] in ("low", "high")
+
+
+def test_stream_deadband_matches_batch_across_batches(spark, tmp_path):
+    """Two in-order micro-batches: the last-EMITTED value must carry
+    across the batch boundary (102 in batch 2 is suppressed against 100
+    emitted in batch 1), and the emitted set must equal the batch
+    operator on the union."""
+    from datetime import datetime, timedelta
+
+    from foglamp_filter_python35_spark.functions.signal import deadband
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        stream_deadband,
+    )
+
+    src = str(tmp_path / "src_db")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+
+    def rows(batch, vals):
+        return [
+            ("a", batch * 100 + i, t0 + timedelta(minutes=batch * 100 + i), v)
+            for i, v in enumerate(vals)
+        ]
+
+    schema = "asset_code string, id long, user_ts timestamp, value double"
+
+    def write(batch, vals):
+        spark.createDataFrame(rows(batch, vals), schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write(0, [0.0, 100.0, 101.0])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_deadband(stream, tolerance=50.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("db_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_db"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(1, [102.0, 300.0])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.id, r.value)
+        for r in spark.sql("SELECT * FROM db_stream_out").collect()
+    )
+    batch_df = spark.read.parquet(src)
+    want = sorted(
+        (r.id, r.value)
+        for r in deadband(
+            batch_df, "value", "asset_code", ["user_ts", "id"], 50.0
+        ).collect()
+    )
+    assert got == want
+    assert [v for _, v in got] == [0.0, 100.0, 300.0]
+
+
+def test_stream_deadband_evicts_idle_state(spark, tmp_path):
+    """An asset idle past the TTL loses its last-emitted state: on
+    reappearing, its first reading emits even though it is within
+    tolerance of the pre-idle last value (first-sight restart)."""
+    from datetime import datetime, timedelta
+
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        stream_deadband,
+    )
+
+    src = str(tmp_path / "src_dbe")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+    schema = "asset_code string, id long, user_ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([("a", 0, t0, 10.0), ("b", 1, t0, 10.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_deadband(stream, tolerance=50.0, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("db_evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dbe"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # b advances event time far past a's TTL; two writes so the
+        # watermark (which lags one batch) actually passes the TTL
+        write([("b", 2, t0 + timedelta(hours=2), 11.0)])
+        q.processAllAvailable()
+        write([("b", 3, t0 + timedelta(hours=2, minutes=1), 12.0)])
+        q.processAllAvailable()
+        # a reappears with value 11 — within tolerance of its pre-idle
+        # last (10); evicted state means it must emit anyway
+        write([("a", 4, t0 + timedelta(hours=2, minutes=2), 11.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    a_rows = sorted(
+        r.id
+        for r in spark.sql(
+            "SELECT * FROM db_evict_out WHERE asset_code = 'a'"
+        ).collect()
+    )
+    assert a_rows == [0, 4]  # NoTimeout would suppress id 4
