@@ -1409,6 +1409,101 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# ---------------------------------------------------------------------------
+# revenue_deciles — the ranking-function family (ntile / dense_rank /
+# percent_rank) over per-customer revenue, partitioned by market segment.
+# Per-partition ranking = shuffle on segment + per-partition sort; a
+# GLOBAL unpartitioned ntile would be a one-task sort at scale (the
+# production variant for global quantiles is approx_percentile cutoffs +
+# a broadcast join).  percent_rank divides exact ints, so it is
+# bit-deterministic.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return per_cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "revenue",
+        F.ntile(10).over(w).alias("decile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+    ).orderBy("c_mktsegment", "drank", "c_custkey")
+
+
+O_REVENUE_DECILES = f"""
+WITH per_cust AS (
+  SELECT c_custkey, c_mktsegment,
+         {o_dsum("o_totalprice", "revenue")}
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, revenue,
+       NTILE(10) OVER w AS decile,
+       DENSE_RANK() OVER w AS drank,
+       PERCENT_RANK() OVER w AS prank
+FROM per_cust
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY revenue DESC, c_custkey)
+ORDER BY c_mktsegment, drank, c_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# name_fuzzy_match — blocked fuzzy join (entity resolution): candidate
+# pairs come from an EQUI-join on a blocking key (the name's last token),
+# then exact levenshtein filters within the block.  The scale-correct
+# shape — never an all-pairs theta join; a block is only as quadratic as
+# its own size, and blocking keys are chosen to keep blocks small.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 4
+
+
+def q_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("block")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("block")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+O_NAME_FUZZY_MATCH = f"""
+WITH names AS (
+  SELECT DISTINCT p_name,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -1462,4 +1557,6 @@ SPECS = [
     ),
     QuerySpec("sales_opportunity", q_sales_opportunity, O_SALES_OPPORTUNITY),
     QuerySpec("props_json_stats", q_props_json_stats, O_PROPS_JSON_STATS),
+    QuerySpec("revenue_deciles", q_revenue_deciles, O_REVENUE_DECILES),
+    QuerySpec("name_fuzzy_match", q_name_fuzzy_match, O_NAME_FUZZY_MATCH),
 ]
