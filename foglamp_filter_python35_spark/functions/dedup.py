@@ -236,38 +236,31 @@ def exact_jaccard(
     )
 
 
-def exact_jaccard_broadcast(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+def pair_jaccard_from_sets(
+    pairs: DataFrame, sets: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard for a SMALL candidate-pair set: gather each candidate
-    doc's shingle set once (semi-filtered by broadcast), then intersect
-    arrays pair-wise — zero shuffles of the big shingle table.  Use when
-    candidates come from LSH banding; use ``exact_jaccard`` when the pair
-    set itself is large."""
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = (
-        sh.join(F.broadcast(ids), id_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sset"))
-    )
+    """Exact Jaccard for a SMALL candidate-pair set against a per-doc
+    shingle-set table ``sets`` = (id_col, sset).
+
+    Join shape matters: the candidate-pair frame is usually EXPENSIVE to
+    compute (LSH banding + self-join + distinct), so it must execute
+    exactly once.  Here ``pairs`` appears once in the plan — broadcast
+    against a streamed pass over ``sets`` to pick up ``set_a``, and that
+    (still candidate-bounded) result is broadcast against a second
+    streamed pass to pick up ``set_b``.  The big sets table is never
+    shuffled and the pair pipeline is never re-executed; the only
+    recompute is two column-pruned passes over ``sets``'s lineage."""
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    with_a = sa.join(F.broadcast(pairs), "id_a")
     n_common = F.size(F.array_intersect("set_a", "set_b"))
-    return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                n_common.cast("double")
-                / (F.size("set_a") + F.size("set_b") - n_common)
-            ).alias("jaccard"),
-        )
+    return sb.join(F.broadcast(with_a), "id_b").select(
+        "id_a",
+        "id_b",
+        (
+            n_common.cast("double")
+            / (F.size("set_a") + F.size("set_b") - n_common)
+        ).alias("jaccard"),
     )
 
 
@@ -289,9 +282,11 @@ def minhash_lsh_near_dups(
     folds (``minhash_doc_sets``), so the only shuffles are the band
     bucket self-join (its exchange is identical on both sides ->
     ReusedExchange computes it once) and the candidate distinct.  The
-    verify branch re-reads the doc-set projection, where Catalyst's
-    column pruning drops every md5/signature expression — the re-scan
-    costs a split + n-gram pass, not the hash pipeline.
+    md5-heavy candidate pipeline appears exactly ONCE in the plan —
+    the verify join (``pair_jaccard_from_sets``) broadcasts the pair
+    set against two streamed passes over the doc-set projection, where
+    Catalyst's column pruning drops every md5/signature expression, so
+    each re-scan costs a split + n-gram pass, not the hash pipeline.
 
     At 100 TB the doc-set table (id, sset, s0..sk) is written to
     storage once and reused across MANY pipeline runs; the per-query
@@ -302,27 +297,9 @@ def minhash_lsh_near_dups(
     )
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = candidate_pairs(bands, id_col)
-    ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = ds.join(F.broadcast(ids), id_col).select(F.col(id_col), "sset")
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
-    n_common = F.size(F.array_intersect("set_a", "set_b"))
-    return (
-        cands.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                n_common.cast("double")
-                / (F.size("set_a") + F.size("set_b") - n_common)
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    sets = ds.select(F.col(id_col), "sset")
+    return pair_jaccard_from_sets(cands, sets, id_col).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -491,8 +468,11 @@ def connected_components(
     usual "left join my own label back" second reference — so the plan
     grows linearly in ``iterations``, never exponentially.  Each round
     shuffles label rows (node, comp) only, never document contents.
-    ``edges`` is persisted (lazily) so its pair-generation lineage runs
-    once at execution despite appearing in every round's plan.  At
+    The edge frame appears in every round's plan but its expensive
+    pair-generation lineage executes once: it ends in a shuffle (the
+    candidate ``distinct``), and Spark reuses identical exchange/AQE
+    shuffle stages within one execution — measured faster here than an
+    explicit persist, and nothing leaks into the session cache.  At
     100 TB: checkpoint the label frame every few rounds (plan-size
     hygiene) and switch to alternating large-star/small-star, which
     converges in O(log n) rounds independent of diameter.
@@ -507,7 +487,7 @@ def connected_components(
     # reference to the previous labels
     withself = edges.union(
         nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
-    ).persist()
+    )
     comp = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(iterations):
         comp = (

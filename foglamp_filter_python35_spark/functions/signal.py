@@ -444,10 +444,14 @@ def deadband_chunked(
     )
 
     src = df.withColumn("_chunk", chunk_expr)
+    # eqNullSafe on BOTH keys: ``deadband`` groups null-asset rows into
+    # one real group (and null-ts rows land in the null chunk), so their
+    # stitched state must join back too — a plain equality join would
+    # silently restart those groups with no incoming state
     joined = src.join(
         states,
-        (src[asset_col] == states["_asset"])
-        & (src["_chunk"] == states["_chunk"]),
+        src[asset_col].eqNullSafe(states["_asset"])
+        & src["_chunk"].eqNullSafe(states["_chunk"]),
         "left",
     ).drop(states["_chunk"]).drop("_asset")
 

@@ -281,7 +281,28 @@ BUFFER_STATE_SCHEMA = StructType([StructField("total", LongType())])
 BUFFER_STATE_TTL_MS = 30 * 60 * 1000
 
 
-def _buffer_fn(key, pdfs, state: GroupState):
+def _state_epoch_ms(last_ts, wm: int, tz: str) -> int:
+    """True epoch-UTC ms of an event time seen by a state function.
+
+    Arrow hands event times to ``applyInPandasWithState`` as tz-NAIVE
+    pandas Timestamps rendered in ``spark.sql.session.timeZone``, while
+    GroupState timeout/watermark milliseconds are true epoch UTC — a
+    naive ``.timestamp()`` (which assumes UTC) would skew every TTL by
+    the session-tz offset.  Localize to the session tz first; null/NaT
+    (or a DST-impossible instant) falls back to the current watermark."""
+    if last_ts is None or pd.isna(last_ts):
+        return wm
+    try:
+        if last_ts.tzinfo is None:
+            last_ts = last_ts.tz_localize(
+                tz, nonexistent="shift_forward", ambiguous=True
+            )
+        return int(last_ts.timestamp() * 1000)
+    except (ValueError, OverflowError):
+        return wm
+
+
+def _make_buffer_fn(tz: str):
     """Per-asset running count with event-time state eviction.
 
     A timed-out invocation (watermark passed this asset's TTL and no new
@@ -289,32 +310,37 @@ def _buffer_fn(key, pdfs, state: GroupState):
     reappears later its running count restarts — the documented contract
     (the reference's buffering never outlives FogLAMP's bounded batches,
     plugin.cpp:113-116; an unbounded stream needs an explicit TTL)."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    batch = 0
-    last_ts = None
-    for pdf in pdfs:
-        batch += len(pdf)
-        if len(pdf):
-            m = pdf["user_ts"].max()
-            last_ts = m if last_ts is None else max(last_ts, m)
-    (total,) = state.get if state.exists else (0,)
-    total += batch
-    state.update((total,))
-    # keep state until the watermark passes last-seen + TTL; the
-    # timestamp must exceed the current watermark or Spark rejects it
-    wm = state.getCurrentWatermarkMs()
-    last_ms = int(last_ts.timestamp() * 1000) if last_ts is not None else wm
-    state.setTimeoutTimestamp(max(last_ms, wm + 1) + BUFFER_STATE_TTL_MS)
-    yield pd.DataFrame(
-        {
-            "asset_code": [key[0]],
-            "batch_count": [batch],
-            "running_count": [total],
-            "last_user_ts": [last_ts],
-        }
-    )
+
+    def _buffer_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = 0
+        last_ts = None
+        for pdf in pdfs:
+            batch += len(pdf)
+            if len(pdf):
+                m = pdf["user_ts"].max()  # skipna: NaT only if ALL null
+                if pd.notna(m):
+                    last_ts = m if last_ts is None else max(last_ts, m)
+        (total,) = state.get if state.exists else (0,)
+        total += batch
+        state.update((total,))
+        # keep state until the watermark passes last-seen + TTL; the
+        # timestamp must exceed the current watermark or Spark rejects it
+        wm = state.getCurrentWatermarkMs()
+        last_ms = _state_epoch_ms(last_ts, wm, tz)
+        state.setTimeoutTimestamp(max(last_ms, wm + 1) + BUFFER_STATE_TTL_MS)
+        yield pd.DataFrame(
+            {
+                "asset_code": [key[0]],
+                "batch_count": [batch],
+                "running_count": [total],
+                "last_user_ts": [last_ts],
+            }
+        )
+
+    return _buffer_fn
 
 
 def stateful_buffer_counts(
@@ -325,13 +351,14 @@ def stateful_buffer_counts(
     """Cross-batch per-asset running counts (stateful T10).
 
     State is watermark-bounded: EventTimeTimeout + the TTL in
-    ``_buffer_fn`` evict assets idle past ``BUFFER_STATE_TTL_MS``, so
-    state size is O(assets active per TTL window), not O(assets ever)."""
+    ``_make_buffer_fn`` evict assets idle past ``BUFFER_STATE_TTL_MS``,
+    so state size is O(assets active per TTL window), not O(assets ever)."""
     df = readings
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)
+    tz = readings.sparkSession.conf.get("spark.sql.session.timeZone")
     return df.groupBy("asset_code").applyInPandasWithState(
-        _buffer_fn,
+        _make_buffer_fn(tz),
         outputStructType=BUFFER_OUTPUT_SCHEMA,
         stateStructType=BUFFER_STATE_SCHEMA,
         outputMode="append",
@@ -389,6 +416,7 @@ def stream_deadband(
 
     out_schema = readings.schema
     cols = [f.name for f in out_schema.fields]
+    tz = readings.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -410,10 +438,7 @@ def stream_deadband(
         if new_last is not None:
             state.update((float(new_last),))
         wm = state.getCurrentWatermarkMs()
-        last_ts = pdf[time_col].max()
-        last_ms = (
-            int(last_ts.timestamp() * 1000) if pd.notna(last_ts) else wm
-        )
+        last_ms = _state_epoch_ms(pdf[time_col].max(), wm, tz)
         state.setTimeoutTimestamp(
             max(last_ms, wm + 1) + DEADBAND_STATE_TTL_MS
         )

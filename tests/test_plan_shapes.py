@@ -204,8 +204,15 @@ def test_large_orders_aggregates_before_joins(spark):
     assert E.has_partial_aggregate(df)
     plan = E.formatted_plan(df)
     join_pos = plan.find("Join")
-    agg_pos = plan.find("HashAggregate")
-    assert join_pos != -1 and agg_pos != -1
+    assert join_pos != -1
+    # the formatted tree prints children AFTER their parents, so an
+    # aggregate that feeds a join (the HAVING prune running BELOW the
+    # joins) must appear after the first Join line; if every aggregate
+    # sat above the joins they would all print before it
+    assert plan.find("HashAggregate", join_pos) != -1, (
+        "no HashAggregate below a Join: the lineitem HAVING aggregate "
+        "no longer prunes orderkeys before the joins"
+    )
 
 
 def test_scalar_subquery_shapes_are_single_row_broadcasts(spark):

@@ -205,6 +205,24 @@ def test_deadband_chunked_state_crosses_quiet_chunks(spark):
     assert [r[3] for r in kept] == [0.0, 100.0, 300.0]
 
 
+def test_deadband_chunked_null_asset_state_crosses_chunks(spark):
+    # deadband groups null-asset rows into one real group; the chunked
+    # state join must be null-safe or every chunk of the null group
+    # restarts with no incoming state and over-emits (and null-ts rows,
+    # whose _chunk is null, must join their stitched state the same way)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, None, base, 0.0),
+        (1, None, base + dt.timedelta(hours=7), 5.0),   # next chunk, in band
+        (2, None, base + dt.timedelta(hours=14), 80.0),  # crosses
+        (3, None, None, 81.0),                           # null ts: null chunk
+        (4, "a", base, 1.0),
+        (5, "a", base + dt.timedelta(hours=7), 2.0),
+    ]
+    kept = _chunked_vs_plain(spark, rows, 50.0, 6 * 3600 * 1_000_000)
+    assert [r[0] for r in kept] == [0, 2, 4]
+
+
 def test_deadband_chunked_hot_asset_parallelizes(spark):
     # one asset spanning many chunk intervals: the rescan stage must have
     # one group per (asset, chunk) — >1 task utilized for a single asset

@@ -327,6 +327,75 @@ def test_stateful_buffer_evicts_idle_asset_state(spark, tmp_path):
     assert b_counts[-1] == 3
 
 
+def test_stateful_buffer_survives_null_event_times(spark, tmp_path):
+    """A micro-batch whose rows for an asset all carry NULL user_ts must
+    not kill the query: pandas max() yields NaT there, and an unguarded
+    NaT.timestamp() raises inside applyInPandasWithState, terminating
+    the stream.  The TTL falls back to the current watermark instead."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "asset_code string, user_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([("a", None), ("a", None), ("b", t0)])
+    readings = spark.readStream.schema(
+        "asset_code string, user_ts timestamp"
+    ).parquet(src)
+    out = stateful_buffer_counts(readings, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nullts_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nullts"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([("a", t0), ("a", None)])  # mixed null/non-null batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM nullts_out ORDER BY asset_code, running_count"
+    ).collect()
+    a = [(r["batch_count"], r["running_count"]) for r in rows
+         if r["asset_code"] == "a"]
+    # both batches emitted (pre-fix the first one crashed the query); the
+    # all-null batch pinned its TTL to the then-zero watermark, so once
+    # the real watermark advanced the state was evicted and the running
+    # count RESTARTED — null event times never pin state alive
+    assert a == [(2, 2), (2, 2)]
+
+
+def test_state_epoch_ms_localizes_session_timezone():
+    """GroupState timeouts are epoch-UTC ms but Arrow delivers event
+    times tz-naive in the session timezone: interpreting a naive stamp
+    as UTC would skew the TTL by the tz offset (8h at UTC+8)."""
+    import pandas as pd
+
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        _state_epoch_ms,
+    )
+
+    ts = pd.Timestamp("2024-01-01 08:00:00")  # naive, rendered in session tz
+    utc_ms = _state_epoch_ms(ts, wm=0, tz="UTC")
+    shanghai_ms = _state_epoch_ms(ts, wm=0, tz="Asia/Shanghai")
+    assert utc_ms - shanghai_ms == 8 * 3600 * 1000
+    # 08:00 Shanghai == 00:00 UTC on that date
+    assert shanghai_ms == int(
+        pd.Timestamp("2024-01-01", tz="UTC").timestamp() * 1000
+    )
+    # null falls back to the watermark
+    assert _state_epoch_ms(pd.NaT, wm=1234, tz="UTC") == 1234
+    assert _state_epoch_ms(None, wm=7, tz="UTC") == 7
+
+
 def test_session_rollup_stream_matches_batch(
     spark, events_stream_dir, tmp_path
 ):
