@@ -1468,16 +1468,33 @@ ORDER BY c_mktsegment, drank, c_custkey
 
 _FUZZY_MAX_DIST = 4
 
+#: Blocks larger than this are dropped from candidate generation.  A
+#: blocking key drawn from a FIXED vocabulary (here: the name's last
+#: token) produces blocks that grow linearly with the corpus — the
+#: within-block pair join then grows quadratically.  Capping block size
+#: bounds any block's pair count at max_block^2, the same recall
+#: contract as the n-gram dedup DF cutoff: an over-common key carries no
+#: discriminating signal.  At the test SFs no block reaches the cap
+#: (asserted by test), so results are unchanged; the cap is structural.
+_FUZZY_MAX_BLOCK = 1000
+
 
 def q_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     names = part.select("p_name").distinct().withColumn(
         "block", F.element_at(F.split("p_name", " "), -1)
     )
-    a = names.select(
+    small = (
+        names.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= _FUZZY_MAX_BLOCK)
+        .select("block")
+    )
+    pruned = names.join(F.broadcast(small), "block")
+    a = pruned.select(
         F.col("p_name").alias("name_a"), F.col("block")
     )
-    b = names.select(
+    b = pruned.select(
         F.col("p_name").alias("name_b"), F.col("block")
     )
     return (
@@ -1495,13 +1512,248 @@ WITH names AS (
   SELECT DISTINCT p_name,
          string_split(p_name, ' ')[-1] AS block
   FROM part
-)
+),
+small AS (
+  SELECT block FROM names GROUP BY block
+  HAVING COUNT(*) <= {_FUZZY_MAX_BLOCK}
+),
+pruned AS (SELECT n.* FROM names n JOIN small USING (block))
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        levenshtein(a.p_name, b.p_name) AS dist
-FROM names a JOIN names b
+FROM pruned a JOIN pruned b
   ON a.block = b.block AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
+"""
+
+# ---------------------------------------------------------------------------
+# waiting_suppliers — TPC-H Q21 shape: suppliers who were the SOLE late
+# supplier of a multi-supplier order.  The canonical EXISTS + NOT-EXISTS
+# pair over the fact table, decorrelated into ONE aggregation per order
+# (distinct-supplier count, late-supplier count, the late supplier id) —
+# one orderkey shuffle replaces two correlated self-joins; the schema's
+# lack of commit/receipt dates adapts "late" to shipping >60 days after
+# the order date (shape-preserving).
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 60
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS)
+    tagged = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_suppkey", late.alias("_late"))
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+        F.min(F.when(F.col("_late"), F.col("l_suppkey"))).alias("the_late"),
+    )
+    qual = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    return (
+        qual.join(
+            F.broadcast(supplier), qual.the_late == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+O_WAITING_SUPPLIERS = f"""
+WITH tagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MIN(CASE WHEN late THEN l_suppkey END) AS the_late
+  FROM tagged GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON the_late = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user — keep-newest dedup: one row per (user, event
+# type), the most recent by (ts, event_id).  The "keep the latest crawl
+# of each URL" pipeline shape: ONE shuffle on the dedup key, window
+# row_number, rank-1 filter (Spark executes this as a per-partition
+# sort, no global sort).  Ties on ts break by event_id so the winner is
+# deterministic in any engine.
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+O_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# grouping_sets_revenue — explicit GROUPING SETS over two UNRELATED dims
+# (customer nation, market segment) plus the grand total: the shape CUBE /
+# ROLLUP can't express without computing unwanted cross combinations.
+# One pass over the joined fact, partial+final agg per set; GROUPING()
+# flags disambiguate "null because not in this set" from a real null.
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.groupingSets(
+            [["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment"
+        )
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("bigint").alias("g_segment"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("g_nation", "g_segment", "n_name", "c_mktsegment")
+    )
+
+
+O_GROUPING_SETS_REVENUE = f"""
+SELECT n_name, c_mktsegment,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "revenue")}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+ORDER BY g_nation, g_segment, n_name, c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# value_histogram — numeric profiling: fixed-width histogram of
+# l_extendedprice by integer bucketing (floor(x / width)).  Bucketing is
+# a map-side expression; one partial+final agg — the standard
+# data-profiling pass before outlier clipping at 100 TB.  All bucket
+# arithmetic is single-rounded IEEE (one divide, one floor), so bucket
+# assignment is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 5000.0
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / _HIST_WIDTH).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_VALUE_HISTOGRAM = f"""
+SELECT CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — cohort analysis over the event stream: users
+# bucketed by first-seen week, distinct-user counts per (cohort week,
+# week offset).  ONE shuffle keyed on user_id computes the per-user
+# first-seen week as a window min (no self-join of the event table),
+# then one agg keyed on (cohort, offset).  Week truncation is ISO-Monday
+# in both engines; offsets are exact multiples of 7 days, so the
+# division is integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w)).cast("date")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            # ISO string, not DATE: engines render date columns through
+            # different host types (datetime.date vs datetime64) and the
+            # driver hashes stringified values
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(week, cohort) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+O_RETENTION_COHORTS = """
+WITH cohorts AS (
+  SELECT user_id, ts,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS DATE) AS cw,
+         CAST(date_trunc('week', ts) AS DATE) AS event_week
+  FROM events
+  WHERE user_id IS NOT NULL
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, event_week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cohorts
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
 """
 
 SPECS = [
@@ -1559,4 +1811,19 @@ SPECS = [
     QuerySpec("props_json_stats", q_props_json_stats, O_PROPS_JSON_STATS),
     QuerySpec("revenue_deciles", q_revenue_deciles, O_REVENUE_DECILES),
     QuerySpec("name_fuzzy_match", q_name_fuzzy_match, O_NAME_FUZZY_MATCH),
+    QuerySpec(
+        "grouping_sets_revenue",
+        q_grouping_sets_revenue,
+        O_GROUPING_SETS_REVENUE,
+    ),
+    QuerySpec("value_histogram", q_value_histogram, O_VALUE_HISTOGRAM),
+    QuerySpec("retention_cohorts", q_retention_cohorts, O_RETENTION_COHORTS),
+    QuerySpec(
+        "latest_event_per_user",
+        q_latest_event_per_user,
+        O_LATEST_EVENT_PER_USER,
+    ),
+    QuerySpec(
+        "waiting_suppliers", q_waiting_suppliers, O_WAITING_SUPPLIERS
+    ),
 ]

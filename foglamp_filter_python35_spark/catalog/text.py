@@ -286,6 +286,243 @@ GROUP BY lang_label, lang_pred
 ORDER BY lang_label, lang_pred
 """
 
+# --- composite corpus quality gate: dedup-canonical + language QA +
+# length bounds + quality threshold in one pass, each doc reporting the
+# FIRST gate it fails.  The only shuffle is the fingerprint window (the
+# exact-dedup key, so at scale this piggybacks on that partitioning).
+
+_LANGPRED_SQL = """CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            ELSE 'en' END"""
+
+
+def q_corpus_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.corpus_prefilter(docs).orderBy("doc_id")
+
+
+O_CORPUS_PREFILTER = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) * 0.5
+         + LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                 1.0) * 0.5 AS q,
+         {_LANGPRED_SQL} AS lp,
+         md5(array_to_string(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''), ' ')) AS fp
+  FROM documents
+),
+canon AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM feats
+)
+SELECT doc_id,
+       CASE WHEN doc_id <> canon_id THEN 'duplicate'
+            WHEN lp <> lang THEN 'lang_mismatch'
+            WHEN nt < {T.PREFILTER_MIN_TOKENS} THEN 'too_short'
+            WHEN nt > {T.PREFILTER_MAX_TOKENS} THEN 'too_long'
+            WHEN q < {T.PREFILTER_MIN_QUALITY} THEN 'low_quality'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN doc_id <> canon_id THEN 'duplicate'
+             WHEN lp <> lang THEN 'lang_mismatch'
+             WHEN nt < {T.PREFILTER_MIN_TOKENS} THEN 'too_short'
+             WHEN nt > {T.PREFILTER_MAX_TOKENS} THEN 'too_long'
+             WHEN q < {T.PREFILTER_MIN_QUALITY} THEN 'low_quality'
+             ELSE 'keep' END) = 'keep' AS keep
+FROM canon
+ORDER BY doc_id
+"""
+
+# --- deterministic stratified downsampling: rebalance the corpus by
+# keeping a per-language percentage, membership a pure function of the
+# doc id (md5 bucket) — a map-side scan predicate, stable across runs,
+# engines, and partitionings.  The classic "downsample the dominant
+# language" step before training-mix assembly.
+
+_SAMPLE_RATES = {"en": 15}
+_SAMPLE_DEFAULT = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        T.stratified_sample_pct(
+            docs, "lang", "doc_id", _SAMPLE_RATES, _SAMPLE_DEFAULT
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+O_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+WHERE b < (CASE WHEN lang = 'en' THEN {_SAMPLE_RATES["en"]}
+                ELSE {_SAMPLE_DEFAULT} END)
+ORDER BY doc_id
+"""
+
+# --- PII-style redaction: digit runs collapse to a placeholder, with an
+# audit count of redactions.  customer names carry the digit runs in
+# this corpus; the same operator applies to any text column.  DuckDB's
+# regexp_replace needs the 'g' flag for replace-all (Spark's default).
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            T.mask_digits("c_name").alias("masked_name"),
+            T.digit_run_count("c_name").alias("n_digit_runs"),
+        )
+        .filter(F.col("n_digit_runs") > 0)
+        .orderBy("c_custkey")
+    )
+
+
+O_PII_REDACT = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS masked_name,
+       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT)
+         AS n_digit_runs
+FROM customer
+WHERE len(regexp_extract_all(c_name, '[0-9]+')) > 0
+ORDER BY c_custkey
+"""
+
+# --- eval-set contamination detection: count each training doc's
+# distinct 5-gram collisions with a benchmark set (docs 0-9 stand in for
+# the held-out eval corpus).  The benchmark shingle set is tiny ->
+# broadcast; the corpus side is a map-side shingle explode + one
+# doc-keyed agg — never a corpus self-join.  At 100 TB the benchmark set
+# is the real eval suite loaded as a side table.
+
+_CONTAM_N = 5
+_BENCH_MAX_ID = 10
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.dedup import (  # noqa: PLC0415
+        shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=_CONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_doc_shingles")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_contaminated"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_doc_shingles",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_doc_shingles")
+            ).alias("contamination_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_BENCHMARK_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - {_CONTAM_N - 2}),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                     || ts[i+3] || ' ' || ts[i+4]))) AS shingle
+  FROM toks WHERE len(ts) >= {_CONTAM_N}
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_MAX_ID}),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {_BENCH_MAX_ID}),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_doc_shingles
+  FROM corpus GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(DISTINCT c.shingle) AS BIGINT)
+           AS n_contaminated
+  FROM corpus c JOIN bench USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, n_contaminated, n_doc_shingles,
+       CAST(n_contaminated AS DOUBLE) / n_doc_shingles
+         AS contamination_ratio
+FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id
+"""
+
+# --- intra-document repetition score (Gopher-style quality signal):
+# 1 - distinct_bigrams / total_bigrams.  Pure array expressions —
+# map-side, shuffle-free; integer counts divide once in double, so the
+# score is bit-deterministic.
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.dedup import (  # noqa: PLC0415
+        word_ngrams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        (F.size(ts) - 1).cast("bigint").alias("n_bigrams"),
+        F.size(word_ngrams(ts, 2)).cast("bigint").alias(
+            "n_distinct_bigrams"
+        ),
+    ).filter(F.col("n_bigrams") >= 1)
+    return base.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams")
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+O_DOC_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CAST(len(ts) - 1 AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT)
+         AS n_distinct_bigrams,
+       1.0 - CAST(len(list_distinct(list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i+1]))) AS DOUBLE) / (len(ts) - 1)
+         AS rep_ratio
+FROM t
+WHERE len(ts) - 1 >= 1
+ORDER BY doc_id
+"""
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
@@ -297,4 +534,13 @@ SPECS = [
     QuerySpec("train_test_split", q_train_test_split, O_TRAIN_TEST_SPLIT),
     QuerySpec("doc_chunking", q_doc_chunking, O_DOC_CHUNKING),
     QuerySpec("lang_mismatch", q_lang_mismatch, O_LANG_MISMATCH),
+    QuerySpec("corpus_prefilter", q_corpus_prefilter, O_CORPUS_PREFILTER),
+    QuerySpec("stratified_sample", q_stratified_sample, O_STRATIFIED_SAMPLE),
+    QuerySpec("pii_redact", q_pii_redact, O_PII_REDACT),
+    QuerySpec(
+        "benchmark_contamination",
+        q_benchmark_contamination,
+        O_BENCHMARK_CONTAMINATION,
+    ),
+    QuerySpec("doc_repetition", q_doc_repetition, O_DOC_REPETITION),
 ]

@@ -18,7 +18,13 @@ from foglamp_filter_python35_spark.functions import similarity as S
 _QUERY_ID = 0
 _K = 10
 _DUP_THRESHOLD = 0.4
-_N_CENTROIDS = 8
+# Coarse-quantizer cell count for the IVF queries.  Cell-pruned pair
+# generation is quadratic IN CELL SIZE (n/k per cell -> n^2/k pairs
+# total), so k is the pruning dial: 16 cells cut candidate pairs ~2x vs
+# 8 with the same exact-verify contract.  At 100 TB k grows with corpus
+# (k ~ sqrt(n) keeps cells constant-size) and assignment is a stored
+# column written at ingest.
+_N_CENTROIDS = 16
 
 _COS_SQL = (
     "list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -256,6 +262,66 @@ GROUP BY label, dim
 ORDER BY label, dim
 """
 
+# --- int8 quantization (the vector-index build step): l2-normalize each
+# embedding and floor-quantize to [-127, 127], emitting per-vector audit
+# stats (norm, quantized checksum, min/max).  Map-only — no shuffle; at
+# 100 TB this is the write path of a quantized ANN index.  floor (not
+# round) keeps the lattice assignment single-rounded IEEE, so Spark and
+# DuckDB agree bit-for-bit; the checksum is an exact integer sum.
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    nrm = S.norm(e)
+    q = F.transform(
+        e,
+        lambda x: F.least(
+            F.greatest(
+                F.floor(x.cast("double") * 127.0 / F.col("l2_norm")),
+                F.lit(-127),
+            ),
+            F.lit(127),
+        ),
+    )
+    return (
+        emb.select("vec_id", "embedding", nrm.alias("l2_norm"))
+        .filter(F.col("l2_norm") > 0)
+        .select(
+            "vec_id",
+            "l2_norm",
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            ).alias("q_sum"),
+            F.array_min(q).cast("bigint").alias("q_min"),
+            F.array_max(q).cast("bigint").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+O_EMBEDDING_QUANTIZE = """
+WITH n AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS l2_norm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, l2_norm,
+         list_transform(e,
+           x -> LEAST(GREATEST(floor(x * 127.0 / l2_norm), -127), 127)) AS qv
+  FROM n WHERE l2_norm > 0
+)
+SELECT vec_id, l2_norm,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
 SPECS = [
     QuerySpec("embedding_topk", q_embedding_topk, O_EMBEDDING_TOPK, headline=True),
     QuerySpec(
@@ -268,5 +334,8 @@ SPECS = [
     QuerySpec("embedding_lsh_dup", q_embedding_lsh_dup, _lsh_oracle()),
     QuerySpec(
         "embedding_centroids", q_embedding_centroids, O_EMBEDDING_CENTROIDS
+    ),
+    QuerySpec(
+        "embedding_quantize", q_embedding_quantize, O_EMBEDDING_QUANTIZE
     ),
 ]

@@ -355,7 +355,14 @@ def ngram_jaccard_pairs(
     Recall contract: a pair whose shared shingles are ALL corpus-common
     (df > max_df) is not reported — those shingles are boilerplate, not
     duplication signal, and including them makes the pair join quadratic
-    in corpus size."""
+    in corpus size.
+
+    Verify stays on the SHUFFLE path (``exact_jaccard``), not the
+    broadcast path: DF pruning bounds each join bucket but the union of
+    buckets is still O(corpus) candidate pairs (measured 1.1M pairs at
+    sf0.1 — broadcasting them with their shingle sets attached was 4.5x
+    SLOWER than the shuffle verify).  ``pair_jaccard_from_sets`` is for
+    LSH-sized candidate sets only."""
     sh = shingles(df, id_col, text_col, ngram)
     pairs = ngram_candidate_pairs(sh, id_col, max_df)
     return exact_jaccard(pairs, sh, id_col).filter(

@@ -196,6 +196,111 @@ def chunk_tokens(
     )
 
 
+def mask_digits(col: Column | str, repl: str = "<NUM>") -> Column:
+    """PII-style redaction: every digit run collapses to ``repl``.
+
+    Pure regexp_replace — JVM-side, codegen, scan-dominated at 100 TB.
+    The pattern sticks to POSIX-portable syntax (``[0-9]+``) so the same
+    literal runs identically under Java regex and RE2-based engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[0-9]+", repl)
+
+
+def digit_run_count(col: Column | str) -> Column:
+    """How many digit runs ``mask_digits`` would redact (audit column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit("[0-9]+"), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+#: corpus_prefilter thresholds — one place so the oracle SQL and any
+#: caller share them.
+PREFILTER_MIN_TOKENS = 20
+PREFILTER_MAX_TOKENS = 400
+PREFILTER_MIN_QUALITY = 0.35
+
+
+def corpus_prefilter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_tokens: int = PREFILTER_MIN_TOKENS,
+    max_tokens: int = PREFILTER_MAX_TOKENS,
+    min_quality: float = PREFILTER_MIN_QUALITY,
+) -> DataFrame:
+    """The composite LLM-corpus quality gate: one pass deciding, per doc,
+    keep or the FIRST matching reject reason —
+
+    1. ``duplicate``      not the minimum id for its fingerprint
+    2. ``lang_mismatch``  predicted language differs from the label
+    3. ``too_short`` / ``too_long``  token count outside bounds
+    4. ``low_quality``    composite score below threshold
+    5. ``keep``
+
+    All rules are Catalyst-native; the only shuffle is the fingerprint
+    window (hash-partition by fingerprint — the same key exact dedup
+    shuffles on, so at 100 TB this pass piggybacks on the dedup
+    partitioning).  Rule order is part of the contract: each doc reports
+    the FIRST gate it fails, so counts by reason are reproducible."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("fingerprint")
+    feats = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        token_count(text_col).alias("_nt"),
+        quality_score(text_col).alias("_q"),
+        language_id(text_col).alias("_lp"),
+        fingerprint(text_col).alias("fingerprint"),
+    ).withColumn("_canon", F.min(id_col).over(w))
+    reason = (
+        F.when(F.col(id_col) != F.col("_canon"), F.lit("duplicate"))
+        .when(F.col("_lp") != F.col(lang_col), F.lit("lang_mismatch"))
+        .when(F.col("_nt") < min_tokens, F.lit("too_short"))
+        .when(F.col("_nt") > max_tokens, F.lit("too_long"))
+        .when(F.col("_q") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return feats.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+def stratified_sample_pct(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    step (e.g. keep 10% of the dominant language, all of the rare ones).
+
+    Membership is a pure function of the row id (md5 bucket mod 100 <
+    the stratum's rate), so the sample is stable across runs, engines,
+    and partitionings, and the filter is a map-side scan predicate — no
+    shuffle, no sort, trivially pushdown-friendly.  ``rates`` maps
+    stratum value -> percentage kept (0-100); absent strata keep
+    ``default_pct``."""
+    c = F.col(id_col)
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map.getItem(F.col(strata_col)), F.lit(default_pct)
+    )
+    return df.filter(bucket < rate)
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set as columns (the composable operator)."""
     return (

@@ -261,3 +261,43 @@ def test_hash_split_is_deterministic_and_partitions(spark):
     frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
     assert set(frac) == {"train", "val", "test"}
     assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2
+
+
+def test_fuzzy_block_cap_not_binding_at_test_scale(spark):
+    # the block-size cap in name_fuzzy_match is a structural guard against
+    # vocabulary-keyed blocks growing with the corpus; at the test SFs no
+    # block may reach it, so the cap provably does not change results
+    from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.catalog.relational import (
+        _FUZZY_MAX_BLOCK,
+    )
+
+    part = load(spark, "/root/testdata/sf0.01", "part")
+    biggest = (
+        part.select("p_name")
+        .distinct()
+        .groupBy(F.element_at(F.split("p_name", " "), -1).alias("block"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest < _FUZZY_MAX_BLOCK
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from foglamp_filter_python35_spark.functions.text import (
+        stratified_sample_pct,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample_pct(df, "lang", "doc_id", {"en": 20}, 100)
+    rows = out.collect()
+    again = set(r.doc_id for r in out.repartition(7).collect())
+    assert set(r.doc_id for r in rows) == again  # partitioning-independent
+    n_en = sum(1 for r in rows if r.lang == "en")
+    n_de = sum(1 for r in rows if r.lang == "de")
+    assert n_de == 800  # default rate keeps every non-en row
+    assert 0.12 < n_en / 3200 < 0.28  # ~20% of the en stratum
