@@ -263,7 +263,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
+def _clusters_cte() -> str:
+    """Shared CTE chain: transitive-closure components over the MinHash
+    near-dup pairs, ending in a ``comp(doc_id, component)`` CTE."""
     return f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM ({_minhash_pairs_sql()}) p
@@ -277,12 +279,76 @@ reach AS (
   SELECT u, v FROM edges
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
-)
-SELECT n.u AS doc_id, LEAST(n.u, MIN(r.v)) AS component
-FROM (SELECT DISTINCT u FROM edges) n
-JOIN reach r ON r.u = n.u
-GROUP BY n.u
+),
+comp AS (
+  SELECT n.u AS doc_id, LEAST(n.u, MIN(r.v)) AS component
+  FROM (SELECT DISTINCT u FROM edges) n
+  JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+{_clusters_cte()}
+SELECT doc_id, component FROM comp
 ORDER BY doc_id
+"""
+
+
+# --- X2e: dedup APPLY — the materialization step closing the arc
+# detect -> cluster -> keep one canonical doc per cluster.  Losers
+# (cluster members that are not their component's minimum id) are
+# removed by LEFT ANTI join — a broadcast of the (tiny) loser list
+# against the corpus scan, then a per-source audit rollup.  At 100 TB
+# this is the pass that writes the deduplicated corpus back to storage;
+# the anti join is the only corpus-wide operation and it is map-side.
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=_THRESHOLD,
+    )
+    comp = D.connected_components(pairs, iterations=4)
+    losers = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        totals.join(kept_counts, "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_apply_oracle() -> str:
+    return f"""
+{_clusters_cte()},
+losers AS (SELECT doc_id FROM comp WHERE component <> doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -295,4 +361,5 @@ SPECS = [
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
     QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
     QuerySpec("dedup_clusters", q_dedup_clusters, _clusters_oracle()),
+    QuerySpec("dedup_apply", q_dedup_apply, _dedup_apply_oracle()),
 ]

@@ -58,9 +58,91 @@ FROM documents
 ORDER BY doc_id
 """
 
+# --- resize: the 1:1 Arrow transform.  The stand-in decoder strides the
+# payload bytes to ~target-area length; the oracle reproduces the stride
+# arithmetic in SQL (payloads are utf8 text bytes and the corpus is
+# ASCII, so byte positions == character positions) and compares via
+# md5 + length, not raw binary (engines render BLOBs differently).
+
+_RS_W, _RS_H = 32, 32
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
+    resized = M.resize(docs, _RS_W, _RS_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("resized_payload").cast("bigint").alias("n_resized_bytes"),
+        F.md5("resized_payload").alias("resized_digest"),
+    ).orderBy("doc_id")
+
+
+_RS_TARGET = _RS_W * _RS_H
+# python payload[::stride][:target] == chars at 1-indexed positions
+# 1 + i*stride for i in [0, target) while that position <= len
+_RS_STRIDE = f"GREATEST(1, LENGTH(text) // {_RS_TARGET})"
+_RS_SLICE = f"""array_to_string(
+  list_transform(
+    list_filter(range(0, {_RS_TARGET}),
+                i -> 1 + i * {_RS_STRIDE} <= LENGTH(text)),
+    i -> substring(text, CAST(1 + i * {_RS_STRIDE} AS INTEGER), 1)), '')"""
+
+O_MULTIMODAL_RESIZE = f"""
+SELECT doc_id,
+       CAST({_RS_W} AS INTEGER) AS width,
+       CAST({_RS_H} AS INTEGER) AS height,
+       CAST(LENGTH({_RS_SLICE}) AS BIGINT) AS n_resized_bytes,
+       md5({_RS_SLICE}) AS resized_digest
+FROM documents
+ORDER BY doc_id
+"""
+
+# --- frame sampling: the 1->N Arrow fan-out.  n_frames comes from the
+# pseudo-decode digest byte (as in the features oracle); frame i is the
+# byte-stride slice payload[i::n].
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
+    frames = M.sample_frames(docs)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_payload").cast("bigint").alias("n_frame_bytes"),
+        F.md5("frame_payload").alias("frame_digest"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+_NF = f"(1 + {_byte(2)} % 8)"
+# python payload[i::n] == chars at 1-indexed positions i+1, i+1+n, ...
+_FRAME_SLICE = f"""array_to_string(
+  list_transform(
+    range(0, CAST(ceil((LENGTH(text) - frame_idx) / nf) AS BIGINT)),
+    j -> substring(text, CAST(frame_idx + 1 + j * nf AS INTEGER), 1)), '')"""
+
+O_MULTIMODAL_FRAMES = f"""
+WITH n AS (
+  SELECT doc_id, text, {_NF} AS nf FROM documents
+),
+fanned AS (
+  SELECT doc_id, text, nf,
+         CAST(unnest(range(0, nf)) AS INTEGER) AS frame_idx
+  FROM n
+)
+SELECT doc_id, frame_idx,
+       CAST(LENGTH({_FRAME_SLICE}) AS BIGINT) AS n_frame_bytes,
+       md5({_FRAME_SLICE}) AS frame_digest
+FROM fanned
+ORDER BY doc_id, frame_idx
+"""
+
 SPECS = [
     QuerySpec("multimodal_meta", q_multimodal_meta, O_MULTIMODAL_META),
     QuerySpec(
         "multimodal_features", q_multimodal_features, O_MULTIMODAL_FEATURES
     ),
+    QuerySpec("multimodal_resize", q_multimodal_resize, O_MULTIMODAL_RESIZE),
+    QuerySpec("multimodal_frames", q_multimodal_frames, O_MULTIMODAL_FRAMES),
 ]

@@ -488,11 +488,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
-    base = docs.select(
+    # tokens MUST be a projected column, not an inline split(): Spark
+    # does not CSE inside higher-order-function lambdas, so an inlined
+    # split re-executes per array element (measured ~3x faster here)
+    toks = docs.select("doc_id", F.split("text", " ").alias("_ts"))
+    base = toks.select(
         "doc_id",
-        (F.size(ts) - 1).cast("bigint").alias("n_bigrams"),
-        F.size(word_ngrams(ts, 2)).cast("bigint").alias(
+        (F.size("_ts") - 1).cast("bigint").alias("n_bigrams"),
+        F.size(word_ngrams(F.col("_ts"), 2)).cast("bigint").alias(
             "n_distinct_bigrams"
         ),
     ).filter(F.col("n_bigrams") >= 1)

@@ -228,3 +228,44 @@ def test_scalar_subquery_shapes_are_single_row_broadcasts(spark):
         plan = E.formatted_plan(q(spark, SF))
         assert "CartesianProduct" not in plan
         assert "Broadcast" in plan
+
+
+def test_corpus_prefilter_single_shuffle(spark):
+    # every rule except the fingerprint window is map-side; the whole
+    # quality gate must cost exactly ONE exchange (the window's hash
+    # partition on fingerprint)
+    from foglamp_filter_python35_spark.catalog.text import (
+        q_corpus_prefilter,
+    )
+
+    df = q_corpus_prefilter(spark, SF)
+    # one hashpartitioning exchange for the window + the final sort's
+    # rangepartitioning from orderBy
+    n_ex = E.shuffle_count(df)
+    assert n_ex <= 2, f"expected <=2 exchanges, plan has {n_ex}"
+    assert E.is_fully_jvm(df)
+
+
+def test_map_side_ops_have_no_shuffle(spark):
+    # stratified sampling and quantization are scan predicates /
+    # projections: no Exchange may appear before the output sort
+    from foglamp_filter_python35_spark.catalog.text import (
+        q_stratified_sample,
+    )
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_embedding_quantize,
+    )
+    from foglamp_filter_python35_spark.functions.text import (
+        stratified_sample_pct,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled = stratified_sample_pct(docs, "lang", "doc_id", {"en": 15}, 100)
+    assert E.shuffle_count(sampled) == 0
+    assert E.is_fully_jvm(sampled)
+    # catalog twins add only the deterministic output sort
+    for q in (q_stratified_sample, q_embedding_quantize):
+        df = q(spark, SF)
+        n_ex = E.shuffle_count(df)
+        assert n_ex <= 1, f"{q.__name__}: {n_ex} exchanges"
+        assert E.is_fully_jvm(df)
