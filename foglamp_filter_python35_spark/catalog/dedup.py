@@ -299,10 +299,13 @@ ORDER BY doc_id
 # --- X2e: dedup APPLY — the materialization step closing the arc
 # detect -> cluster -> keep one canonical doc per cluster.  Losers
 # (cluster members that are not their component's minimum id) are
-# removed by LEFT ANTI join — a broadcast of the (tiny) loser list
-# against the corpus scan, then a per-source audit rollup.  At 100 TB
-# this is the pass that writes the deduplicated corpus back to storage;
-# the anti join is the only corpus-wide operation and it is map-side.
+# flagged by a LEFT join against the corpus scan, then ONE per-source
+# audit rollup (the oracle's exact shape — an inner join of separate
+# total/kept aggregates would silently drop a source whose docs are ALL
+# losers).  No broadcast hint: the loser list is O(duplicate docs) —
+# unbounded at corpus scale — so AQE picks broadcast only when it fits.
+# At 100 TB this is the pass that writes the deduplicated corpus back
+# to storage.
 
 
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,22 +318,21 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = D.connected_components(pairs, iterations=4)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias("doc_id")
+        F.col("node").alias("doc_id"), F.lit(1).alias("_loser")
     )
-    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
-    totals = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
-    kept_counts = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept")
+    flagged = docs.select("doc_id", "source").join(
+        losers, "doc_id", "left"
     )
     return (
-        totals.join(kept_counts, "source")
-        .select(
-            "source",
-            "n_total",
-            "n_kept",
-            (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("_loser").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("_loser").isNull(), 0).otherwise(1)
+            ).cast("bigint").alias("n_removed"),
         )
         .orderBy("source")
     )

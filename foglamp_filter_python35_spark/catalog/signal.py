@@ -307,6 +307,11 @@ def q_deadband_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
+    # chunk size tunes parallelism vs per-group Arrow overhead: output
+    # is identical for ANY chunk size (asserted by parity with the
+    # plain-deadband oracle), so pick chunks big enough that the three
+    # grouped passes aren't overhead-bound (6h -> 24h measured 3x
+    # faster here) while still yielding far more groups than cores
     return S.deadband_chunked(
         ev,
         "value",
@@ -314,7 +319,7 @@ def q_deadband_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ORDER,
         tolerance=_DEADBAND_TOL,
         ts_col="ts",
-        chunk_micros=6 * 3600 * 1_000_000,
+        chunk_micros=24 * 3600 * 1_000_000,
     ).select("event_id", "event_type", "value")
 
 

@@ -57,6 +57,16 @@ FROM documents
 """
 
 
+#: The ONE DuckDB twin of functions.text.language_id — every oracle
+#: that needs the predicted language interpolates this, so the rule
+#: chain can never drift between oracles.
+_LANGPRED_SQL = """CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            ELSE 'en' END"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -66,13 +76,9 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_LANGUAGE_ID = """
+O_LANGUAGE_ID = f"""
 SELECT doc_id, lang AS lang_label,
-       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
-            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
-            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
-            ELSE 'en' END AS lang_pred
+       {_LANGPRED_SQL} AS lang_pred
 FROM documents
 """
 
@@ -268,20 +274,12 @@ def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_LANG_MISMATCH = """
+O_LANG_MISMATCH = f"""
 SELECT lang AS lang_label,
-       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
-            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
-            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
-            ELSE 'en' END AS lang_pred,
+       {_LANGPRED_SQL} AS lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
-WHERE lang <> (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
-                    WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
-                    WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
-                    ELSE 'en' END)
+WHERE lang <> ({_LANGPRED_SQL})
 GROUP BY lang_label, lang_pred
 ORDER BY lang_label, lang_pred
 """
@@ -290,12 +288,6 @@ ORDER BY lang_label, lang_pred
 # length bounds + quality threshold in one pass, each doc reporting the
 # FIRST gate it fails.  The only shuffle is the fingerprint window (the
 # exact-dedup key, so at scale this piggybacks on that partitioning).
-
-_LANGPRED_SQL = """CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
-            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
-            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
-            ELSE 'en' END"""
 
 
 def q_corpus_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,21 +312,19 @@ WITH feats AS (
 ),
 canon AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM feats
+),
+gated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id <> canon_id THEN 'duplicate'
+              WHEN lp <> lang THEN 'lang_mismatch'
+              WHEN nt < {T.PREFILTER_MIN_TOKENS} THEN 'too_short'
+              WHEN nt > {T.PREFILTER_MAX_TOKENS} THEN 'too_long'
+              WHEN q < {T.PREFILTER_MIN_QUALITY} THEN 'low_quality'
+              ELSE 'keep' END AS reason
+  FROM canon
 )
-SELECT doc_id,
-       CASE WHEN doc_id <> canon_id THEN 'duplicate'
-            WHEN lp <> lang THEN 'lang_mismatch'
-            WHEN nt < {T.PREFILTER_MIN_TOKENS} THEN 'too_short'
-            WHEN nt > {T.PREFILTER_MAX_TOKENS} THEN 'too_long'
-            WHEN q < {T.PREFILTER_MIN_QUALITY} THEN 'low_quality'
-            ELSE 'keep' END AS reason,
-       (CASE WHEN doc_id <> canon_id THEN 'duplicate'
-             WHEN lp <> lang THEN 'lang_mismatch'
-             WHEN nt < {T.PREFILTER_MIN_TOKENS} THEN 'too_short'
-             WHEN nt > {T.PREFILTER_MAX_TOKENS} THEN 'too_long'
-             WHEN q < {T.PREFILTER_MIN_QUALITY} THEN 'low_quality'
-             ELSE 'keep' END) = 'keep' AS keep
-FROM canon
+SELECT doc_id, reason, reason = 'keep' AS keep
+FROM gated
 ORDER BY doc_id
 """
 
@@ -448,13 +438,19 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shingle concat generated from _CONTAM_N — a hard-coded token list
+# would silently desynchronize the oracle if the constant changes (the
+# same rule _minhash_pairs_sql follows for its band selects)
+_CONTAM_CONCAT = " || ' ' || ".join(
+    f"ts[i+{j}]" if j else "ts[i]" for j in range(_CONTAM_N)
+)
+
 O_BENCHMARK_CONTAMINATION = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(ts) - {_CONTAM_N - 2}),
-                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
-                     || ts[i+3] || ' ' || ts[i+4]))) AS shingle
+                i -> {_CONTAM_CONCAT}))) AS shingle
   FROM toks WHERE len(ts) >= {_CONTAM_N}
 ),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_MAX_ID}),

@@ -132,6 +132,21 @@ def top_terms(
     )
 
 
+def md5_bucket(id_col: Column | str, mod: int = 100) -> Column:
+    """Deterministic bucket in [0, mod) as a pure function of the id:
+    15 hex chars of md5 (60 bits, fits signed 64) mod ``mod`` — stable
+    across runs, partitionings, and engines (DuckDB twin:
+    ``CAST('0x' || substring(md5(id), 1, 15) AS BIGINT) % mod``).
+    The single bucket expression behind hash_split AND
+    stratified_sample_pct, so the two can never drift apart."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
 def hash_split(
     id_col: Column | str,
     train_pct: int = 80,
@@ -141,16 +156,8 @@ def hash_split(
 
     The split must be a pure function of the id — stable across runs,
     partitionings, and engines — so shuffling-based sampling is out.
-    15 hex chars of md5 (60 bits, fits signed 64) mod 100 gives the
-    bucket; the same arithmetic is expressible in any engine
-    (DuckDB: CAST('0x' || substring(md5(id), 1, 15) AS BIGINT)).
     """
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    bucket = (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket(id_col)
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -286,19 +293,16 @@ def stratified_sample_pct(
     shuffle, no sort, trivially pushdown-friendly.  ``rates`` maps
     stratum value -> percentage kept (0-100); absent strata keep
     ``default_pct``."""
-    c = F.col(id_col)
-    bucket = (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
     rate_map = F.create_map(
         *[F.lit(x) for kv in rates.items() for x in kv]
     )
+    # try_element_at, not element_at/getItem: a stratum absent from the
+    # map must yield NULL -> default_pct (ANSI mode throws on missing
+    # map keys, and Column-key getItem is deprecated)
     rate = F.coalesce(
-        rate_map.getItem(F.col(strata_col)), F.lit(default_pct)
+        F.try_element_at(rate_map, F.col(strata_col)), F.lit(default_pct)
     )
-    return df.filter(bucket < rate)
+    return df.filter(md5_bucket(id_col) < rate)
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
