@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 @dataclass(frozen=True)
@@ -36,8 +36,13 @@ class QuerySpec:
 
 # driver testdata stores timestamps as parquet TIMESTAMP(NANOS), which
 # Spark cannot read natively; with spark.sql.legacy.parquet.nanosAsLong
-# they surface as nano-precision longs and are rebuilt here.
-_NANO_TS_COLUMNS = {
+# they surface as nano-precision longs and are rebuilt here.  Newer
+# testdata drops store TIMESTAMP(MICROS) without a UTC annotation, which
+# Spark 4 reads as TIMESTAMP_NTZ; every catalog query (and the round-1
+# driver-green baseline) expects session-tz TIMESTAMP, so both shapes are
+# normalized to it — with the session tz pinned to UTC the NTZ->LTZ cast
+# relabels the same instant and is deterministic.
+_TS_COLUMNS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
@@ -51,11 +56,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    for c in _NANO_TS_COLUMNS.get(table, ()):
+    for c in _TS_COLUMNS.get(table, ()):
         field = df.schema[c]
         if isinstance(field.dataType, LongType):
             # integer div — float division would lose precision on e18 nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -104,10 +111,11 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup as _dedup,
         vector as _vec,
         multimodal as _mm,
+        pipeline as _pipe,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (_ev, _rel, _sig, _text, _dedup, _vec, _mm):
+    for mod in (_ev, _rel, _sig, _text, _dedup, _vec, _mm, _pipe):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")

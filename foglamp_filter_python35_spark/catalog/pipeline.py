@@ -1,0 +1,424 @@
+"""LLM-corpus pipeline operators, round 2 additions (SURVEY.md §2.6 G49+).
+
+Seven training-data-preparation shapes a 100 TB corpus run needs beyond the
+dedup/similarity core: per-domain quota sampling, incremental (new-batch vs
+corpus) dedup, hopping-window rates, BM25-style keyword retrieval, bigram
+association mining (PMI lift), text normalization, and conversion-latency
+quantiles.  All Catalyst-native — no Python workers anywhere in this module.
+
+Cross-engine float policy: BM25 and PMI deliberately use *rational* weights
+(no ``ln``) because transcendental functions are not bit-reproducible
+between the JVM and DuckDB's libm, while +,-,*,/ are IEEE-754
+exact-rounded and deterministic.  Rational idf ``(N-df+.5)/(df+.5)`` and
+PMI lift ``P(ab)/(P(a)P(b))`` are strictly monotone in the textbook
+``ln``-scores, so rankings are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import QuerySpec, dsum, load, o_dsum
+from foglamp_filter_python35_spark.functions import text as T
+
+# DuckDB twin of functions.text.fingerprint — kept in ONE place here so the
+# incremental-dedup oracle cannot drift from the Spark fingerprint.
+_FP_SQL = (
+    "md5(array_to_string(list_filter("
+    "string_split_regex(lower(text), '\\s+'), t -> t <> ''), ' '))"
+)
+
+
+# --- G49: per-domain quota sampling -------------------------------------
+# Cap the number of documents any one source/domain contributes, picked
+# deterministically by md5(doc_id) so reruns select the same rows.  At
+# 100 TB this is ONE shuffle keyed on source; a pathologically hot domain
+# can be pre-thinned map-side with an md5-threshold predicate (keep rows
+# whose md5 < k/n_domain estimate) before the exact windowed trim, so the
+# shuffle never carries more than ~quota rows per domain.
+
+_DOMAIN_QUOTA = 10
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= _DOMAIN_QUOTA)
+        .select("doc_id", "source", "pick_rank")
+    )
+
+
+O_DOMAIN_QUOTA_SAMPLE = f"""
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {_DOMAIN_QUOTA}
+"""
+
+
+# --- G50: incremental dedup (new batch vs existing corpus) ---------------
+# The steady-state ingest shape: only documents whose fingerprint is NOT
+# already in the corpus survive.  Modeled here by a deterministic 80/20
+# doc_id split standing in for corpus/incoming.  At scale this is a
+# shuffle hash ANTI join on the 16-byte fingerprint; bucketing the stored
+# corpus fingerprints by fp makes the recurring join shuffle-free on the
+# corpus side (only the small incoming batch moves).
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    return incoming.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+O_INCREMENTAL_DEDUP = f"""
+WITH fps AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)
+SELECT i.doc_id, i.fingerprint
+FROM fps i
+WHERE i.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM fps c
+                  WHERE c.doc_id % 10 < 8
+                    AND c.fingerprint = i.fingerprint)
+"""
+
+
+# --- G51: hopping-window rates (2 h window, 1 h slide) -------------------
+# Structured Streaming's hopping window in its batch twin: every event
+# lands in exactly two windows (width/slide = 2), so the oracle unnests
+# the two window starts per event.  Spark aligns hop windows to the epoch,
+# i.e. starts are exactly date_trunc('hour', ts) and that minus 1 h.
+# Map-side partial aggregation halves the shuffle; the shuffle key is
+# (window, event_type).
+
+
+def q_sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+O_SLIDING_WINDOW_RATE = f"""
+WITH hits AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS w_start,
+         event_type, value
+  FROM events)
+SELECT w_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {o_dsum("value", "total_value")}
+FROM hits
+GROUP BY w_start, event_type
+"""
+
+
+# --- G52: BM25-style keyword retrieval ----------------------------------
+# Top-k documents for a fixed keyword query.  Corpus stats (N, avgdl, per-
+# term df) are ONE aggregate row broadcast to every scorer task, so the
+# whole query is scan + one tiny agg + map-side scoring + TakeOrdered:
+# no per-term shuffle, 100 TB-safe.  k1 = 1.2, b = 0.75; idf is the
+# rational (N-df+0.5)/(df+0.5) — see module docstring for why no ln.
+
+_BM25_TERMS = ("table", "scan", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    docs = docs.withColumn("dl", F.size("toks").cast("double"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        # exact decimal sum of integer lengths -> deterministic avgdl
+        F.sum(F.size("toks").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    k1, b = _BM25_K1, _BM25_B
+    score = F.lit(0.0)
+    for i, t in enumerate(_BM25_TERMS):
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(t))).cast("double")  # noqa: B023
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (
+            F.col(f"df_{i}") + 0.5
+        )
+        denom = tf + k1 * ((1.0 - b) + b * (F.col("dl") / avgdl))
+        score = score + idf * ((tf * (k1 + 1.0)) / denom)
+    return (
+        scored.select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+def _o_bm25_term(i: int, t: str) -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+    idf = f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    denom = f"({tf} + {k1} * (({1.0 - b}) + {b} * (dl / (sum_dl / n_docs))))"
+    return f"({idf} * (({tf} * {k1 + 1.0}) / {denom}))"
+
+
+O_BM25_RETRIEVAL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(CAST(len(toks) AS DECIMAL(38,6))) AS DOUBLE) AS sum_dl,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 "
+             f"END) AS DOUBLE) AS df_{i}"
+             for i, t in enumerate(_BM25_TERMS)
+         )}
+  FROM docs)
+SELECT doc_id,
+       (0.0 + {" + ".join(_o_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))})
+         AS bm25
+FROM docs CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+# --- G53: bigram association mining (PMI lift) ---------------------------
+# Which token pairs co-occur far above chance — collocation discovery for
+# tokenizer/quality audits.  lift = P(ab) / (P(a) P(b)), the exact
+# exponential of textbook PMI, computed with the identical parenthesization
+# on both engines.  Two hash aggs (unigrams, bigrams) + two joins on token;
+# at 100 TB the unigram side is vocabulary-sized and AQE broadcasts it.
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("_ts")).filter(
+        F.size("_ts") >= 2
+    )
+    # raw (non-distinct) adjacent pairs — PMI needs occurrence counts
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("_ts", i).alias("w1"),
+                    F.element_at("_ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    totals = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("t_b")
+    ).crossJoin(
+        uni.agg(F.sum("c_u").cast("double").alias("t_u"))
+    )
+    u1 = uni.select(
+        F.col("token").alias("w1"), F.col("c_u").alias("c_a")
+    )
+    u2 = uni.select(
+        F.col("token").alias("w2"), F.col("c_u").alias("c_b")
+    )
+    lift = (F.col("c_ab").cast("double") / F.col("t_b")) / (
+        (F.col("c_a").cast("double") / F.col("t_u"))
+        * (F.col("c_b").cast("double") / F.col("t_u"))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_ab").alias("pair_count"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram"))
+        .limit(_PMI_TOPK)
+    )
+
+
+O_TOKEN_PMI = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                i -> {{'w1': ts[i], 'w2': ts[i+1]}})) AS p
+  FROM toks),
+flat AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs),
+uni AS (
+  SELECT token, COUNT(*) AS c_u
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM flat GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+totals AS (
+  SELECT CAST((SELECT COUNT(*) FROM flat) AS DOUBLE) AS t_b,
+         CAST((SELECT SUM(c_u) FROM uni) AS DOUBLE) AS t_u)
+SELECT bi.w1 || ' ' || bi.w2 AS bigram,
+       bi.c_ab AS pair_count,
+       ((CAST(bi.c_ab AS DOUBLE) / t_b)
+        / ((CAST(u1.c_u AS DOUBLE) / t_u)
+           * (CAST(u2.c_u AS DOUBLE) / t_u))) AS lift
+FROM bi
+JOIN uni u1 ON u1.token = bi.w1
+JOIN uni u2 ON u2.token = bi.w2
+CROSS JOIN totals
+ORDER BY lift DESC, bigram
+LIMIT {_PMI_TOPK}
+"""
+
+
+# --- G54: text normalization --------------------------------------------
+# Canonical form for downstream dedup/tokenization: lowercase, collapse
+# whitespace runs, trim.  Pure map — scan-bound, shuffle-free, pushdown
+# keeps it a two-column read.
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.when(norm != F.col("text"), 1).otherwise(0)
+        .cast("bigint")
+        .alias("changed"),
+        (F.length("text") - F.length(norm)).cast("bigint").alias("chars_saved"),
+    )
+
+
+O_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS BIGINT)
+         AS changed,
+       CAST(LENGTH(text) - LENGTH(norm_text) AS BIGINT) AS chars_saved
+FROM n
+"""
+
+
+# --- G55: conversion-latency quantiles ----------------------------------
+# How long after first signup does the first (post-signup) purchase land.
+# Complements event_funnel (which counts conversions) with the latency
+# distribution.  One user-keyed shuffle, then a single-row exact-percentile
+# agg; at 100 TB swap F.percentile for approx_percentile and keep the
+# identical plan shape.
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("first_signup"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    lat = per_user.filter(
+        F.col("first_signup").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_signup")
+        ).alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("lat_us", 0.5).alias("p50_us"),
+        F.percentile("lat_us", 0.9).alias("p90_us"),
+    )
+
+
+O_CONVERSION_LATENCY = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id),
+lat AS (
+  SELECT CAST(epoch_us(first_purchase) - epoch_us(first_signup) AS BIGINT)
+           AS lat_us
+  FROM per_user
+  WHERE first_signup IS NOT NULL AND first_purchase >= first_signup)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat_us, 0.5) AS p50_us,
+       quantile_cont(lat_us, 0.9) AS p90_us
+FROM lat
+"""
+
+
+SPECS = [
+    QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
+    QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
+    QuerySpec(
+        "sliding_window_rate", q_sliding_window_rate, O_SLIDING_WINDOW_RATE
+    ),
+    QuerySpec("bm25_retrieval", q_bm25_retrieval, O_BM25_RETRIEVAL, headline=True),
+    QuerySpec("token_pmi", q_token_pmi, O_TOKEN_PMI),
+    QuerySpec("text_normalize", q_text_normalize, O_TEXT_NORMALIZE),
+    QuerySpec("conversion_latency", q_conversion_latency, O_CONVERSION_LATENCY),
+]

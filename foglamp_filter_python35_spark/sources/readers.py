@@ -43,7 +43,11 @@ def read_readings_parquet(spark: SparkSession, path: str) -> DataFrame:
     float division loses precision on e18 nanos); after the rebuild every
     column's dtype is validated against READING_SCHEMA, not just its
     name."""
-    from pyspark.sql.types import LongType, TimestampType  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     df = read_parquet(spark, path)
     missing = [f.name for f in READING_SCHEMA.fields if f.name not in df.columns]
@@ -58,6 +62,12 @@ def read_readings_parquet(spark: SparkSession, path: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, TimestampType) and isinstance(
+            actual, TimestampNTZType
+        ):
+            # TIMESTAMP(MICROS) without UTC annotation reads as NTZ in
+            # Spark 4; session tz is pinned UTC so the relabel is exact
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     df = df.select(*[f.name for f in READING_SCHEMA.fields])
     mismatched = [
         (f.name, str(df.schema[f.name].dataType), str(f.dataType))

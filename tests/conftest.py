@@ -15,6 +15,25 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def fix_event_ts(df):
+    """Normalize the events ``ts`` column to session-tz TIMESTAMP.
+
+    Handles both testdata generations: TIMESTAMP(NANOS) read as nano longs
+    under ``nanosAsLong`` (rebuilt with integer div), and TIMESTAMP(MICROS)
+    without a UTC annotation, which Spark 4 reads as TIMESTAMP_NTZ (relabel
+    cast is exact with the session tz pinned UTC).  Works on both batch and
+    streaming DataFrames — mirrors catalog.load."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(

@@ -9,6 +9,7 @@ import textwrap
 import pytest
 
 from foglamp_filter_python35_spark.config import FilterConfig
+from tests.conftest import fix_event_ts
 from foglamp_filter_python35_spark.datamodel import events_to_readings
 from foglamp_filter_python35_spark.registry import (
     REGISTRY,
@@ -45,7 +46,7 @@ def _events_readings(spark):
     import pyspark.sql.functions as F
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = fix_event_ts(ev)
     return events_to_readings(ev)
 
 

@@ -23,6 +23,7 @@ from foglamp_filter_python35_spark.streaming.pipeline import (
     windowed_rollup,
 )
 import foglamp_filter_python35_spark.operators.readings  # noqa: F401 (registers)
+from tests.conftest import fix_event_ts
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +38,7 @@ def events_stream_dir(tmp_path_factory):
 def _readings_stream(spark, events_stream_dir):
     raw_schema = spark.read.parquet(events_stream_dir).schema
     ev = spark.readStream.schema(raw_schema).parquet(events_stream_dir)
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = fix_event_ts(ev)
     return events_to_readings(ev)
 
 
@@ -130,8 +131,7 @@ def test_windowed_rollup_stream_matches_batch(
         (r["window_start"], r["asset_code"]): r["n_readings"]
         for r in spark.sql("SELECT * FROM rollup_out").collect()
     }
-    batch_readings = events_to_readings(spark.read.parquet(events_stream_dir)
-                                        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    batch_readings = events_to_readings(fix_event_ts(spark.read.parquet(events_stream_dir)))
     want = {
         (r["window_start"], r["asset_code"]): r["n_readings"]
         for r in windowed_rollup(batch_readings, window="1 hour").collect()
@@ -160,7 +160,7 @@ def test_stateful_buffer_accumulates_across_batches(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = fix_event_ts(ev)
     readings = events_to_readings(ev)
     out = stateful_buffer_counts(readings)
     q = (
@@ -205,7 +205,7 @@ def _two_file_stream(spark, events_stream_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = fix_event_ts(ev)
     return events_to_readings(ev)
 
 
@@ -416,8 +416,7 @@ def test_session_rollup_stream_matches_batch(
         for r in spark.sql("SELECT * FROM session_out").collect()
     }
     batch_readings = events_to_readings(
-        spark.read.parquet(events_stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        fix_event_ts(spark.read.parquet(events_stream_dir))
     )
     want = {
         (r["session_start"], r["session_end"], r["asset_code"]): r["n_readings"]
@@ -451,7 +450,7 @@ def test_stream_dedup_drops_cross_batch_duplicates(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = fix_event_ts(ev)
     readings = events_to_readings(ev)
     out = stream_dedup(readings, keys=["id"], watermark="10 minutes")
     q = (
@@ -471,8 +470,7 @@ def test_stream_dedup_batch_degrades_to_drop_duplicates(spark, events_stream_dir
     from foglamp_filter_python35_spark.streaming.pipeline import stream_dedup
 
     batch = events_to_readings(
-        spark.read.parquet(events_stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        fix_event_ts(spark.read.parquet(events_stream_dir))
     )
     doubled = batch.union(batch)
     assert stream_dedup(doubled, keys=["id"]).count() == 1000
@@ -493,7 +491,7 @@ def test_reconfigure_restarts_from_checkpoint(spark, tmp_path, events_stream_dir
 
     def readings():
         ev = spark.readStream.schema(raw_schema).parquet(src)
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = fix_event_ts(ev)
         return events_to_readings(ev)
 
     got: list[tuple[int, float]] = []
@@ -549,8 +547,7 @@ def test_stream_dedup_passes_null_ids_through(spark, events_stream_dir):
     from foglamp_filter_python35_spark.streaming.pipeline import stream_dedup
 
     batch = events_to_readings(
-        spark.read.parquet(events_stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        fix_event_ts(spark.read.parquet(events_stream_dir))
     )
     nulled = batch.withColumn(
         "id", F.when(F.col("id") < 100, F.lit(None)).otherwise(F.col("id"))
