@@ -162,9 +162,15 @@ def rp_lsh_near_dups(
         F.col(vec_col),
         rp_lsh_sketch(F.col(vec_col), planes, bits_per_band).alias("bands"),
     )
+    # ids-only banding: the band self-join multiplies rows by bucket
+    # volume, so shipping the vectors through it would shuffle
+    # O(candidates x dim) floats.  Join narrow (id, band) rows instead,
+    # dedupe the id pairs, then fetch each side's vector once via an
+    # id-keyed join (AQE broadcasts the vector side at small scale; at
+    # corpus scale it is a shuffle join on the 8-byte id — either way the
+    # wide arrays never ride the multiplied join).
     banded = sk.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -176,7 +182,7 @@ def rp_lsh_near_dups(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, vec_col, "band.band_id", "band.band_val")
+    ).select(id_col, "band.band_id", "band.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -189,17 +195,38 @@ def rp_lsh_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cands.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+    # per-vector norms are computed ONCE before the pair join (sqrt is
+    # IEEE-exact, so dot/(norm_a*norm_b) is bit-identical to the inline
+    # cosine) — each candidate pair then costs one dot product, not three
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("norm_b"),
+    )
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")),
+                F.col("norm_a") * F.col("norm_b"),
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
+    # a pair agreeing on k bands surfaces k times; dedup AFTER the
+    # threshold filter so the heavy shuffle dedups O(results), not
+    # O(candidates) — duplicate rows carry identical scores
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def cosine_pairs(
@@ -247,18 +274,33 @@ def ivf_cell_pairs(
     is partition-local; a jumbo cell is handled by salting the verify or
     splitting the centroid, not by widening the join."""
     assign = ivf_assign(emb, centroids, id_col, vec_col)
-    cells = emb.join(assign, id_col)
-    a = cells.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cid"
+    # the cell join multiplies rows by cell volume — keep it ids-only and
+    # fetch vectors + precomputed norms per side afterwards (one dot
+    # product per pair instead of three; sqrt is IEEE-exact so the score
+    # is bit-identical to the inline cosine)
+    a = assign.select(F.col(id_col).alias("id_a"), "cid")
+    b = assign.select(F.col(id_col).alias("id_b"), "cid")
+    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("norm_a"),
     )
-    b = cells.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cid"
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("norm_b"),
     )
     return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+            "id_a",
+            "id_b",
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")),
+                F.col("norm_a") * F.col("norm_b"),
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -269,3 +269,43 @@ def test_map_side_ops_have_no_shuffle(spark):
         n_ex = E.shuffle_count(df)
         assert n_ex <= 1, f"{q.__name__}: {n_ex} exchanges"
         assert E.is_fully_jvm(df)
+
+
+def test_pipeline_round2_plan_shapes(spark):
+    # G49-G55 scale guards: the shapes that must survive a 100x scale-up
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_bm25_retrieval,
+        q_domain_quota_sample,
+        q_incremental_dedup,
+        q_sliding_window_rate,
+        q_text_normalize,
+    )
+
+    # quota sampling: exactly one exchange (the source-keyed window)
+    df = q_domain_quota_sample(spark, SF)
+    assert E.shuffle_count(df) == 1, E.shuffle_count(df)
+    assert E.is_fully_jvm(df)
+
+    # BM25: stats row is broadcast, scoring is map-side, top-k via
+    # TakeOrdered — no cartesian, no scoring-side exchange
+    df = q_bm25_retrieval(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert E.is_fully_jvm(df)
+
+    # normalization is a pure map: zero shuffles
+    df = q_text_normalize(spark, SF)
+    assert E.shuffle_count(df) == 0
+    assert E.is_fully_jvm(df)
+
+    # hopping windows: partial agg before the (window, type) exchange
+    df = q_sliding_window_rate(spark, SF)
+    assert E.has_partial_aggregate(df)
+    assert E.is_fully_jvm(df)
+
+    # incremental dedup: an anti join, never a nested-loop product
+    df = q_incremental_dedup(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -139,6 +139,39 @@ def test_windowed_rollup_stream_matches_batch(
     assert got == want and sum(got.values()) == 1000
 
 
+def test_hopping_window_stream_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    # G51 streaming twin: 2 h window / 1 h slide — every reading lands in
+    # exactly two windows, stream and batch must agree bucket-for-bucket
+    readings = _readings_stream(spark, events_stream_dir)
+    agg = windowed_rollup(
+        readings, window="2 hours", slide="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        (r["window_start"], r["asset_code"]): r["n_readings"]
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    batch_readings = events_to_readings(
+        fix_event_ts(spark.read.parquet(events_stream_dir))
+    )
+    want = {
+        (r["window_start"], r["asset_code"]): r["n_readings"]
+        for r in windowed_rollup(
+            batch_readings, window="2 hours", slide="1 hour"
+        ).collect()
+    }
+    assert got == want and sum(got.values()) == 2000
+
+
 def test_stateful_buffer_accumulates_across_batches(
     spark, tmp_path, events_stream_dir
 ):
