@@ -88,6 +88,76 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 
 
+def read_readings_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL wire-format readings -> (valid readings, rejected lines).
+
+    The reference's ingest payload is a list of reading dicts
+    (``asset_code``/``reading``/``id``/``ts``/``user_ts`` —
+    ``python35_filter.cpp:35-119``); its JSON-ish wire shape maps to one
+    JSON object per line here.  PERMISSIVE parsing keeps a malformed line
+    as a ``_corrupt_record`` instead of failing the scan — the distributed
+    analog of the reference's error-capture contract (bad input never
+    kills the pipeline, ``plugin.cpp:338-342``) with per-line rather than
+    whole-batch granularity, because at 100 TB one broken line must not
+    reject a 128 MB split.  Returns the valid stream in canonical
+    READING_SCHEMA plus the reject stream for the caller's audit sink.
+
+    Timestamps arrive as epoch SECONDS (the reference wire uses integer
+    seconds, ``readings35.py:39-51``).
+    """
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    wire = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("asset_code", StringType()),
+            StructField("ts", LongType()),
+            StructField("user_ts", LongType()),
+            StructField("reading", MapType(StringType(), DoubleType())),
+            StructField("reading_str", MapType(StringType(), StringType())),
+            # from_json routes a malformed line's text here (PERMISSIVE);
+            # unlike the JSON *scan*, from_json allows querying it alone
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    # text + from_json instead of the JSON source's corrupt-record column:
+    # Spark refuses a scan that references ONLY _corrupt_record, and this
+    # shape hands the audit sink the raw line verbatim
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            wire,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+    )
+    corrupt = F.col("r").isNull() | F.col("r._corrupt").isNotNull()
+    bad = parsed.filter(corrupt).select("raw_line")
+    good = parsed.filter(~corrupt).select(
+        F.col("r.id").alias("id"),
+        F.col("r.asset_code").alias("asset_code"),
+        F.timestamp_seconds("r.ts").alias("ts"),
+        F.timestamp_seconds("r.user_ts").alias("user_ts"),
+        F.coalesce(
+            "r.reading", F.create_map().cast("map<string,double>")
+        ).alias("reading"),
+        F.coalesce(
+            "r.reading_str", F.create_map().cast("map<string,string>")
+        ).alias("reading_str"),
+    )
+    return good, bad
+
+
 # ---------------------------------------------------------------------------
 # streaming sources (S1)
 # ---------------------------------------------------------------------------

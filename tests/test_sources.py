@@ -134,3 +134,32 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_readings_jsonl_valid_and_corrupt_split(spark, tmp_path):
+    """S1 wire-format ingest: good lines land in READING_SCHEMA, a broken
+    line is quarantined per-line (not whole-batch) per the 100 TB note in
+    read_readings_jsonl."""
+    from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
+    from foglamp_filter_python35_spark.sources.readers import (
+        read_readings_jsonl,
+    )
+
+    p = tmp_path / "wire.jsonl"
+    p.write_text(
+        '{"id": 1, "asset_code": "lab1", "ts": 1699999999, '
+        '"user_ts": 1699999998, "reading": {"power": 5980.0}}\n'
+        '{"id": 2, "asset_code": "lab2", "ts": 1699999999, '
+        '"user_ts": 1699999998, "reading_str": {"state": "on"}}\n'
+        "{this is not json\n"
+    )
+    good, bad = read_readings_jsonl(spark, str(p))
+    rows = {r["id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    # nullability flags are advisory in Spark; names+types must match
+    assert good.schema.simpleString() == READING_SCHEMA.simpleString()
+    assert rows[1]["reading"]["power"] == 5980.0
+    assert rows[1]["reading_str"] == {}  # absent map -> empty, not null
+    assert rows[2]["reading_str"] == {"state": "on"}
+    assert rows[1]["ts"].year == 2023  # epoch seconds decoded
+    assert [r[0] for r in bad.collect()] == ["{this is not json"]
