@@ -125,6 +125,54 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
 """
 
 
+# --- X2c: asymmetric containment dedup (snippet-in-document) ---
+
+_CONTAIN_THRESHOLD = 0.9
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, threshold=_CONTAIN_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+O_DOC_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+rare AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {{max_df}}) dfreq USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM common c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_THRESHOLD}
+ORDER BY id_a, id_b
+""".replace("{max_df}", str(D.NGRAM_MAX_DF))
+
+
 # --- X2b: exact n-gram Jaccard with prefix filtering (the non-probabilistic
 # twin; same verify, candidates from shared-shingle join) ---
 
@@ -361,6 +409,7 @@ SPECS = [
         headline=True,
     ),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
+    QuerySpec("doc_containment", q_doc_containment, O_DOC_CONTAINMENT),
     QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
     QuerySpec("dedup_clusters", q_dedup_clusters, _clusters_oracle()),
     QuerySpec("dedup_apply", q_dedup_apply, _dedup_apply_oracle()),

@@ -418,6 +418,94 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.9,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT of the smaller doc in
+    the pair, ``|A ∩ B| / min(|A|, |B|)`` — catches a snippet embedded in
+    a larger document, which symmetric Jaccard misses (a 40-shingle doc
+    fully contained in a 400-shingle doc has J ≈ 0.1 but containment 1.0).
+    The standard second dedup pass of an LLM corpus pipeline.
+
+    Same DF-pruned + count-bounded architecture as
+    ``ngram_jaccard_pairs`` (same recall contract on corpus-common
+    shingles): per-pair shared-rare counts stay narrow, the upper bound
+
+        containment <= (inter_rare + min(n_common_a, n_common_b))
+                       / min(|A|, |B|)
+
+    prefilters candidates, and only survivors touch the wide set arrays.
+    """
+    sh = shingles(df, id_col, text_col, ngram)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = dfc.filter(F.col("_df") <= max_df).select("shingle")
+    pruned = sh.join(rare, "shingle")
+
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    rare_counts = pruned.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_rare")
+    )
+    stats = totals.join(rare_counts, id_col, "left").select(
+        F.col(id_col),
+        "n_total",
+        (F.col("n_total") - F.coalesce(F.col("n_rare"), F.lit(0))).alias(
+            "n_common"
+        ),
+    )
+
+    sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_rare"))
+    )
+    st_a = stats.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_total").alias("na"),
+        F.col("n_common").alias("nca"),
+    )
+    st_b = stats.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_total").alias("nb"),
+        F.col("n_common").alias("ncb"),
+    )
+    ub = (
+        F.col("inter_rare") + F.least(F.col("nca"), F.col("ncb"))
+    ).cast("double") / F.least(F.col("na"), F.col("nb"))
+    survivors = (
+        inter.join(st_a, "id_a")
+        .join(st_b, "id_b")
+        .filter(ub >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ts")
+    ).filter(F.size("_ts") >= ngram)
+    sets = base.select(
+        F.col(id_col), word_ngrams(F.col("_ts"), ngram).alias("sset")
+    )
+    s_a = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    s_b = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    n_shared = F.size(F.array_intersect("set_a", "set_b"))
+    containment = n_shared.cast("double") / F.least(
+        F.size("set_a"), F.size("set_b")
+    )
+    return (
+        survivors.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — 32-bit signature via per-bit majority vote over shingle hashes.
 # Everything is integer arithmetic on md5-derived values, JVM-side.
