@@ -122,18 +122,36 @@ def zscore_anomaly(
     (order-free); the variance/sqrt arithmetic is then plain IEEE-754 on
     identical operands, so the flag is engine-deterministic.
     Requires a full window of n readings (the warm-up rows never flag)."""
-    w = _window(partition_cols, order_cols).rowsBetween(-(n - 1), 0)
+    # A bounded sliding frame makes Spark re-aggregate the full frame per
+    # row (O(n)/row).  Decimal addition is EXACT and associative, so the
+    # sliding sum is instead the difference of two running sums:
+    # win_sum_i = run_i - run_{i-n} — two O(1)/row window passes over the
+    # same sort, bit-identical to the frame aggregate.
+    w_ord = _window(partition_cols, order_cols)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     v = F.col(value_col)
-    cnt = F.count(v).over(w)
     # scale 6 keeps the scaled integer sum < 2^53, so the decimal->double
     # cast is exact in every engine; at scale 12 the cast itself rounds
     # and engines disagree in the last bit
-    mean = F.sum(_dec(v)).over(w).cast("double") / cnt
-    msq = F.sum(_dec(v * v, 6)).over(w).cast("double") / cnt
+    zero = F.lit(0).cast("decimal(38,6)")
+    run_cnt = F.count(v).over(w_run)
+    run_v = F.sum(_dec(v)).over(w_run)
+    run_q = F.sum(_dec(v * v, 6)).over(w_run)
+    staged = df.select(
+        "*",
+        run_cnt.alias("_rc"),
+        run_v.alias("_rv"),
+        run_q.alias("_rq"),
+    )
+    cnt = F.col("_rc") - F.coalesce(F.lag("_rc", n).over(w_ord), F.lit(0))
+    win_v = F.col("_rv") - F.coalesce(F.lag("_rv", n).over(w_ord), zero)
+    win_q = F.col("_rq") - F.coalesce(F.lag("_rq", n).over(w_ord), zero)
+    mean = win_v.cast("double") / cnt
+    msq = win_q.cast("double") / cnt
     # materialize the window expressions first: Spark rejects window
     # functions inside WHERE, so the filter references the columns
     return (
-        df.withColumn("_n", cnt)
+        staged.withColumn("_n", cnt)
         .withColumn("win_mean", mean)
         .withColumn("win_var", msq - F.col("win_mean") * F.col("win_mean"))
         .filter(
@@ -144,7 +162,7 @@ def zscore_anomaly(
                 > F.lit(z) * F.sqrt(F.col("win_var"))
             )
         )
-        .drop("_n")
+        .drop("_n", "_rc", "_rv", "_rq")
     )
 
 
