@@ -107,6 +107,25 @@ def read_readings_jsonl(
     Timestamps arrive as epoch SECONDS (the reference wire uses integer
     seconds, ``readings35.py:39-51``).
     """
+    # text + from_json instead of the JSON source's corrupt-record column:
+    # Spark refuses a scan that references ONLY _corrupt_record, and this
+    # shape hands the audit sink the raw line verbatim
+    lines = spark.read.text(path)
+    return _split_reading_lines(lines)
+
+
+def stream_readings_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``read_readings_jsonl``: file-arrival micro-batch
+    ingest of the wire format, same per-line corrupt quarantine.  Each
+    returned stream is an independent query over the same source
+    (Structured Streaming tracks file progress per query)."""
+    lines = spark.readStream.format("text").load(path)
+    return _split_reading_lines(lines)
+
+
+def _split_reading_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     from pyspark.sql.types import (  # noqa: PLC0415
         DoubleType,
         LongType,
@@ -129,10 +148,6 @@ def read_readings_jsonl(
             StructField("_corrupt", StringType()),
         ]
     )
-    # text + from_json instead of the JSON source's corrupt-record column:
-    # Spark refuses a scan that references ONLY _corrupt_record, and this
-    # shape hands the audit sink the raw line verbatim
-    lines = spark.read.text(path)
     parsed = lines.select(
         F.col("value").alias("raw_line"),
         F.from_json(

@@ -163,3 +163,47 @@ def test_readings_jsonl_valid_and_corrupt_split(spark, tmp_path):
     assert rows[2]["reading_str"] == {"state": "on"}
     assert rows[1]["ts"].year == 2023  # epoch seconds decoded
     assert [r[0] for r in bad.collect()] == ["{this is not json"]
+
+
+def test_stream_readings_jsonl_good_and_bad_streams(spark, tmp_path):
+    """Streaming wire ingest: both the valid stream and the corrupt
+    quarantine stream drain the same directory independently."""
+    from foglamp_filter_python35_spark.sources.readers import (
+        stream_readings_jsonl,
+    )
+
+    d = tmp_path / "wire_in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"id": 1, "asset_code": "lab1", "ts": 1699999999, '
+        '"user_ts": 1699999998, "reading": {"power": 1.5}}\n'
+        "not json at all\n"
+    )
+    (d / "b.jsonl").write_text(
+        '{"id": 2, "asset_code": "lab2", "ts": 1699999999, '
+        '"user_ts": 1699999998, "reading": {"power": 2.5}}\n'
+    )
+    good, bad = stream_readings_jsonl(spark, str(d))
+    q1 = (
+        good.writeStream.format("memory")
+        .queryName("wire_good")
+        .option("checkpointLocation", str(tmp_path / "ck_good"))
+        .start()
+    )
+    q2 = (
+        bad.writeStream.format("memory")
+        .queryName("wire_bad")
+        .option("checkpointLocation", str(tmp_path / "ck_bad"))
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got = {r["id"]: r for r in spark.sql("SELECT * FROM wire_good").collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["reading"]["power"] == 1.5
+        rejects = [r[0] for r in spark.sql("SELECT * FROM wire_bad").collect()]
+        assert rejects == ["not json at all"]
+    finally:
+        q1.stop()
+        q2.stop()
