@@ -411,6 +411,91 @@ FROM lat
 """
 
 
+# --- G58: interval overlap join via bucketed equi-join -------------------
+# Spark has no native range join; the scale pattern is to explode each
+# interval into the fixed-width time buckets it covers and equi-join
+# events on THEIR single bucket, then apply the exact range predicate.
+# An event belongs to exactly one bucket, so a (event, interval) pair can
+# only meet once — no post-join dedup.  The interval side (error bursts)
+# is dimension-sized; its gaps-and-islands window runs unpartitioned over
+# error events only, which is the small side by construction.
+
+_BURST_GAP_S = 600
+_BUCKET_S = 3600
+
+
+def q_error_burst_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
+    w = Window.orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_b = F.when(gap > _BURST_GAP_S, 1).otherwise(0)
+    isl = F.sum(new_b).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bursts = (
+        err.withColumn("island", isl)
+        .groupBy("island")
+        .agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    )
+    ib = bursts.select(
+        "b_start",
+        "b_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("b_start") / _BUCKET_S),
+                F.floor(F.unix_timestamp("b_end") / _BUCKET_S),
+            )
+        ).alias("bkt"),
+    )
+    evb = ev.select(
+        "ts",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S).alias("bkt"),
+    )
+    return (
+        evb.join(ib, "bkt")
+        .filter(
+            (F.col("ts") >= F.col("b_start")) & (F.col("ts") <= F.col("b_end"))
+        )
+        .groupBy("b_start", "b_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("b_start")
+    )
+
+
+O_ERROR_BURST_JOIN = f"""
+WITH err AS (
+  SELECT ts, event_id FROM events WHERE event_type = 'error'),
+g AS (
+  SELECT ts,
+         CASE WHEN date_diff('second',
+                             LAG(ts) OVER (ORDER BY ts, event_id),
+                             ts) > {_BURST_GAP_S}
+              THEN 1 ELSE 0 END AS new_b,
+         event_id
+  FROM err),
+isl AS (
+  SELECT ts,
+         SUM(new_b) OVER (ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM g),
+bursts AS (
+  SELECT island, MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM isl GROUP BY island)
+SELECT b_start, b_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM bursts b
+JOIN events e ON e.ts >= b.b_start AND e.ts <= b.b_end
+GROUP BY b_start, b_end
+ORDER BY b_start
+"""
+
+
 SPECS = [
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
     QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
@@ -421,4 +506,5 @@ SPECS = [
     QuerySpec("token_pmi", q_token_pmi, O_TOKEN_PMI),
     QuerySpec("text_normalize", q_text_normalize, O_TEXT_NORMALIZE),
     QuerySpec("conversion_latency", q_conversion_latency, O_CONVERSION_LATENCY),
+    QuerySpec("error_burst_join", q_error_burst_join, O_ERROR_BURST_JOIN),
 ]
