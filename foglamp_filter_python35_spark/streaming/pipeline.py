@@ -254,6 +254,46 @@ def stream_dedup(
     return keyed.unionByName(wm.filter(any_null))
 
 
+def stream_enrich_join(
+    readings: DataFrame,
+    annotations: DataFrame,
+    key: str = "asset_code",
+    time_col: str = "user_ts",
+    ann_time_col: str = "ann_ts",
+    watermark: str = "10 minutes",
+    join_window: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream enrichment join: each reading picks up annotations
+    for the same key whose timestamp lies within ``join_window`` BEFORE
+    the reading (an alert/label emitted shortly before the measurement).
+
+    Both sides are watermarked, and the time-range predicate bounds the
+    join state: Spark evicts a side's buffered rows once the other
+    side's watermark passes the range — without the range condition the
+    state would grow forever (stream-stream inner joins require it to be
+    bounded).  On batch inputs the same plan is a plain range join.
+    """
+    r = readings.withWatermark(time_col, watermark) if readings.isStreaming else readings
+    a = (
+        annotations.withWatermark(ann_time_col, watermark)
+        if annotations.isStreaming
+        else annotations
+    )
+    window_s = {"5 minutes": 300}.get(join_window)
+    if window_s is None:
+        num, unit = join_window.split()
+        window_s = int(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+    cond = (
+        (r[key] == a[f"ann_{key}"])
+        & (a[ann_time_col] <= r[time_col])
+        & (
+            a[ann_time_col]
+            >= r[time_col] - F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return r.join(a, cond, "inner")
+
+
 # ---------------------------------------------------------------------------
 # T10b — arbitrary cross-batch buffering via applyInPandasWithState.
 # The reference contract: "the plugin may not call the output stream ...

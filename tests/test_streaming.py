@@ -740,3 +740,50 @@ def test_stream_deadband_evicts_idle_state(spark, tmp_path):
         ).collect()
     )
     assert a_rows == [0, 4]  # NoTimeout would suppress id 4
+
+
+def test_stream_stream_enrich_join_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Stream-stream inner join with watermarks + time-range bound:
+    stream result == the same function applied to batch inputs."""
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        stream_enrich_join,
+    )
+
+    batch_readings = events_to_readings(
+        fix_event_ts(spark.read.parquet(events_stream_dir))
+    )
+    # annotations: every 20th reading emits an alert for its asset at its
+    # own timestamp (so each alert enriches readings up to 5 min later)
+    batch_ann = (
+        batch_readings.filter(F.col("id") % 20 == 0)
+        .select(
+            F.col("asset_code").alias("ann_asset_code"),
+            F.col("user_ts").alias("ann_ts"),
+            F.lit("alert").alias("label"),
+        )
+    )
+    ann_dir = tmp_path / "ann"
+    batch_ann.write.parquet(str(ann_dir))
+
+    want = stream_enrich_join(batch_readings, batch_ann).count()
+    assert want > 0
+
+    readings_s = _readings_stream(spark, events_stream_dir)
+    ann_schema = spark.read.parquet(str(ann_dir)).schema
+    ann_s = spark.readStream.schema(ann_schema).parquet(str(ann_dir))
+    joined = stream_enrich_join(readings_s, ann_s)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM enrich_out").collect()[0]["n"]
+    finally:
+        q.stop()
+    assert got == want
