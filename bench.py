@@ -133,11 +133,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = list(all_queries().values())
-    # warm-up: run every query once at the smallest sf so JVM classloading
-    # + whole-stage-codegen compilation are excluded from the measured
-    # steady-state throughput
+    t_phase = time.perf_counter()
+    # warm-up HEADLINE queries only at the smallest sf, so their min-of-2
+    # timings exclude JVM classloading + whole-stage-codegen compilation.
+    # Codegen is per-plan, so warming the tail would cost a full extra
+    # catalog pass (~180 s measured) to shave ~0.3 s of compile time off
+    # each single-run sample — the tail instead absorbs its own compile,
+    # identically every round, which keeps round-over-round deltas fair.
     warm_dir = "/root/testdata/sf0.001"
     for spec in specs:
+        if not spec.headline:
+            continue
         try:
             spec.fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
@@ -145,6 +151,8 @@ def main() -> None:
         except Exception:
             pass
 
+    print(f"bench: warmup {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
+    t_phase = time.perf_counter()
     # the FULL catalog is timed with stable keys so round-over-round
     # regressions are attributable query-by-query; the headline subset is
     # reported separately under the same keys as round 1
@@ -176,9 +184,12 @@ def main() -> None:
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
             all_times[spec.name] = None
 
+    print(f"bench: timed sweep {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
+    t_phase = time.perf_counter()
     times = {s.name: all_times[s.name] for s in specs if s.headline}
 
     throughput = _python_filter_throughput(spark, sf_dir)
+    print(f"bench: throughput {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t is not None), 3)
     all_total = round(
