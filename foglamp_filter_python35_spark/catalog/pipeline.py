@@ -411,6 +411,176 @@ FROM lat
 """
 
 
+# --- G59: weighted deterministic sampling --------------------------------
+# Sample documents with probability proportional to a per-row weight
+# (here: length saturating at 400 chars), as a PURE map-side predicate:
+# md5 of the id gives a uniform u in [0,1), keep iff u < weight.  No
+# sampling state, no shuffle, reproducible across runs and engines —
+# rebalancing a 100 TB corpus is a filter.
+
+_WSAMPLE_MOD = 1_000_000
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u = T.md5_bucket("doc_id", _WSAMPLE_MOD).cast("double") / _WSAMPLE_MOD
+    weight = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    return docs.filter(u < weight).select(
+        "doc_id", "source", weight.alias("weight")
+    )
+
+
+O_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source,
+       LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS weight
+FROM (
+  SELECT *,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_WSAMPLE_MOD} AS DOUBLE) / {_WSAMPLE_MOD} AS u
+  FROM documents)
+WHERE u < LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+"""
+
+
+# --- G60: per-source language-mix impurity (Gini) ------------------------
+# Corpus-composition QA: how language-pure each source is.  Gini impurity
+# 1 - sum(p^2) instead of entropy because ln() is not bit-reproducible
+# across engines while +,*,/ are; shares are exact integer ratios and the
+# sum over languages uses the decimal trick for order-independence.
+
+
+def q_lang_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    p2 = (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            "tot",
+            (
+                (F.col("n").cast("double") / F.col("tot"))
+                * (F.col("n").cast("double") / F.col("tot"))
+            ).alias("p2"),
+        )
+    )
+    return (
+        p2.groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            (1.0 - F.sum(F.col("p2").cast("decimal(38,12)")).cast("double"))
+            .alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+O_LANG_MIX_GINI = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+tot AS (SELECT source, SUM(n) AS tot FROM counts GROUP BY source)
+SELECT c.source,
+       CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+       1.0 - CAST(SUM(CAST(
+           (CAST(n AS DOUBLE) / t.tot) * (CAST(n AS DOUBLE) / t.tot)
+         AS DECIMAL(38,12))) AS DOUBLE) AS gini
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+# --- G61: duplicate rate by source ---------------------------------------
+# Which domains ship copy-paste: share of each source's docs whose exact
+# fingerprint occurs more than once corpus-wide.  One shuffle on the
+# fingerprint for the counts, one on source for the report.
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.fingerprint("text").alias("fp")
+    )
+    fp_counts = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        docs.join(fp_counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            (
+                F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+O_DUP_RATE_BY_SOURCE = f"""
+WITH fps AS (SELECT doc_id, source, {_FP_SQL} AS fp FROM documents),
+fc AS (SELECT fp, COUNT(*) AS n_fp FROM fps GROUP BY fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_rate
+FROM fps JOIN fc USING (fp)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- G62: train/test split-leakage audit ---------------------------------
+# Split hygiene: exact-duplicate content that lands on both sides of the
+# md5 train/test split leaks evaluation data into training.  Composes the
+# deterministic hash split with content fingerprints; one fingerprint
+# shuffle (semi-join of test fps against train fps).
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.hash_split("doc_id").alias("split"),
+    )
+    train_fps = docs.filter(F.col("split") == "train").select("fp").distinct()
+    test_docs = docs.filter(F.col("split") == "test")
+    leaked = test_docs.join(train_fps, "fp", "left_semi")
+    return leaked.agg(
+        F.countDistinct("fp").alias("n_leaked_fingerprints"),
+        F.count(F.lit(1)).alias("n_test_docs_leaked"),
+    )
+
+
+O_SPLIT_LEAKAGE = f"""
+WITH fps AS (
+  SELECT doc_id, {_FP_SQL} AS fp,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS b
+        FROM documents)),
+leaked AS (
+  SELECT t.fp
+  FROM fps t
+  WHERE t.split = 'test'
+    AND EXISTS (SELECT 1 FROM fps tr
+                WHERE tr.split = 'train' AND tr.fp = t.fp))
+SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_leaked_fingerprints,
+       CAST(COUNT(*) AS BIGINT) AS n_test_docs_leaked
+FROM leaked
+"""
+
+
 # --- G58: interval overlap join via bucketed equi-join -------------------
 # Spark has no native range join; the scale pattern is to explode each
 # interval into the fixed-width time buckets it covers and equi-join
@@ -507,4 +677,8 @@ SPECS = [
     QuerySpec("text_normalize", q_text_normalize, O_TEXT_NORMALIZE),
     QuerySpec("conversion_latency", q_conversion_latency, O_CONVERSION_LATENCY),
     QuerySpec("error_burst_join", q_error_burst_join, O_ERROR_BURST_JOIN),
+    QuerySpec("weighted_sample", q_weighted_sample, O_WEIGHTED_SAMPLE),
+    QuerySpec("lang_mix_gini", q_lang_mix_gini, O_LANG_MIX_GINI),
+    QuerySpec("dup_rate_by_source", q_dup_rate_by_source, O_DUP_RATE_BY_SOURCE),
+    QuerySpec("split_leakage", q_split_leakage, O_SPLIT_LEAKAGE),
 ]
