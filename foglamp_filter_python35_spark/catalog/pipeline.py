@@ -581,6 +581,175 @@ FROM leaked
 """
 
 
+# --- G63: top-K vocabulary coverage --------------------------------------
+# Tokenizer planning: what fraction of all token OCCURRENCES the K most
+# frequent types cover.  Two hash aggs; the top-K vocab is a broadcast
+# semi-join against token counts.  All-integer arithmetic until the one
+# final division.
+
+_VOCAB_K = 100
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    topk = counts.orderBy(
+        F.col("c").desc(), F.col("token")
+    ).limit(_VOCAB_K)
+    covered = topk.agg(F.sum("c").alias("cov"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    return covered.crossJoin(total).select(
+        F.lit(_VOCAB_K).cast("bigint").alias("k"),
+        F.col("cov").cast("bigint").alias("covered_occurrences"),
+        F.col("tot").cast("bigint").alias("total_occurrences"),
+        (F.col("cov").cast("double") / F.col("tot")).alias("coverage"),
+    )
+
+
+O_VOCAB_COVERAGE = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+topk AS (SELECT c FROM counts ORDER BY c DESC, token LIMIT {_VOCAB_K})
+SELECT CAST({_VOCAB_K} AS BIGINT) AS k,
+       CAST((SELECT SUM(c) FROM topk) AS BIGINT) AS covered_occurrences,
+       CAST((SELECT SUM(c) FROM counts) AS BIGINT) AS total_occurrences,
+       CAST((SELECT SUM(c) FROM topk) AS DOUBLE)
+         / (SELECT SUM(c) FROM counts) AS coverage
+"""
+
+
+# --- G64: per-doc n-gram novelty -----------------------------------------
+# Boilerplate detector's twin: the share of a document's distinct
+# shingles that appear NOWHERE else in the corpus (df == 1).  Low novelty
+# = templated/boilerplate content.  Reuses the shingle DF aggregate; the
+# per-doc report joins shingles to their df on the same key the count
+# shuffled on.
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.dedup import (  # noqa: PLC0415
+        shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            (
+                F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_NGRAM_NOVELTY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM toks WHERE len(ts) >= 3),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS novelty
+FROM sh JOIN dfc USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- G65: end-to-end corpus pipeline (composition) -----------------------
+# The operators composed as one plan, the way a real pre-training run
+# chains them: normalize -> fingerprint on the NORMALIZED text ->
+# keep-canonical exact dedup (min doc_id per fingerprint) -> length gate
+# -> deterministic split -> per-split accounting.  One fingerprint
+# shuffle (the dedup window) + one split agg; everything else is
+# map-side.  Composability is the point: each stage is the same
+# expression the standalone operator uses, so Catalyst fuses the chain
+# into scan -> window -> agg.
+
+_E2E_MIN_TOKENS = 20
+
+
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    staged = docs.select(
+        "doc_id", "source", norm.alias("norm_text")
+    ).withColumn("fp", F.md5("norm_text"))
+    w = Window.partitionBy("fp")
+    canonical = (
+        staged.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    gated = canonical.filter(
+        F.size(F.split("norm_text", " ")) >= _E2E_MIN_TOKENS
+    )
+    return (
+        gated.select(
+            T.hash_split("doc_id").alias("split"),
+            "source",
+            F.length("norm_text").alias("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+O_CORPUS_PIPELINE_E2E = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+canonical AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM staged)
+  WHERE doc_id = keeper),
+gated AS (
+  SELECT * FROM canonical
+  WHERE len(string_split(norm_text, ' ')) >= {_E2E_MIN_TOKENS}),
+labeled AS (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         source, LENGTH(norm_text) AS n_chars
+  FROM (SELECT *,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS b
+        FROM gated))
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM labeled
+GROUP BY split
+ORDER BY split
+"""
+
+
 # --- G58: interval overlap join via bucketed equi-join -------------------
 # Spark has no native range join; the scale pattern is to explode each
 # interval into the fixed-width time buckets it covers and equi-join
@@ -681,4 +850,9 @@ SPECS = [
     QuerySpec("lang_mix_gini", q_lang_mix_gini, O_LANG_MIX_GINI),
     QuerySpec("dup_rate_by_source", q_dup_rate_by_source, O_DUP_RATE_BY_SOURCE),
     QuerySpec("split_leakage", q_split_leakage, O_SPLIT_LEAKAGE),
+    QuerySpec("vocab_coverage", q_vocab_coverage, O_VOCAB_COVERAGE),
+    QuerySpec("ngram_novelty", q_ngram_novelty, O_NGRAM_NOVELTY),
+    QuerySpec(
+        "corpus_pipeline_e2e", q_corpus_pipeline_e2e, O_CORPUS_PIPELINE_E2E
+    ),
 ]
