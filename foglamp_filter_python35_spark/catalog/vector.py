@@ -322,7 +322,60 @@ FROM q
 ORDER BY vec_id
 """
 
+# --- embedding hygiene: norm outliers ------------------------------------
+# Corpus-QA for the vector store: vectors whose L2 norm falls outside
+# median +/- 1.5*IQR (the Tukey fence) — truncated inputs, double-embedded rows, or zero
+# vectors.  One tiny exact-percentile agg broadcast against a map-side
+# scan; norms are sqrt(dot) (IEEE-exact, shared with the oracle).
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", S.norm(F.col("embedding")).alias("l2")
+    )
+    stats = normed.agg(
+        F.percentile("l2", 0.5).alias("p50"),
+        F.percentile("l2", 0.75).alias("p75"),
+        F.percentile("l2", 0.25).alias("p25"),
+    )
+    j = normed.crossJoin(F.broadcast(stats))
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        j.filter(
+            (F.col("l2") > F.col("p50") + 1.5 * iqr)
+            | (F.col("l2") < F.col("p50") - 1.5 * iqr)
+        )
+        .select("vec_id", "l2", "p50")
+        .orderBy("vec_id")
+    )
+
+
+O_EMBEDDING_NORM_OUTLIERS = """
+WITH normed AS (
+  SELECT vec_id,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS l2
+  FROM embeddings),
+stats AS (
+  SELECT quantile_cont(l2, 0.5) AS p50,
+         quantile_cont(l2, 0.75) AS p75,
+         quantile_cont(l2, 0.25) AS p25
+  FROM normed)
+SELECT vec_id, l2, p50
+FROM normed CROSS JOIN stats
+WHERE l2 > p50 + 1.5 * (p75 - p25)
+   OR l2 < p50 - 1.5 * (p75 - p25)
+ORDER BY vec_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "embedding_norm_outliers",
+        q_embedding_norm_outliers,
+        O_EMBEDDING_NORM_OUTLIERS,
+    ),
     QuerySpec("embedding_topk", q_embedding_topk, O_EMBEDDING_TOPK, headline=True),
     QuerySpec(
         "embedding_cosine_dup", q_embedding_cosine_dup, O_EMBEDDING_COSINE_DUP
