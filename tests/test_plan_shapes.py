@@ -309,3 +309,31 @@ def test_pipeline_round2_plan_shapes(spark):
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_qa_plan_shapes(spark):
+    # G59-G65 scale guards
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_corpus_pipeline_e2e,
+        q_ngram_novelty,
+        q_weighted_sample,
+    )
+
+    # weighted sampling is a pure scan predicate: zero shuffles
+    df = q_weighted_sample(spark, SF)
+    assert E.shuffle_count(df) == 0, E.shuffle_count(df)
+    assert E.is_fully_jvm(df)
+
+    # the fused e2e pipeline: fingerprint window + split agg (+ distinct
+    # expand + output sort) — and never a cartesian product
+    df = q_corpus_pipeline_e2e(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.shuffle_count(df) <= 4, E.shuffle_count(df)
+    assert E.is_fully_jvm(df)
+
+    # novelty: the df-count join reuses the shingle shuffle key
+    df = q_ngram_novelty(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.is_fully_jvm(df)
