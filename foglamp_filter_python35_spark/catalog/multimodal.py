@@ -138,7 +138,34 @@ FROM fanned
 ORDER BY doc_id, frame_idx
 """
 
+# --- multimodal exact dedup: the X1 fingerprint shuffle applied to the
+# opaque BINARY payload (image/audio dedup by content digest — step one
+# of any media pipeline, before perceptual hashing).  Keep-canonical =
+# min doc_id per digest; per-digest copy count reported for audit.
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
+    digests = docs.select("doc_id", F.md5("payload").alias("digest"))
+    agg = digests.groupBy("digest").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return agg.orderBy("keeper_doc_id")
+
+
+O_MULTIMODAL_DEDUP = """
+SELECT md5(text) AS digest,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("multimodal_dedup", q_multimodal_dedup, O_MULTIMODAL_DEDUP),
     QuerySpec("multimodal_meta", q_multimodal_meta, O_MULTIMODAL_META),
     QuerySpec(
         "multimodal_features", q_multimodal_features, O_MULTIMODAL_FEATURES
