@@ -750,6 +750,55 @@ ORDER BY split
 """
 
 
+# --- G66: full-outer reconciliation --------------------------------------
+# The audit join shape: two per-user aggregates FULL OUTER joined so
+# presence on either side alone is visible (clicks without views and
+# vice versa).  Both inputs pre-aggregate before the join — one row per
+# user enters it — and the join key is the shared user shuffle key.
+
+
+def q_click_view_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    j = clicks.join(views, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
+        F.when(F.col("n_clicks").isNull(), F.lit("view_only"))
+        .when(F.col("n_views").isNull(), F.lit("click_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    ).orderBy("user_id")
+
+
+O_CLICK_VIEW_RECONCILIATION = """
+WITH clicks AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+views AS (
+  SELECT user_id, COUNT(*) AS n_views FROM events
+  WHERE event_type = 'view' GROUP BY user_id)
+SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+       CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(n_views, 0) AS BIGINT) AS n_views,
+       CASE WHEN n_clicks IS NULL THEN 'view_only'
+            WHEN n_views IS NULL THEN 'click_only'
+            ELSE 'both' END AS status
+FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+ORDER BY user_id
+"""
+
+
 # --- G58: interval overlap join via bucketed equi-join -------------------
 # Spark has no native range join; the scale pattern is to explode each
 # interval into the fixed-width time buckets it covers and equi-join
@@ -854,5 +903,10 @@ SPECS = [
     QuerySpec("ngram_novelty", q_ngram_novelty, O_NGRAM_NOVELTY),
     QuerySpec(
         "corpus_pipeline_e2e", q_corpus_pipeline_e2e, O_CORPUS_PIPELINE_E2E
+    ),
+    QuerySpec(
+        "click_view_reconciliation",
+        q_click_view_reconciliation,
+        O_CLICK_VIEW_RECONCILIATION,
     ),
 ]
