@@ -804,27 +804,56 @@ ORDER BY user_id
 # interval into the fixed-width time buckets it covers and equi-join
 # events on THEIR single bucket, then apply the exact range predicate.
 # An event belongs to exactly one bucket, so a (event, interval) pair can
-# only meet once — no post-join dedup.  The interval side (error bursts)
-# is dimension-sized; its gaps-and-islands window runs unpartitioned over
-# error events only, which is the small side by construction.
+# only meet once — no post-join dedup.
+#
+# The gaps-and-islands burst detection is chunk-parallel (the
+# deadband_chunked decomposition applied to islands): raw error events
+# shuffle by a coarse time chunk and each chunk finds its local islands
+# under a PARTITIONED window, so no task ever sorts the full error
+# stream — an incident storm spreads over chunks instead of one reducer.
+# Only the per-chunk island summaries (min/max ts per local island,
+# O(bursts + chunks) rows) pass through the single-partition stitch
+# window, which re-applies the identical gap rule to merge islands that
+# touch across a chunk boundary.  Chunks tile time disjointly, so
+# per-chunk islands restricted to a chunk equal the global scan's, and
+# consecutive-island merging is exactly start - lag(end) <= gap: the
+# stitched result is bit-identical to a global scan.
 
 _BURST_GAP_S = 600
 _BUCKET_S = 3600
+_ISLAND_CHUNK_S = 86_400
 
 
 def q_error_burst_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
-    w = Window.orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_b = F.when(gap > _BURST_GAP_S, 1).otherwise(0)
-    isl = F.sum(new_b).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "ts",
+        "event_id",
+        F.floor(F.unix_timestamp("ts") / _ISLAND_CHUNK_S).alias("chunk"),
     )
+    # pass 1 — parallel: local islands inside each time chunk
+    wc = Window.partitionBy("chunk").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wc))
+    new_b = F.when(gap > _BURST_GAP_S, 1).otherwise(0)
+    l_isl = F.sum(new_b).over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    local = (
+        err.withColumn("l_isl", l_isl)
+        .groupBy("chunk", "l_isl")
+        .agg(F.min("ts").alias("l_start"), F.max("ts").alias("l_end"))
+    )
+    # pass 2 — stitch: same gap rule over one summary row per local
+    # island (islands are disjoint and time-ordered, so ordering by
+    # l_start is the event order)
+    ws = Window.orderBy("l_start", "l_end")
+    sgap = F.unix_timestamp("l_start") - F.unix_timestamp(
+        F.lag("l_end").over(ws)
+    )
+    s_new = F.when(sgap > _BURST_GAP_S, 1).otherwise(0)
+    island = F.sum(s_new).over(ws.rowsBetween(Window.unboundedPreceding, 0))
     bursts = (
-        err.withColumn("island", isl)
+        local.withColumn("island", island)
         .groupBy("island")
-        .agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+        .agg(F.min("l_start").alias("b_start"), F.max("l_end").alias("b_end"))
     )
     ib = bursts.select(
         "b_start",

@@ -311,6 +311,35 @@ def test_pipeline_round2_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_error_burst_islands_are_chunk_parallel(spark):
+    # G58: the gaps-and-islands pass must never sort the raw error stream
+    # in one task.  Raw error rows shuffle by coarse time chunk and the
+    # island window is PARTITIONED; only the per-chunk island summaries
+    # (post-aggregate, O(bursts + chunks) rows) may cross a
+    # single-partition exchange for the boundary stitch.
+    import re
+
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_error_burst_join,
+    )
+
+    plan = E.formatted_plan(q_error_burst_join(spark, SF))
+    assert "hashpartitioning(chunk" in plan, plan
+    single_ids = re.findall(
+        r"^\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
+        plan,
+        flags=re.MULTILINE,
+    )
+    assert single_ids, "stitch exchange missing from plan"
+    for nid in single_ids:
+        m = re.search(rf"Exchange \({nid}\)\n([^\n]*)", plan)
+        assert m is not None
+        assert "HashAggregate" in m.group(1), (
+            "single-partition exchange feeds from a non-aggregate: "
+            + m.group(1)
+        )
+
+
 def test_corpus_qa_plan_shapes(spark):
     # G59-G65 scale guards
     from foglamp_filter_python35_spark.catalog.pipeline import (
