@@ -32,23 +32,43 @@ _FP_SQL = (
 
 # --- G49: per-domain quota sampling -------------------------------------
 # Cap the number of documents any one source/domain contributes, picked
-# deterministically by md5(doc_id) so reruns select the same rows.  At
-# 100 TB this is ONE shuffle keyed on source; a pathologically hot domain
-# can be pre-thinned map-side with an md5-threshold predicate (keep rows
-# whose md5 < k/n_domain estimate) before the exact windowed trim, so the
-# shuffle never carries more than ~quota rows per domain.
+# deterministically by md5(doc_id) so reruns select the same rows.
+#
+# Exact two-phase trim so a pathologically hot domain never funnels its
+# full row set through one reducer (the salted-aggregation idea applied
+# to a windowed rank): phase 1 ranks within (source, salt) subgroups —
+# a row kept by the global trim has global rank <= quota, and its rank
+# inside any subgroup can only be smaller, so subgroup-rank <= quota is
+# a provable superset of the final keep set — then phase 2 runs the
+# exact per-source trim over at most SALT x quota survivors per domain.
+# Phase 1 spreads a hot domain over SALT tasks; phase 2's per-task input
+# is bounded by SALT x quota rows per source regardless of skew.  Ranks
+# are unchanged: every row ordered before a keeper is itself a keeper,
+# so the survivor set preserves each keeper's global rank.
 
 _DOMAIN_QUOTA = 10
+_QUOTA_SALT = 32
 
 
 def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
+    return quota_sample(docs, _DOMAIN_QUOTA)
+
+
+def quota_sample(docs: DataFrame, quota: int, salt: int = _QUOTA_SALT) -> DataFrame:
+    w1 = Window.partitionBy("source", "salt").orderBy("pick_key", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("pick_key", "doc_id")
     return (
-        docs.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("pick_rank") <= _DOMAIN_QUOTA)
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("pick_key"),
+            F.pmod(F.hash("doc_id"), F.lit(salt)).alias("salt"),
+        )
+        .withColumn("salt_rank", F.row_number().over(w1))
+        .filter(F.col("salt_rank") <= quota)
+        .withColumn("pick_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("pick_rank") <= quota)
         .select("doc_id", "source", "pick_rank")
     )
 

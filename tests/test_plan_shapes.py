@@ -281,9 +281,11 @@ def test_pipeline_round2_plan_shapes(spark):
         q_text_normalize,
     )
 
-    # quota sampling: exactly one exchange (the source-keyed window)
+    # quota sampling: exactly two exchanges — the salted (source, salt)
+    # phase-1 window that spreads a hot domain, then the exact per-source
+    # trim over the bounded survivor set
     df = q_domain_quota_sample(spark, SF)
-    assert E.shuffle_count(df) == 1, E.shuffle_count(df)
+    assert E.shuffle_count(df) == 2, E.shuffle_count(df)
     assert E.is_fully_jvm(df)
 
     # BM25: stats row is broadcast, scoring is map-side, top-k via

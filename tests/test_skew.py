@@ -95,6 +95,56 @@ def test_salted_join_rejects_small_side_preserving_joins(skewed, dim):
         salted_join(skewed, dim, "k", how="right")
 
 
+def test_quota_sample_exact_under_skew(spark):
+    # G49's two-phase trim must equal the plain per-source window even
+    # when one domain has 100x the rows of the others
+    from pyspark.sql import Window
+
+    from foglamp_filter_python35_spark.catalog.pipeline import quota_sample
+
+    rows = [(i, "hot") for i in range(5000)]
+    rows += [(10_000 + i, f"cold{i % 5}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got = quota_sample(docs, 10, salt=8).collect()
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ref = (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= 10)
+        .select("doc_id", "source", "pick_rank")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    hot_ranks = sorted(r.pick_rank for r in got if r.source == "hot")
+    assert hot_ranks == list(range(1, 11))
+
+
+def test_quota_sample_phase1_bounds_hot_domain(spark):
+    # the exact trim's input is bounded by salt x quota rows per source
+    # regardless of skew, and the hot domain spreads over every salt
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(i, "hot") for i in range(5000)], "doc_id long, source string"
+    )
+    salt, quota = 8, 10
+    w1 = Window.partitionBy("source", "salt").orderBy("pick_key", "doc_id")
+    surv = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("pick_key"),
+            F.pmod(F.hash("doc_id"), F.lit(salt)).alias("salt"),
+        )
+        .withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= quota)
+    )
+    assert surv.count() <= salt * quota
+    assert surv.select("salt").distinct().count() == salt
+
+
 def test_salting_requires_non_key_entropy(spark, dim):
     keys_only = spark.createDataFrame([("hot",)], "k string")
     with pytest.raises(ValueError, match="entropy"):
