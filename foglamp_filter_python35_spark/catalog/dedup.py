@@ -287,9 +287,13 @@ ORDER BY id_a, id_b
 
 
 # --- X2d: duplicate-cluster labeling — connected components over the
-# MinHash near-dup pairs (min-label propagation, fixed 8 rounds).  The
-# oracle computes TRUE components by transitive closure, so the parity
-# check also proves 8 rounds >= every component's diameter here. ---
+# MinHash near-dup pairs via alternating large-star/small-star
+# contraction, which converges in O(log^2 n) rounds independent of
+# component diameter (a billion-node dup chain is ~30 rounds, where
+# fixed-round HashMin would need a round per hop).  The oracle computes
+# TRUE components by transitive closure, so parity proves convergence
+# was exact; labels are component minima either way, so the output is
+# identical to the HashMin path (tested). ---
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,12 +304,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=_ROWS_PER_BAND,
         threshold=_THRESHOLD,
     )
-    # 4 HashMin rounds cover label distance 4 — near-dup components at
-    # J>=0.8 are pairs/triples (47 nodes across 25 pairs here), and the
-    # transitive-closure oracle fails loudly if the bound ever tightens;
-    # fewer rounds keep the (linearly growing) lazy plan cheap to analyze
     return (
-        D.connected_components(pairs, iterations=4)
+        D.connected_components_star(pairs)
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
@@ -364,7 +364,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=_ROWS_PER_BAND,
         threshold=_THRESHOLD,
     )
-    comp = D.connected_components(pairs, iterations=4)
+    comp = D.connected_components_star(pairs)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id"), F.lit(1).alias("_loser")
     )

@@ -315,3 +315,41 @@ def test_connected_components_vs_union_find(spark):
         for r in D.connected_components(pairs, iterations=30).collect()
     }
     assert got == want
+    # the star-contraction path must produce the identical label map
+    star = {
+        r.node: r.comp
+        for r in D.connected_components_star(pairs).collect()
+    }
+    assert star == want
+
+
+def test_star_cc_converges_on_deep_chain_where_hashmin_cannot(spark):
+    # a 200-hop chain: diameter >> any sane fixed HashMin round count.
+    # Star contraction halves structure per round (O(log^2 n) total) and
+    # must label every node 0; default-round HashMin provably cannot.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    star = {
+        r.node: r.comp
+        for r in D.connected_components_star(pairs).collect()
+    }
+    assert star == {i: 0 for i in range(n + 1)}
+
+    hashmin = {
+        r.node: r.comp
+        for r in D.connected_components(pairs, iterations=8).collect()
+    }
+    # the documented HashMin failure mode this variant exists to fix:
+    # nodes further than 8 hops from the minimum keep a wrong label
+    assert hashmin != star
+    assert hashmin[n] > 0
+
+
+def test_star_cc_empty_and_single_pair(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components_star(empty).collect() == []
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r.node: r.comp for r in D.connected_components_star(one).collect()}
+    assert got == {3: 3, 7: 3}
