@@ -8,11 +8,34 @@ even the mapInPandas feature extractor gets the full hash-match gate."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from foglamp_filter_python35_spark.catalog import QuerySpec, load
 from foglamp_filter_python35_spark.functions import multimodal as M
+
+# Repo-local stand-in for the bulk object store that shard files live in
+# at scale (s3://... in production).
+_SHARD_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".payload_shards",
+)
+
+
+def _pointers(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """The ingest boundary of the pointer-struct path: pack payloads
+    into per-partition shard files ONCE (localCheckpoint materializes
+    the write job and pins the pointer rows), then hand downstream
+    operators a (uri, offset, length) table.  After this line no binary
+    column exists anywhere in the query plan — payload bytes are
+    range-fetched inside the consuming Arrow kernel."""
+    docs = load(spark, sf_dir, "documents")
+    shard_dir = os.path.join(
+        _SHARD_ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}"
+    )
+    return M.pack_payload_shards(docs, shard_dir).localCheckpoint()
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,8 +61,11 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
-    return M.extract_features(docs).orderBy("doc_id")
+    # pointer-struct path: shuffles and plan columns carry ~60-byte
+    # pointers, never media bytes (output identical to the inline path)
+    return M.extract_features_ptr(
+        _pointers(spark, sf_dir, "features")
+    ).orderBy("doc_id")
 
 
 def _byte(k: int) -> str:
@@ -105,8 +131,7 @@ ORDER BY doc_id
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.attach_binary_payload(load(spark, sf_dir, "documents"))
-    frames = M.sample_frames(docs)
+    frames = M.sample_frames_ptr(_pointers(spark, sf_dir, "frames"))
     return frames.select(
         "doc_id",
         "frame_idx",

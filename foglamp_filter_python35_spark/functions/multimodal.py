@@ -4,8 +4,10 @@ Design for 100 TB:
 
 * media bytes live in a ``binary`` column ONLY at small payload sizes; at
   scale the column is a *pointer struct* (uri, offset, length) into bulk
-  object storage, and decode happens executor-side on demand — the
-  ``payload_meta`` struct here carries both forms.
+  object storage (``pack_payload_shards`` writes the shards,
+  ``extract_features_ptr`` / ``sample_frames_ptr`` range-fetch inside
+  their Arrow kernels), so payload bytes never enter a plan, a shuffle,
+  or the driver — the ``payload_meta`` struct carries both forms.
 * decode / feature-extract / resize / frame-sample are Arrow-batched
   ``mapInPandas`` operators: schema-stable, 1->N capable (frame
   sampling), partition-parallel.
@@ -55,6 +57,80 @@ def attach_binary_payload(
     )
 
 
+POINTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("uri", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+    ]
+)
+
+
+def pack_payload_shards(
+    docs: DataFrame, shard_dir: str, text_col: str = "text"
+) -> DataFrame:
+    """WebDataset-style payload packing: each partition concatenates its
+    payload bytes into ONE shard file and emits (uri, offset, length)
+    pointer rows — the 100 TB media layout where bytes live in bulk
+    object storage and only ~60-byte pointers ever enter a shuffle.
+
+    This is the ingest-side boundary job: run it once (materialize the
+    pointer table), then every downstream operator fetches bytes
+    executor-side inside its Arrow kernel via :func:`fetch_payloads`.
+    Shard files are named by partition id, so a task retry rewrites the
+    same file with the same bytes (deterministic input order); in
+    production the storage layer's atomic rename provides commit, and
+    the uri scheme would be s3://... range reads instead of local files.
+    """
+    import os  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(shard_dir, exist_ok=True)
+        path = os.path.join(shard_dir, f"shard-{pid:05d}.bin")
+        uri = "file://" + path
+        offset = 0
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                ids, offs, lens = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                    data = str(text).encode("utf-8")
+                    fh.write(data)
+                    ids.append(int(doc_id))
+                    offs.append(offset)
+                    lens.append(len(data))
+                    offset += len(data)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "uri": pd.Series([uri] * len(ids), dtype="object"),
+                        "offset": pd.Series(offs, dtype="int64"),
+                        "length": pd.Series(lens, dtype="int64"),
+                    }
+                )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, POINTER_SCHEMA)
+
+
+def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
+    """Executor-side range fetch for a pointer batch: one open() per
+    distinct shard uri in the batch, seek+read per row.  Runs INSIDE the
+    Arrow kernel, so payload bytes exist only within the task that
+    consumes them — they never enter the plan, a shuffle, or the
+    driver."""
+    out = pd.Series([None] * len(pdf), dtype="object", index=pdf.index)
+    for uri, grp in pdf.groupby("uri", sort=False):
+        path = str(uri).removeprefix("file://")
+        with open(path, "rb") as fh:
+            for idx, off, ln in zip(grp.index, grp["offset"], grp["length"]):
+                fh.seek(int(off))
+                out[idx] = fh.read(int(ln))
+    return out
+
+
 def decode_image(payload: bytes) -> "object":
     """Real decoder entry point — image/audio libs are not in this
     container.  STUB by contract."""
@@ -88,26 +164,42 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _features_frame(doc_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+    feats = [pseudo_decode(p) for p in payloads]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids.astype("int64"),
+            "n_bytes": [len(p) for p in payloads],
+            "digest": [hashlib.md5(p).hexdigest() for p in payloads],
+            "width": [f["width"] for f in feats],
+            "height": [f["height"] for f in feats],
+            "n_frames": [f["n_frames"] for f in feats],
+        }
+    )
+
+
 def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [pseudo_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": [
-                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
-                    ],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "n_frames": [f["n_frames"] for f in feats],
-                }
-            )
+            yield _features_frame(pdf["doc_id"], pdf["payload"])
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+def extract_features_ptr(pointers: DataFrame) -> DataFrame:
+    """Feature extraction over (uri, offset, length) pointers: payloads
+    are range-fetched inside the kernel, so no binary column ever exists
+    in the plan (same output as :func:`extract_features`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _features_frame(pdf["doc_id"], fetch_payloads(pdf))
+
+    return pointers.select("doc_id", "uri", "offset", "length").mapInPandas(
         run, FEATURE_SCHEMA
     )
 
@@ -163,28 +255,45 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _frames_frame(doc_ids, payloads) -> pd.DataFrame:
+    ids, idxs, frames = [], [], []
+    for doc_id, payload in zip(doc_ids, payloads):
+        n = pseudo_decode(payload)["n_frames"]
+        for i in range(n):
+            ids.append(int(doc_id))
+            idxs.append(i)
+            # deterministic per-frame slice of the payload
+            frames.append(bytes(payload[i::n]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int32"),
+            "frame_payload": pd.Series(frames, dtype="object"),
+        }
+    )
+
+
 def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
     """1->N frame sampling: each payload fans out into n_frames rows
     (pseudo-decoded), the video-pipeline shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = pseudo_decode(payload)["n_frames"]
-                for i in range(n):
-                    ids.append(int(doc_id))
-                    idxs.append(i)
-                    # deterministic per-frame slice of the payload
-                    frames.append(bytes(payload[i::n]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_payload": pd.Series(frames, dtype="object"),
-                }
-            )
+            yield _frames_frame(pdf["doc_id"], pdf["payload"])
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        run, FRAME_SCHEMA
+    )
+
+
+def sample_frames_ptr(pointers: DataFrame) -> DataFrame:
+    """1->N frame sampling over pointers: payload bytes are fetched
+    inside the kernel (same output as :func:`sample_frames`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _frames_frame(pdf["doc_id"], fetch_payloads(pdf))
+
+    return pointers.select("doc_id", "uri", "offset", "length").mapInPandas(
         run, FRAME_SCHEMA
     )

@@ -105,6 +105,38 @@ _PYTHON_NODES = (
 )
 
 
+def exchange_input_types(df: DataFrame) -> list[str]:
+    """simpleString data types of every column entering any Exchange
+    node — the columns that physically cross a shuffle.  Walks the
+    pre-AQE physical plan via py4j (the formatted text plan does not
+    carry types)."""
+    types: list[str] = []
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        # sparkPlan() has no Exchanges yet (EnsureRequirements runs
+        # later); under AQE the requirement-complete tree is initialPlan
+        root = root.initialPlan()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        kids = [
+            node.children().apply(i) for i in range(node.children().size())
+        ]
+        if "Exchange" in node.nodeName():
+            for kid in kids:
+                it = kid.output().iterator()
+                while it.hasNext():
+                    types.append(it.next().dataType().simpleString())
+        stack.extend(kids)
+    return types
+
+
+def binary_crosses_exchange(df: DataFrame) -> bool:
+    """True when any binary-typed column is shuffled — the multimodal
+    scale hazard the pointer-struct path exists to avoid."""
+    return "binary" in exchange_input_types(df)
+
+
 def is_fully_jvm(df: DataFrame) -> bool:
     """True when no Python-worker evaluation appears in the plan — the
     whole query runs inside the JVM (codegen-eligible)."""

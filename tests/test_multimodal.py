@@ -59,3 +59,76 @@ def test_resize_is_deterministic_and_bounded(spark, sf_smoke):
         assert (r.width, r.height) == (16, 16)
         assert len(r.resized_payload) <= 16 * 16
         assert r.resized_payload == again[doc_id].resized_payload
+
+
+def test_pointer_path_matches_inline_path(spark, sf_smoke, tmp_path):
+    # the pointer-struct variants must produce byte-identical output to
+    # the inline-binary kernels: packing + range fetch is lossless
+    docs = load(spark, sf_smoke, "documents")
+    ptrs = M.pack_payload_shards(docs, str(tmp_path / "shards"))
+    ptrs = ptrs.localCheckpoint()
+
+    inline = M.attach_binary_payload(docs)
+    feats_inline = sorted(
+        map(tuple, M.extract_features(inline).collect())
+    )
+    feats_ptr = sorted(map(tuple, M.extract_features_ptr(ptrs).collect()))
+    assert feats_ptr == feats_inline
+
+    frames_inline = sorted(map(tuple, M.sample_frames(inline).collect()))
+    frames_ptr = sorted(map(tuple, M.sample_frames_ptr(ptrs).collect()))
+    assert frames_ptr == frames_inline
+
+
+def test_pointer_rows_are_valid_ranges(spark, sf_smoke, tmp_path):
+    import os
+
+    docs = load(spark, sf_smoke, "documents")
+    shard_dir = str(tmp_path / "shards")
+    rows = M.pack_payload_shards(docs, shard_dir).collect()
+    raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+    assert {r.doc_id for r in rows} == set(raw)
+    sizes = {
+        f: os.path.getsize(os.path.join(shard_dir, f))
+        for f in os.listdir(shard_dir)
+    }
+    for r in rows:
+        assert r.length == len(raw[r.doc_id])
+        path = r.uri.removeprefix("file://")
+        assert r.offset + r.length <= sizes[os.path.basename(path)]
+        with open(path, "rb") as fh:
+            fh.seek(r.offset)
+            assert fh.read(r.length) == raw[r.doc_id]
+
+
+def test_no_binary_column_crosses_an_exchange(spark, sf_smoke):
+    # the 100 TB guarantee of the pointer path: shuffles carry pointers
+    # and digests, never media bytes — checked against every Exchange in
+    # the physical plan, types read via the plan tree (not names)
+    from foglamp_filter_python35_spark.catalog.multimodal import (
+        q_multimodal_dedup,
+        q_multimodal_features,
+        q_multimodal_frames,
+        q_multimodal_resize,
+    )
+    from foglamp_filter_python35_spark.plans import explain as E
+
+    for q in (
+        q_multimodal_features,
+        q_multimodal_frames,
+        q_multimodal_resize,
+        q_multimodal_dedup,
+    ):
+        df = q(spark, sf_smoke)
+        assert not E.binary_crosses_exchange(df), q.__name__
+
+    # positive control: the helper does flag a shuffled binary column
+    from pyspark.sql import functions as F
+
+    bad = (
+        load(spark, sf_smoke, "documents")
+        .select(F.col("text").cast("binary").alias("payload"))
+        .groupBy("payload")
+        .count()
+    )
+    assert E.binary_crosses_exchange(bad)
