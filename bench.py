@@ -157,6 +157,7 @@ def main() -> None:
     # regressions are attributable query-by-query; the headline subset is
     # reported separately under the same keys as round 1
     all_times: dict[str, float | None] = {}
+    all_runs: dict[str, int] = {}
     for i, spec in enumerate(specs):
         # a full-catalog sweep accumulates broadcast/shuffle refs faster
         # than the driver's GC reclaims them, and the ContextCleaner only
@@ -177,12 +178,25 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
+            if not spec.headline and best >= 2.0:
+                # expensive tail entries read up to 2x high on a single
+                # in-sweep sample (GC/co-tenant spikes); a second run
+                # makes their round-over-round deltas attributable and
+                # costs little since only the >=2 s tail pays it
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                runs = 2
             all_times[spec.name] = round(best, 3)
+            all_runs[spec.name] = runs
         except Exception as exc:  # noqa: BLE001
             # one failing query must not discard the other timings or the
             # JSON line the harness consumes
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
             all_times[spec.name] = None
+            all_runs[spec.name] = 0
 
     print(f"bench: timed sweep {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
     t_phase = time.perf_counter()
@@ -203,6 +217,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "all_queries": all_times,
+                # timing regime per query: headline entries are warmed
+                # (sf0.001 pass) + min-of-N; tail entries are unwarmed,
+                # so their samples include codegen compile — compare
+                # like with like across rounds via these counts
+                "all_queries_runs": all_runs,
+                "warmed_queries": [s.name for s in specs if s.headline],
                 "all_queries_total_wall": all_total,
                 "python_filter_throughput": throughput,
                 "sf": sf,

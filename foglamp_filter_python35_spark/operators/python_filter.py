@@ -172,13 +172,17 @@ def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:
     uts_s = (pdf["user_ts"].astype("datetime64[s]").astype("int64")).to_numpy()
     uts_null = pdf["user_ts"].isna().to_numpy()
 
+    ids_null = pdf["id"].isna().to_numpy()
+    rmaps = pdf["reading"].to_numpy(dtype="object")
+    smaps = pdf["reading_str"].to_numpy(dtype="object")
+
     out: Wire = []
-    for i, (rmap, smap) in enumerate(zip(pdf["reading"], pdf["reading_str"])):
+    for i in range(len(pdf)):
         reading: dict = {}
-        for k, v in _as_mapping(rmap).items():
+        for k, v in _as_mapping(rmaps[i]).items():
             if v is not None:
                 reading[k] = v
-        for k, v in _as_mapping(smap).items():
+        for k, v in _as_mapping(smaps[i]).items():
             if v is not None:
                 reading[k] = v
         if compat_bytes:
@@ -192,7 +196,7 @@ def _to_wire(pdf: pd.DataFrame, compat_bytes: bool) -> Wire:
         if compat_bytes and isinstance(asset, str):
             asset = asset.encode()
         rec = {"asset_code": asset, "reading": reading}
-        if ids[i] is not None and not pd.isna(ids[i]):
+        if not ids_null[i]:
             rec["id"] = int(ids[i])
         if not ts_null[i]:
             rec["ts"] = int(ts_s[i])
@@ -206,7 +210,12 @@ def _from_wire(result: Wire) -> pd.DataFrame:
     if not isinstance(result, (list, tuple)):
         raise BatchReject("filter must return a list of reading dicts")
     ids, assets, tss, user_tss, readings, readings_str = [], [], [], [], [], []
+    # T7 default for absent metadata: "new readings have new timestamps"
+    # — one micros-precision stamp per batch, appended as int64 so the
+    # column builds vectorized (a per-row pd.Timestamp costs ~1 µs/row,
+    # measurable at 1 M rows)
     now = _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None)
+    now_us = int(now.timestamp() * 1_000_000)
     for rec in result:
         if not isinstance(rec, dict):
             raise BatchReject("each reading must be a dict")
@@ -241,23 +250,27 @@ def _from_wire(result: Wire) -> pd.DataFrame:
         ids.append(int(rec["id"]) if "id" in rec else None)
         assets.append(asset)
         tss.append(
-            pd.Timestamp(int(rec["ts"]), unit="s") if "ts" in rec else now
+            int(rec["ts"]) * 1_000_000 if "ts" in rec else now_us
         )
         user_tss.append(
-            pd.Timestamp(int(rec["user_ts"]), unit="s")
-            if "user_ts" in rec
-            else now
+            int(rec["user_ts"]) * 1_000_000 if "user_ts" in rec else now_us
         )
         readings.append(num)
         readings_str.append(strs)
+    import numpy as np  # noqa: PLC0415
+
     # object dtype is required even when empty — pandas would otherwise
     # default empty columns to float64, which Arrow cannot map-convert
     return pd.DataFrame(
         {
             "id": pd.array(ids, dtype="Int64"),
             "asset_code": pd.Series(assets, dtype="object"),
-            "ts": pd.array(tss, dtype="datetime64[us]"),
-            "user_ts": pd.array(user_tss, dtype="datetime64[us]"),
+            "ts": pd.Series(
+                np.asarray(tss, dtype="int64").view("datetime64[us]")
+            ),
+            "user_ts": pd.Series(
+                np.asarray(user_tss, dtype="int64").view("datetime64[us]")
+            ),
             "reading": pd.Series(readings, dtype="object"),
             "reading_str": pd.Series(readings_str, dtype="object"),
         }
