@@ -327,6 +327,18 @@ ORDER BY vec_id
 # median +/- 1.5*IQR (the Tukey fence) — truncated inputs, double-embedded rows, or zero
 # vectors.  One tiny exact-percentile agg broadcast against a map-side
 # scan; norms are sqrt(dot) (IEEE-exact, shared with the oracle).
+#
+# KNOWN CROSS-ENGINE TOLERANCE (unlike the repo's decimal-sum/no-ln
+# policy, which is bit-exact): the fence interpolates percentiles —
+# Spark `percentile` computes lo + (hi-lo)*frac, DuckDB `quantile_cont`
+# is not contractually the same parenthesization, so the two fences may
+# differ by ~1 ULP.  A vector sitting EXACTLY on the fence could then
+# flip membership between engines; no corpus vector does (norms sit well
+# off the fence — the parity hash passes), and a production deployment
+# that needs engine-exactness should rank-order instead: flag rows whose
+# integer rank falls outside [n*0.25 - 1.5*(n*0.5), ...] — integer
+# arithmetic, no interpolation.  Same latent tolerance applies to
+# q_conversion_latency's p50/p90 values (values, not set membership).
 
 
 def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

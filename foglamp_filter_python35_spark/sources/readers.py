@@ -106,6 +106,14 @@ def read_readings_jsonl(
 
     Timestamps arrive as epoch SECONDS (the reference wire uses integer
     seconds, ``readings35.py:39-51``).
+
+    Validity requires more than parsing: a structurally-valid JSON
+    object that lacks ``asset_code`` or ``ts`` (e.g. ``{}``, or foreign
+    JSON that happens to share the directory) is routed to the reject
+    stream too — a reading without an asset or ingest time is not a
+    reading.  The corrupt-capture column uses a collision-unlikely name
+    so a wire payload legitimately containing a ``_corrupt`` key is not
+    mis-quarantined.
     """
     # text + from_json instead of the JSON source's corrupt-record column:
     # Spark refuses a scan that references ONLY _corrupt_record, and this
@@ -144,8 +152,10 @@ def _split_reading_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
             StructField("reading", MapType(StringType(), DoubleType())),
             StructField("reading_str", MapType(StringType(), StringType())),
             # from_json routes a malformed line's text here (PERMISSIVE);
-            # unlike the JSON *scan*, from_json allows querying it alone
-            StructField("_corrupt", StringType()),
+            # unlike the JSON *scan*, from_json allows querying it alone.
+            # Suffixed name: a payload's own "_corrupt" key must not
+            # collide with the capture column and quarantine a good line
+            StructField("_corrupt_record_7f3a", StringType()),
         ]
     )
     parsed = lines.select(
@@ -153,10 +163,19 @@ def _split_reading_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.from_json(
             "value",
             wire,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record_7f3a",
+            },
         ).alias("r"),
     )
-    corrupt = F.col("r").isNull() | F.col("r._corrupt").isNotNull()
+    corrupt = (
+        F.col("r").isNull()
+        | F.col("r._corrupt_record_7f3a").isNotNull()
+        # parseable but not a reading: no asset or no ingest time
+        | F.col("r.asset_code").isNull()
+        | F.col("r.ts").isNull()
+    )
     bad = parsed.filter(corrupt).select("raw_line")
     good = parsed.filter(~corrupt).select(
         F.col("r.id").alias("id"),
@@ -229,6 +248,16 @@ def stream_kafka_readings(
 
     Shape: key/value binary -> from_json(value) -> readings columns.
     Raises RuntimeError with guidance when the connector is unavailable.
+
+    To enable on a real deployment, launch with the connector matching
+    the Spark/Scala build (PySpark 4.1.x / Scala 2.13)::
+
+        spark-submit --packages \\
+            org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>
+
+    (or vendor that jar plus its kafka-clients dependency into
+    ``$SPARK_HOME/jars``).  No network/package installs are possible in
+    this container, so the gate below is the tested behavior.
     """
     try:
         raw = (
@@ -239,8 +268,10 @@ def stream_kafka_readings(
         )
     except Exception as exc:  # pragma: no cover - environment-dependent
         raise RuntimeError(
-            "kafka connector unavailable (add spark-sql-kafka jar to the "
-            "classpath); reader shape: readStream.format('kafka') -> "
+            "kafka connector unavailable — add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "(and its kafka-clients dependency) to the classpath; reader "
+            "shape: readStream.format('kafka') -> "
             "from_json(CAST(value AS STRING))"
         ) from exc
     parsed = raw.select(

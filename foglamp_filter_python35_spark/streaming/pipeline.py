@@ -282,7 +282,10 @@ def stream_enrich_join(
     window_s = {"5 minutes": 300}.get(join_window)
     if window_s is None:
         num, unit = join_window.split()
-        window_s = int(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+        # singular and plural forms both valid ('1 minute', '30 seconds')
+        window_s = int(num) * {
+            "second": 1, "minute": 60, "hour": 3600,
+        }[unit.lower().rstrip("s")]
     cond = (
         (r[key] == a[f"ann_{key}"])
         & (a[ann_time_col] <= r[time_col])

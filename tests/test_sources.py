@@ -151,18 +151,31 @@ def test_readings_jsonl_valid_and_corrupt_split(spark, tmp_path):
         '"user_ts": 1699999998, "reading": {"power": 5980.0}}\n'
         '{"id": 2, "asset_code": "lab2", "ts": 1699999999, '
         '"user_ts": 1699999998, "reading_str": {"state": "on"}}\n'
+        '{"id": 3, "asset_code": "lab3", "ts": 1699999999, '
+        '"user_ts": 1699999998, "reading": {"power": 1.0}, '
+        '"_corrupt": "payload key, not the capture column"}\n'
         "{this is not json\n"
+        "{}\n"
+        '{"id": 9, "user_ts": 1699999998, "reading": {"power": 2.0}}\n'
     )
     good, bad = read_readings_jsonl(spark, str(p))
     rows = {r["id"]: r for r in good.collect()}
-    assert set(rows) == {1, 2}
+    # id 3 proves a legitimate "_corrupt" wire key is NOT quarantined
+    assert set(rows) == {1, 2, 3}
     # nullability flags are advisory in Spark; names+types must match
     assert good.schema.simpleString() == READING_SCHEMA.simpleString()
     assert rows[1]["reading"]["power"] == 5980.0
     assert rows[1]["reading_str"] == {}  # absent map -> empty, not null
     assert rows[2]["reading_str"] == {"state": "on"}
     assert rows[1]["ts"].year == 2023  # epoch seconds decoded
-    assert [r[0] for r in bad.collect()] == ["{this is not json"]
+    # rejects: malformed JSON, empty object (no asset/ts), missing ts
+    assert sorted(r[0] for r in bad.collect()) == sorted(
+        [
+            "{this is not json",
+            "{}",
+            '{"id": 9, "user_ts": 1699999998, "reading": {"power": 2.0}}',
+        ]
+    )
 
 
 def test_stream_readings_jsonl_good_and_bad_streams(spark, tmp_path):

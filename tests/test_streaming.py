@@ -787,3 +787,24 @@ def test_stream_stream_enrich_join_matches_batch(
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_enrich_join_accepts_singular_units(spark, events_stream_dir):
+    """join_window parses '1 minute' / '90 seconds' / '2 hours' alike —
+    the unit map is singular-normalized, not plural-only."""
+    from pyspark.sql import functions as F
+
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        stream_enrich_join,
+    )
+
+    readings = events_to_readings(
+        fix_event_ts(spark.read.parquet(events_stream_dir))
+    )
+    ann = readings.limit(5).select(
+        F.col("asset_code").alias("ann_asset_code"),
+        F.col("user_ts").alias("ann_ts"),
+        F.lit("alert").alias("label"),
+    )
+    for win in ("1 minute", "90 seconds", "2 hours", "1 Hour"):
+        assert stream_enrich_join(readings, ann, join_window=win).count() >= 0
