@@ -1756,6 +1756,173 @@ GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
 
+# ---------------------------------------------------------------------------
+# min_cost_supplier — TPC-H Q2 shape (correlated MIN subquery): for each
+# part of a family, the region supplier(s) whose best offer equals the
+# part's minimum offer.  No partsupp table in this corpus, so the offer
+# book is derived from lineitem (min unit price per part x supplier) —
+# the plan shape is Q2's: dims broadcast BEFORE the fact aggregate so
+# only qualifying (part, supplier) rows are aggregated, the correlated
+# MIN decorrelates into one per-part window over the aggregate, and no
+# self-join of the fact table ever happens.  Unit prices are per-row
+# IEEE divisions (identical both engines); MIN is exact.
+# ---------------------------------------------------------------------------
+
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 25
+_Q2_REGION = "ASIA"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") < _Q2_MAX_SIZE)
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q2_REGION
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "cost"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("best", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("best"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost")
+        .orderBy("cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+O_MIN_COST_SUPPLIER = f"""
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{_Q2_REGION}'),
+offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+           AND p_type = '{_Q2_TYPE}' AND p_size < {_Q2_MAX_SIZE}
+  JOIN supp ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, n_name),
+best AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS best FROM offers)
+SELECT p_partkey, p_name, s_name, n_name, cost
+FROM best WHERE cost = best
+ORDER BY cost, p_partkey, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# dominant_part_suppliers — TPC-H Q20 shape (nested aggregate + semi
+# join): suppliers who shipped MORE THAN HALF of a filtered part
+# family's total shipped quantity in a year.  Quantity sums are decimal
+# (order-free both engines); the per-part total is a window over the
+# per-(part, supplier) aggregate — the nested aggregate never rescans
+# the fact — and the supplier dim joins AFTER the distinct, so only
+# qualifying keys reach it.
+# ---------------------------------------------------------------------------
+
+_Q20_PREFIX = "small%"
+_Q20_YEAR_LO = "1996-01-01"
+_Q20_YEAR_HI = "1997-01-01"
+_Q20_SHARE = 0.5
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_YEAR_HI).cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like(_Q20_PREFIX)
+    )
+    pairs = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        pairs.withColumn("tot_dec", F.sum("qty_dec").over(w))
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.col("tot_dec").cast("double") * F.lit(_Q20_SHARE)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        qual.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+O_DOMINANT_PART_SUPPLIERS = f"""
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '{_Q20_PREFIX}'
+  WHERE l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+    AND l_shipdate < TIMESTAMP '{_Q20_YEAR_HI}'
+  GROUP BY l_partkey, l_suppkey),
+qual AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey,
+           CAST(qty_dec AS DOUBLE) AS q,
+           CAST(SUM(qty_dec) OVER (PARTITION BY l_partkey) AS DOUBLE) AS t
+    FROM pairs)
+  WHERE q > t * {_Q20_SHARE})
+SELECT s_suppkey, s_name, n_name
+FROM qual
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -1825,5 +1992,13 @@ SPECS = [
     ),
     QuerySpec(
         "waiting_suppliers", q_waiting_suppliers, O_WAITING_SUPPLIERS
+    ),
+    QuerySpec(
+        "min_cost_supplier", q_min_cost_supplier, O_MIN_COST_SUPPLIER
+    ),
+    QuerySpec(
+        "dominant_part_suppliers",
+        q_dominant_part_suppliers,
+        O_DOMINANT_PART_SUPPLIERS,
     ),
 ]

@@ -522,6 +522,76 @@ WHERE len(ts) - 1 >= 1
 ORDER BY doc_id
 """
 
+# --- G70b: top-bigram dominance (the Gopher repetition rule family's
+# "fraction of characters in the most common n-gram" sibling, counted
+# over bigram occurrences).  A doc whose single most frequent bigram
+# covers > threshold of all its bigrams is boilerplate/template text
+# that G47's distinct-ratio can miss (one dominant phrase, many unique
+# fillers).  Plan: explode bigrams -> (doc, bigram) partial+final count
+# -> per-doc max/sum agg.  Two shuffles, both with map-side combine;
+# integer counts are exact, the final division is one IEEE op.
+
+_TOP_BIGRAM_THRESHOLD = 0.2
+
+
+def q_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("_ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_ts, 1, size(_ts) - 1), "
+                "(x, i) -> concat(x, ' ', _ts[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.max("cnt").cast("bigint").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_count",
+            (
+                F.col("top_count").cast("double") / F.col("n_bigrams")
+            ).alias("top_fraction"),
+            (
+                F.col("top_count").cast("double") / F.col("n_bigrams")
+                > F.lit(_TOP_BIGRAM_THRESHOLD)
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_TOP_BIGRAM_FRACTION = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM t),
+counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(MAX(cnt) AS BIGINT) AS top_count,
+       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_fraction,
+       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > {_TOP_BIGRAM_THRESHOLD}
+         AS repetitive
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
@@ -542,4 +612,7 @@ SPECS = [
         O_BENCHMARK_CONTAMINATION,
     ),
     QuerySpec("doc_repetition", q_doc_repetition, O_DOC_REPETITION),
+    QuerySpec(
+        "top_bigram_fraction", q_top_bigram_fraction, O_TOP_BIGRAM_FRACTION
+    ),
 ]

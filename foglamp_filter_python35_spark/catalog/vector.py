@@ -382,6 +382,97 @@ ORDER BY vec_id
 """
 
 
+# --- X3f: semantic dedup (SemDeDup-style) — the embedding-space twin of
+# X2's text near-dup arc, composed end-to-end: IVF-cell-pruned cosine
+# pairs above threshold -> diameter-independent star-contraction
+# connected components -> keep the minimum vec_id per cluster -> ONE
+# per-label audit rollup.  Candidate generation is the equi-join on the
+# coarse-quantizer cell (never all-pairs); cluster labels shuffle
+# (vec_id, comp) ints only; the corpus joins the loser list once.
+# Oracle: the same cell-pruned pairs in SQL, closed transitively by a
+# recursive CTE — which also proves star contraction converged exactly.
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.dedup import (  # noqa: PLC0415
+        connected_components_star,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    pairs = S.ivf_cell_pairs(emb, centroids, _DUP_THRESHOLD)
+    comp = connected_components_star(pairs)
+    losers = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id"), F.lit(1).alias("_loser")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(losers, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_loser").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_loser").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("label")
+    )
+
+
+O_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assign AS (
+  SELECT a.vec_id, b.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+  FROM embeddings a CROSS JOIN cents b
+),
+a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+cells AS (
+  SELECT e.vec_id, e.embedding, a1.cid
+  FROM embeddings e JOIN a1 USING (vec_id)
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= {_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (
+  SELECT n.u AS vec_id, LEAST(n.u, MIN(r.v)) AS component
+  FROM (SELECT DISTINCT u FROM edges) n
+  JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+),
+losers AS (SELECT vec_id FROM comp WHERE component <> vec_id)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM embeddings e LEFT JOIN losers l USING (vec_id)
+GROUP BY label
+ORDER BY label
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -403,4 +494,5 @@ SPECS = [
     QuerySpec(
         "embedding_quantize", q_embedding_quantize, O_EMBEDDING_QUANTIZE
     ),
+    QuerySpec("semantic_dedup", q_semantic_dedup, O_SEMANTIC_DEDUP),
 ]
