@@ -933,6 +933,90 @@ ORDER BY b_start
 """
 
 
+# --- G73: sequence packing (concat-and-chunk context windows) ------------
+# LLM pretraining packs documents back-to-back per source and slices the
+# stream every CAPACITY tokens; each doc needs its running token offset.
+# A naive per-source cumulative window is a serial scan of the whole
+# source — the classic prefix-sum bottleneck — so this is the two-level
+# parallel prefix sum: (1) block-local cumsum under a (source, block)
+# window, (2) per-block token totals, whose per-source running sum is a
+# window over ONE ROW PER BLOCK, (3) equi-join the block offsets back
+# (co-partitioned with the block window's shuffle).  Raw rows never
+# cross a per-source serial window; only block summaries do.  All
+# integer arithmetic — bit-exact vs the oracle's flat global cumsum.
+
+_PACK_CAPACITY = 512
+_PACK_BLOCK = 1000  # docs per prefix-sum block
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_BLOCK}").alias("blk"),
+    )
+    wb = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_start = F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    blk_tot = toks.groupBy("source", "blk").agg(
+        F.sum("n_tokens").alias("blk_tokens")
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blk_tot.select(
+        "source",
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(wo), F.lit(0)).alias("blk_start"),
+    )
+    packed = (
+        toks.withColumn("local_start", local_start)
+        .join(offsets, ["source", "blk"])
+        .withColumn(
+            "tok_start",
+            (F.col("blk_start") + F.col("local_start")).cast("bigint"),
+        )
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {_PACK_CAPACITY}").alias("chunk_first"),
+        F.expr(
+            f"(tok_start + n_tokens - 1) div {_PACK_CAPACITY}"
+        ).alias("chunk_last"),
+    ).orderBy("source", "doc_id")
+
+
+O_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {_PACK_CAPACITY} AS BIGINT) AS chunk_first,
+       CAST((tok_start + n_tokens - 1) // {_PACK_CAPACITY} AS BIGINT)
+         AS chunk_last
+FROM c
+ORDER BY source, doc_id
+"""
+
+
 SPECS = [
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
     QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
@@ -958,4 +1042,5 @@ SPECS = [
         q_click_view_reconciliation,
         O_CLICK_VIEW_RECONCILIATION,
     ),
+    QuerySpec("sequence_packing", q_sequence_packing, O_SEQUENCE_PACKING),
 ]

@@ -1923,6 +1923,61 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# salted_enrich_rollup — G11's salted JOIN on a driver-checkable path:
+# the events fact (5 event_type keys over the whole table: every key is
+# hot) joins a category dim via salted_join — the hot side spreads over
+# 8 salts, the dim replicates once per salt — then one category rollup.
+# The salting must be algebraically invisible: the oracle is the PLAIN
+# unsalted join, so any salt-induced duplication or loss hash-fails.
+# ---------------------------------------------------------------------------
+
+_EVENT_DIM = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "conversion", 3.0),
+    ("signup", "conversion", 2.0),
+    ("error", "ops", 0.25),
+]
+
+
+def q_salted_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.functions.skew import (  # noqa: PLC0415
+        salted_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        _EVENT_DIM, "event_type string, category string, weight double"
+    )
+    joined = salted_join(
+        ev, dim, "event_type", n_salts=8, entropy_cols=["event_id"]
+    )
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight"), "weighted_value"),
+        )
+        .orderBy("category")
+    )
+
+
+_DIM_VALUES = ", ".join(
+    f"('{t}', '{c}', CAST({w} AS DOUBLE))" for t, c, w in _EVENT_DIM
+)
+
+O_SALTED_ENRICH_ROLLUP = f"""
+WITH dim(event_type, category, weight) AS (VALUES {_DIM_VALUES})
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {o_dsum("value * weight", "weighted_value")}
+FROM events JOIN dim USING (event_type)
+GROUP BY category
+ORDER BY category
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -2000,5 +2055,10 @@ SPECS = [
         "dominant_part_suppliers",
         q_dominant_part_suppliers,
         O_DOMINANT_PART_SUPPLIERS,
+    ),
+    QuerySpec(
+        "salted_enrich_rollup",
+        q_salted_enrich_rollup,
+        O_SALTED_ENRICH_ROLLUP,
     ),
 ]

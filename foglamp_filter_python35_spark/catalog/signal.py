@@ -323,8 +323,34 @@ def q_deadband_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value")
 
 
+# --- median despike: trailing 5-reading median per asset.  The robust
+# twin of the moving average (one impulse spike cannot drag it); the
+# frame is odd and only full frames emit, so the median is an exact
+# middle order statistic — element selection, no interpolation — and
+# bit-identical across engines.
+
+
+def q_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return S.median_filter(ev, "value", _PART, _ORDER, n=5).select(
+        "event_id", "event_type", "value", "median"
+    )
+
+
+O_MEDIAN_FILTER = f"""
+SELECT event_id, event_type, value, median FROM (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.5) OVER
+           ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS median,
+         ROW_NUMBER() OVER ({_W}) AS rn
+  FROM events)
+WHERE rn >= 5
+"""
+
+
 SPECS = [
     QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
+    QuerySpec("median_filter", q_median_filter, O_MEDIAN_FILTER),
     QuerySpec("value_delta", q_value_delta, O_VALUE_DELTA),
     QuerySpec("change_detect", q_change_detect, O_CHANGE_DETECT),
     QuerySpec("threshold_alarm", q_threshold_alarm, O_THRESHOLD_ALARM),

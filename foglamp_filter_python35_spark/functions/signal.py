@@ -56,6 +56,38 @@ def moving_average(
     return df.withColumn(out_col, mean)
 
 
+def median_filter(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Iterable[str],
+    order_cols: Iterable[str],
+    n: int = 5,
+    out_col: str = "median",
+) -> DataFrame:
+    """Trailing n-row median per asset — the classic impulse-noise
+    (despiking) filter: unlike the moving average, one spiked reading
+    cannot drag the smoothed value.
+
+    ``n`` must be odd and rows before the frame fills are dropped, so
+    every emitted median is the exact middle order statistic of n real
+    values — element selection, no interpolation — and therefore
+    bit-identical across engines (an even frame would interpolate two
+    elements, whose parenthesization is not contractually identical).
+    """
+    if n % 2 == 0:
+        raise ValueError("median_filter needs an odd frame (exact middle)")
+    w = _window(partition_cols, order_cols)
+    frame = w.rowsBetween(-(n - 1), 0)
+    med = F.expr(f"percentile({value_col}, 0.5)").over(frame)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn(out_col, med)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") >= n)
+        .drop("_rn")
+    )
+
+
 def delta(
     df: DataFrame,
     value_col: str,

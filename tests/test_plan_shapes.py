@@ -313,6 +313,67 @@ def test_pipeline_round2_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_round3_relational_shapes(spark):
+    # Q2/Q20 shapes: dims broadcast, no cartesian, aggregates partial
+    from foglamp_filter_python35_spark.catalog.relational import (
+        q_dominant_part_suppliers,
+        q_min_cost_supplier,
+        q_salted_enrich_rollup,
+    )
+
+    for q in (q_min_cost_supplier, q_dominant_part_suppliers):
+        df = q(spark, SF)
+        plan = E.formatted_plan(df)
+        assert E.uses_broadcast_join(df), q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert E.has_partial_aggregate(df), q.__name__
+        assert E.is_fully_jvm(df), q.__name__
+
+    # the salted join must stay an equi-join (key + salt), never a
+    # nested-loop replication
+    df = q_salted_enrich_rollup(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.is_fully_jvm(df)
+
+
+def test_sequence_packing_prefix_sum_is_two_level(spark):
+    # G73: raw doc rows shuffle by (source, block); the per-source serial
+    # window runs only over block summaries — every source-only exchange
+    # feeds from an aggregate, never the raw scan
+    import re
+
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_sequence_packing,
+    )
+
+    plan = E.formatted_plan(q_sequence_packing(spark, SF))
+    assert re.search(r"hashpartitioning\(source#\d+, blk#\d+", plan), plan
+    src_only = re.findall(
+        r"^\((\d+)\) Exchange\nInput[^\n]*\n"
+        r"Arguments: hashpartitioning\(source#\d+, \d+\)",
+        plan,
+        flags=re.MULTILINE,
+    )
+    assert src_only, "per-source block-offset exchange missing"
+    for nid in src_only:
+        m = re.search(rf"Exchange \({nid}\)\n([^\n]*)", plan)
+        assert m is not None and "HashAggregate" in m.group(1), (
+            m.group(1) if m else plan
+        )
+
+
+def test_top_bigram_fraction_aggs_are_partial(spark):
+    from foglamp_filter_python35_spark.catalog.text import (
+        q_top_bigram_fraction,
+    )
+
+    df = q_top_bigram_fraction(spark, SF)
+    assert E.has_partial_aggregate(df)
+    assert E.is_fully_jvm(df)
+
+
 def test_error_burst_islands_are_chunk_parallel(spark):
     # G58: the gaps-and-islands pass must never sort the raw error stream
     # in one task.  Raw error rows shuffle by coarse time chunk and the
