@@ -1978,6 +1978,120 @@ ORDER BY category
 """
 
 
+# ---------------------------------------------------------------------------
+# column_profile — data-quality profiling: per-column value/null counts,
+# min/max, and decimal-exact mean for every numeric lineitem measure, in
+# ONE scan and ONE aggregate row unpivoted to long form.  The profiling
+# pass every warehouse load runs; at 100 TB the single-pass shape (no
+# per-column scans) is the point.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"n_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, min_{c}, max_{c}, CAST(s_{c} AS DOUBLE) / n_{c}"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_values, min, max, mean)"
+        ),
+        (F.col("n_rows") - F.col("n_values")).cast("bigint").alias("n_nulls"),
+    ).select(
+        "col_name", "n_values", "n_nulls", "min", "max", "mean"
+    ).orderBy("col_name")
+
+
+def _profile_row(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col_name,
+         CAST(COUNT({c}) AS BIGINT) AS n_values,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+         MIN({c}) AS min, MAX({c}) AS max,
+         CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})
+           AS mean
+  FROM lineitem"""
+
+
+O_COLUMN_PROFILE = (
+    "\nUNION ALL\n".join(_profile_row(c) for c in _PROFILE_COLS)
+    + "\nORDER BY col_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — CDC-style reconciliation of two table snapshots: FULL
+# OUTER join on the key, classify added / removed / changed / unchanged,
+# report one row per class.  (Snapshots are deterministically derived
+# from orders: "old" drops keys ending in 9, "new" drops keys ending in
+# 0 and bumps every third price — so all four classes are non-empty.)
+# Both sides enter the join pre-projected to (key, compare-hash-able
+# attrs); one shuffle per side on the key.
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 9).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, "key", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+O_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS key, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 10 <> 9),
+new AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 10 <> 0)
+SELECT CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price <> new_price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM old FULL OUTER JOIN new USING (key)
+GROUP BY 1
+ORDER BY status
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", q_pricing_summary, O_PRICING_SUMMARY, headline=True),
     QuerySpec("revenue_by_nation", q_revenue_by_nation, O_REVENUE_BY_NATION, headline=True),
@@ -2061,4 +2175,6 @@ SPECS = [
         q_salted_enrich_rollup,
         O_SALTED_ENRICH_ROLLUP,
     ),
+    QuerySpec("column_profile", q_column_profile, O_COLUMN_PROFILE),
+    QuerySpec("snapshot_diff", q_snapshot_diff, O_SNAPSHOT_DIFF),
 ]

@@ -473,6 +473,80 @@ ORDER BY label
 """
 
 
+# --- X3g: k-NN label purity — the standard embedding-quality eval
+# (does the vector space cluster by label?): for each probe vector, the
+# fraction of its k nearest corpus neighbors sharing its label.  Probe
+# set is broadcast (bounded), scoring is a map-side projection over the
+# corpus scan, and the per-probe top-k shuffles on qid only — the G17
+# knn-join plan with a label-agreement aggregate on top.
+
+_PURITY_PROBES = 20
+_PURITY_K = 10
+
+
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _PURITY_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("n_label"),
+            S.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PURITY_K
+    )
+    n_same = F.sum(
+        F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        top.groupBy("qid", "q_label")
+        .agg(n_same.alias("n_same"))
+        .select(
+            "qid",
+            "q_label",
+            "n_same",
+            (F.col("n_same").cast("double") / _PURITY_K).alias("purity"),
+        )
+        .orderBy("qid")
+    )
+
+
+O_KNN_LABEL_PURITY = f"""
+WITH probes AS (
+  SELECT vec_id AS qid, embedding, label AS q_label
+  FROM embeddings WHERE vec_id < {_PURITY_PROBES}),
+ranked AS (
+  SELECT b.qid, b.q_label, a.vec_id, a.label AS n_label,
+         ROW_NUMBER() OVER (PARTITION BY b.qid
+                            ORDER BY {_COS_SQL} DESC, a.vec_id) AS rn
+  FROM embeddings a CROSS JOIN probes b
+  WHERE a.vec_id <> b.qid)
+SELECT qid, q_label,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / {_PURITY_K} AS purity
+FROM ranked WHERE rn <= {_PURITY_K}
+GROUP BY qid, q_label
+ORDER BY qid
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -495,4 +569,5 @@ SPECS = [
         "embedding_quantize", q_embedding_quantize, O_EMBEDDING_QUANTIZE
     ),
     QuerySpec("semantic_dedup", q_semantic_dedup, O_SEMANTIC_DEDUP),
+    QuerySpec("knn_label_purity", q_knn_label_purity, O_KNN_LABEL_PURITY),
 ]

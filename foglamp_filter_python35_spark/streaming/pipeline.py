@@ -262,6 +262,7 @@ def stream_enrich_join(
     ann_time_col: str = "ann_ts",
     watermark: str = "10 minutes",
     join_window: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream enrichment join: each reading picks up annotations
     for the same key whose timestamp lies within ``join_window`` BEFORE
@@ -272,7 +273,17 @@ def stream_enrich_join(
     side's watermark passes the range — without the range condition the
     state would grow forever (stream-stream inner joins require it to be
     bounded).  On batch inputs the same plan is a plain range join.
+
+    ``how='left_outer'`` keeps unannotated readings: a reading with no
+    matching annotation emits null-padded once the annotation side's
+    watermark proves no match can still arrive — i.e. outer results are
+    delayed by the watermark, never wrong.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            "stream_enrich_join supports inner/left_outer (right/full "
+            "outer would need the readings side buffered symmetrically)"
+        )
     r = readings.withWatermark(time_col, watermark) if readings.isStreaming else readings
     a = (
         annotations.withWatermark(ann_time_col, watermark)
@@ -294,7 +305,7 @@ def stream_enrich_join(
             >= r[time_col] - F.expr(f"INTERVAL {window_s} SECONDS")
         )
     )
-    return r.join(a, cond, "inner")
+    return r.join(a, cond, how)
 
 
 # ---------------------------------------------------------------------------

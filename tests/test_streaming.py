@@ -808,3 +808,67 @@ def test_stream_enrich_join_accepts_singular_units(spark, events_stream_dir):
     )
     for win in ("1 minute", "90 seconds", "2 hours", "1 Hour"):
         assert stream_enrich_join(readings, ann, join_window=win).count() >= 0
+
+
+def test_stream_enrich_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """left_outer stream-stream join: a reading with no annotation emits
+    null-padded once the annotation watermark proves no match can still
+    arrive.  Asset 'a' matches; asset 'b' must surface with null label
+    only after later data advances the watermark."""
+    import datetime as dt
+
+    from foglamp_filter_python35_spark.streaming.pipeline import (
+        stream_enrich_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    r_dir, a_dir = str(tmp_path / "r"), str(tmp_path / "a")
+    spark.createDataFrame(
+        [(1, "a", t0), (2, "b", t0)], "id long, asset_code string, user_ts timestamp"
+    ).write.parquet(r_dir)
+    spark.createDataFrame(
+        [("a", t0 - dt.timedelta(minutes=1), "alert")],
+        "ann_asset_code string, ann_ts timestamp, label string",
+    ).write.parquet(a_dir)
+
+    r_schema = spark.read.parquet(r_dir).schema
+    a_schema = spark.read.parquet(a_dir).schema
+    joined = stream_enrich_join(
+        spark.readStream.schema(r_schema).parquet(r_dir),
+        spark.readStream.schema(a_schema).parquet(a_dir),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance both watermarks far past t0; outer results may need an
+        # extra micro-batch after the watermark moves
+        for hours in (1, 2):
+            late = t0 + dt.timedelta(hours=hours)
+            spark.createDataFrame(
+                [(100 + hours, "z", late)],
+                "id long, asset_code string, user_ts timestamp",
+            ).write.mode("append").parquet(r_dir)
+            spark.createDataFrame(
+                [("z", late, "late")],
+                "ann_asset_code string, ann_ts timestamp, label string",
+            ).write.mode("append").parquet(a_dir)
+            q.processAllAvailable()
+            rows = {
+                r["id"]: r["label"]
+                for r in spark.sql("SELECT * FROM enrich_outer").collect()
+            }
+            if 2 in rows:
+                break
+        assert rows[1] == "alert"  # matched within the window
+        assert 2 in rows and rows[2] is None  # unmatched, null-padded
+    finally:
+        q.stop()
