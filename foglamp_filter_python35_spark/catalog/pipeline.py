@@ -160,6 +160,35 @@ GROUP BY w_start, event_type
 """
 
 
+# --- G51b: hopping-window distinct users --------------------------------
+# The distinct-count twin of the hopping-window rates: unique users per
+# 2 h window sliding 1 h.  COUNT(DISTINCT) inside a window aggregate is
+# the expensive exact form (two-phase distinct shuffle); the documented
+# 100 TB swap is approx_count_distinct (HLL, one pass, mergeable
+# sketches) at the cost of oracle exactness.
+
+
+def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("w_start"), "n_users")
+    )
+
+
+O_SLIDING_UNIQUE_USERS = """
+WITH hits AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS w_start,
+         user_id
+  FROM events)
+SELECT w_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hits
+GROUP BY w_start
+"""
+
+
 # --- G52: BM25-style keyword retrieval ----------------------------------
 # Top-k documents for a fixed keyword query.  Corpus stats (N, avgdl, per-
 # term df) are ONE aggregate row broadcast to every scorer task, so the
@@ -1043,4 +1072,7 @@ SPECS = [
         O_CLICK_VIEW_RECONCILIATION,
     ),
     QuerySpec("sequence_packing", q_sequence_packing, O_SEQUENCE_PACKING),
+    QuerySpec(
+        "sliding_unique_users", q_sliding_unique_users, O_SLIDING_UNIQUE_USERS
+    ),
 ]

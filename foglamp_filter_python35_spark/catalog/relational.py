@@ -1979,6 +1979,41 @@ ORDER BY category
 
 
 # ---------------------------------------------------------------------------
+# weekday_hour_heatmap — the ops-dashboard calendar rollup: event count
+# and decimal-exact mean value per (day-of-week, hour-of-day) cell.  One
+# partial+final hash aggregate over 168 cells.  DOW convention pinned
+# explicitly: 0 = Sunday in both expressions (Spark dayofweek() is
+# 1-based Sunday-first; DuckDB dow is 0-based Sunday-first).
+# ---------------------------------------------------------------------------
+
+
+def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value", "mean_value"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+O_WEEKDAY_HOUR_HEATMAP = f"""
+SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow,
+       CAST(date_part('hour', ts) AS INTEGER) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {o_davg("value", "mean_value")}
+FROM events
+GROUP BY dow, hod
+ORDER BY dow, hod
+"""
+
+
+# ---------------------------------------------------------------------------
 # column_profile — data-quality profiling: per-column value/null counts,
 # min/max, and decimal-exact mean for every numeric lineitem measure, in
 # ONE scan and ONE aggregate row unpivoted to long form.  The profiling
@@ -2177,4 +2212,7 @@ SPECS = [
     ),
     QuerySpec("column_profile", q_column_profile, O_COLUMN_PROFILE),
     QuerySpec("snapshot_diff", q_snapshot_diff, O_SNAPSHOT_DIFF),
+    QuerySpec(
+        "weekday_hour_heatmap", q_weekday_hour_heatmap, O_WEEKDAY_HOUR_HEATMAP
+    ),
 ]
