@@ -348,9 +348,45 @@ WHERE rn >= 5
 """
 
 
+# --- EMA smoothing: the IIR twin of the moving average — a grouped
+# Arrow kernel (each output folds its whole prefix), oracled by a
+# recursive CTE that replays the identical alpha*x + beta*y recurrence
+# serially.  alpha = 0.25 (an exact binary fraction, as is beta = 0.75,
+# so the literals are identical in both engines).
+
+_EMA_ALPHA = 0.25
+
+
+def q_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return S.ema(ev, "value", "event_type", _ORDER, _EMA_ALPHA).select(
+        "event_id", "event_type", "value", "ema"
+    )
+
+
+O_EMA_SMOOTH = f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER ({_W}) AS rn
+  FROM events),
+ema AS (
+  SELECT event_id, event_type, value, rn, value AS ema
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.event_type, o.value, o.rn,
+         {_EMA_ALPHA} * o.value + {1.0 - _EMA_ALPHA} * e.ema
+  FROM ema e
+  JOIN ordered o ON o.event_type = e.event_type AND o.rn = e.rn + 1)
+SELECT event_id, event_type, value, ema FROM ema
+"""
+
+
 SPECS = [
     QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
     QuerySpec("median_filter", q_median_filter, O_MEDIAN_FILTER),
+    QuerySpec("ema_smooth", q_ema_smooth, O_EMA_SMOOTH),
     QuerySpec("value_delta", q_value_delta, O_VALUE_DELTA),
     QuerySpec("change_detect", q_change_detect, O_CHANGE_DETECT),
     QuerySpec("threshold_alarm", q_threshold_alarm, O_THRESHOLD_ALARM),

@@ -24,6 +24,7 @@ from collections.abc import Iterable
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _window(partition_cols: Iterable[str], order_cols: Iterable[str]):
@@ -54,6 +55,51 @@ def moving_average(
         / F.count(F.col(value_col)).over(w)
     )
     return df.withColumn(out_col, mean)
+
+
+def ema(
+    df: DataFrame,
+    value_col: str,
+    asset_col: str,
+    order_cols: Iterable[str],
+    alpha: float,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average per asset: ``y_i = a*x_i + (1-a)*y_{i-1}``
+    with ``y_0 = x_0`` — the classic IIR smoother whose weight on history
+    never fully vanishes (vs the moving average's hard cutoff).
+
+    Inherently sequential (each output folds the entire prefix), so it
+    runs as a grouped Arrow kernel like TRUE deadband: one shuffle on
+    asset, a linear scan per group.  The recurrence is evaluated as
+    literally ``alpha*x + beta*y`` with ``beta = 1 - alpha`` — the same
+    two products and one add the oracle's recursive CTE performs — so
+    results are bit-identical cross-engine.  Unlike deadband, EMA has no
+    exact chunk decomposition (folding a chunk to ``y_out = A*y_in + B``
+    reassociates the arithmetic), so a hot asset serializes; at scale
+    pick deadband_chunked-style operators where exactness under
+    parallelism is required.
+    """
+    order_cols = list(order_cols)
+    schema = T.StructType(
+        [*df.schema.fields, T.StructField(out_col, T.DoubleType())]
+    )
+    a = float(alpha)
+    b = 1.0 - a
+
+    def _scan(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty_like(vals)
+        if len(vals):
+            y = vals[0]
+            out[0] = y
+            for i in range(1, len(vals)):
+                y = a * vals[i] + b * y
+                out[i] = y
+        return pdf.assign(**{out_col: out})
+
+    return df.groupBy(asset_col).applyInPandas(_scan, schema=schema)
 
 
 def median_filter(

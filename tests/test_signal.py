@@ -239,3 +239,20 @@ def test_deadband_chunked_hot_asset_parallelizes(spark):
     )
     assert n_chunks > 1
     _chunked_vs_plain(spark, rows, 55.0, 6 * 3600 * 1_000_000)
+
+
+def test_ema_recurrence_hand_checked(spark):
+    from foglamp_filter_python35_spark.functions.signal import ema
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10.0, 20.0, 0.0, 40.0])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        r.event_id: r.ema
+        for r in ema(df, "value", "event_type", ["event_id"], 0.25).collect()
+    }
+    want = {0: 10.0}
+    y = 10.0
+    for i, v in [(1, 20.0), (2, 0.0), (3, 40.0)]:
+        y = 0.25 * v + 0.75 * y
+        want[i] = y
+    assert got == want  # exact equality: same fp recurrence
