@@ -683,11 +683,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # lazy on purpose: only read once at the end, over the checkpointed
+    # initial edge set — a checkpoint here would cost one more job
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
 
     def _fingerprint(df: DataFrame):
@@ -707,12 +708,15 @@ def connected_components_star(
             .agg(F.min("b").alias("mb"))
             .select("a", F.least("a", "mb").alias("m"))
         )
+        # no distinct here: duplicate (v, m) emissions from different
+        # centers cannot change any downstream MIN, and the round's
+        # final distinct dedups before the fingerprint — saves one
+        # shuffle per round
         e1 = (
             sym.filter(F.col("b") > F.col("a"))
             .join(lmin, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # small-star: m(u) = min(N<(u)); link u and every other smaller
         # neighbor to m(u)
