@@ -353,6 +353,12 @@ WHERE rn >= 5
 # recursive CTE that replays the identical alpha*x + beta*y recurrence
 # serially.  alpha = 0.25 (an exact binary fraction, as is beta = 0.75,
 # so the literals are identical in both engines).
+#
+# Oracle cost note: unlike deadband's recursion (one step per sparse
+# EMISSION), EMA emits every row, so the CTE's depth is the max
+# per-asset row count — fine at the driver's sf0.01 gate (~15 s),
+# impractical at sf0.1 (ORACLE-side only; the Spark kernel itself is
+# scale-free, 1.9 s at sf0.1 in the bench sweep).
 
 _EMA_ALPHA = 0.25
 
