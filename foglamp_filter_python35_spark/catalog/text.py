@@ -522,6 +522,55 @@ WHERE len(ts) - 1 >= 1
 ORDER BY doc_id
 """
 
+# --- X4b: BPE-style pre-tokenization counts — the GPT-2 pre-tokenizer
+# split classes (letter runs | digit runs | single non-alphanumeric) as
+# a portable regex evaluated identically by Java regex and RE2, giving
+# the token-budget accounting a real tokenizer would produce (letter
+# runs then subword-merge; the run count is the lower bound and the
+# budget planners' standard proxy).  Pure map + one aggregate row.
+
+_PRETOK = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(lower(text), '{_PRETOK}', 0)"))
+            .cast("bigint")
+            .alias("n_pretokens"),
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            )
+            .cast("bigint")
+            .alias("n_alpha_runs"),
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[0-9]+', 0)")
+            )
+            .cast("bigint")
+            .alias("n_digit_runs"),
+            F.octet_length(low).cast("bigint").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_PRETOKENIZE_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_PRETOK}')) AS BIGINT)
+         AS n_pretokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+         AS n_alpha_runs,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+         AS n_digit_runs,
+       CAST(octet_length(encode(lower(text))) AS BIGINT) AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --- G70b: top-bigram dominance (the Gopher repetition rule family's
 # "fraction of characters in the most common n-gram" sibling, counted
 # over bigram occurrences).  A doc whose single most frequent bigram
@@ -614,5 +663,8 @@ SPECS = [
     QuerySpec("doc_repetition", q_doc_repetition, O_DOC_REPETITION),
     QuerySpec(
         "top_bigram_fraction", q_top_bigram_fraction, O_TOP_BIGRAM_FRACTION
+    ),
+    QuerySpec(
+        "pretokenize_counts", q_pretokenize_counts, O_PRETOKENIZE_COUNTS
     ),
 ]

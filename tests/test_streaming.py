@@ -872,3 +872,41 @@ def test_stream_enrich_left_outer_emits_unmatched_after_watermark(
         assert 2 in rows and rows[2] is None  # unmatched, null-padded
     finally:
         q.stop()
+
+
+def test_stream_static_dim_join_preserves_rows(
+    spark, events_stream_dir, tmp_path
+):
+    """Stream-static broadcast join: every micro-batch enriches against
+    the static dim snapshot with no watermark/state requirements; a left
+    join must preserve all readings."""
+    readings = _readings_stream(spark, events_stream_dir)
+    assets = [
+        r["asset_code"]
+        for r in spark.read.parquet(events_stream_dir)
+        .select("event_type")
+        .distinct()
+        .withColumnRenamed("event_type", "asset_code")
+        .collect()
+    ]
+    dim = spark.createDataFrame(
+        [(a, f"cat_{a[:2]}") for a in assets[:-1]],  # one asset unmapped
+        "asset_code string, category string",
+    )
+    joined = readings.join(F.broadcast(dim), "asset_code", "left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("static_dim_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dim"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM static_dim_out").collect()
+        assert len(rows) == 1000  # left join: nothing dropped
+        cats = {r["asset_code"]: r["category"] for r in rows}
+        unmapped = assets[-1]
+        assert cats[unmapped] is None
+        assert all(v is not None for k, v in cats.items() if k != unmapped)
+    finally:
+        q.stop()
