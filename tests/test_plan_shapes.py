@@ -313,6 +313,29 @@ def test_pipeline_round2_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_pairs_are_cell_pruned(spark):
+    # G72 candidate generation must be the equi-join on the quantizer
+    # cell, never the all-pairs theta join; nested-loop joins are only
+    # the bounded centroid broadcasts
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_knn_label_purity,
+        q_semantic_dedup,
+    )
+
+    df = q_semantic_dedup(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.node_count(df, "BroadcastNestedLoopJoin") <= 2
+
+    # kNN purity: probe set is broadcast, top-k shards on qid; the only
+    # nested-loop is the bounded probe broadcast
+    df = q_knn_label_purity(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.node_count(df, "BroadcastNestedLoopJoin") <= 1
+    assert E.has_partial_aggregate(df)
+
+
 def test_round3_relational_shapes(spark):
     # Q2/Q20 shapes: dims broadcast, no cartesian, aggregates partial
     from foglamp_filter_python35_spark.catalog.relational import (
