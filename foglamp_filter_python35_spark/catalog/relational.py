@@ -1979,6 +1979,62 @@ ORDER BY category
 
 
 # ---------------------------------------------------------------------------
+# parts_supplier_counts — TPC-H Q16 shape (COUNT DISTINCT + NOT IN):
+# how many distinct suppliers can deliver each (brand, type, size)
+# part family, excluding brands/types under promotion and suppliers on
+# a complaint list (adapted: negative account balance; the corpus has
+# no partsupp, so supplier capability = "has shipped it" in lineitem).
+# Completes the 22/22 TPC-H shape coverage.  Plan: the (part, supplier)
+# pair set is distinct-ed BEFORE the dim joins, the part dim and the
+# complaint list are broadcast, and the exclusion is a broadcast ANTI
+# join — the fact table is scanned once.
+# ---------------------------------------------------------------------------
+
+_Q16_EXCL_BRAND = "Brand#1"
+_Q16_EXCL_TYPE = "PROMO"
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (F.col("p_type") != _Q16_EXCL_TYPE)
+    )
+    complaints = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+O_PARTS_SUPPLIER_COUNTS = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+         AND p_brand <> '{_Q16_EXCL_BRAND}' AND p_type <> '{_Q16_EXCL_TYPE}'
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # weekday_hour_heatmap — the ops-dashboard calendar rollup: event count
 # and decimal-exact mean value per (day-of-week, hour-of-day) cell.  One
 # partial+final hash aggregate over 168 cells.  DOW convention pinned
@@ -2214,5 +2270,10 @@ SPECS = [
     QuerySpec("snapshot_diff", q_snapshot_diff, O_SNAPSHOT_DIFF),
     QuerySpec(
         "weekday_hour_heatmap", q_weekday_hour_heatmap, O_WEEKDAY_HOUR_HEATMAP
+    ),
+    QuerySpec(
+        "parts_supplier_counts",
+        q_parts_supplier_counts,
+        O_PARTS_SUPPLIER_COUNTS,
     ),
 ]
