@@ -547,6 +547,76 @@ ORDER BY qid
 """
 
 
+# --- X3h: per-dimension corpus statistics — the whitening/normalization
+# prep pass (mean-center + scale per dimension before indexing).  One
+# posexplode + one partial+final hash agg on dim.
+#
+# Determinism note: decimal casts are NOT safe here — float32 values are
+# dyadic rationals whose decimal expansions can terminate exactly one
+# digit past the decimal scale (found in this corpus: 0.1983642578125
+# ties at scale 12), and Spark rounds such ties half-up while DuckDB
+# rounds half-even.  Instead the values are quantized to the 1e-12 grid
+# with PURE IEEE ops — floor(x * 1e12 + 0.5) — which both engines
+# evaluate bit-identically, then summed as exact BIGINTs; mean/variance
+# derive from the integer sums with identically-parenthesized double
+# expressions.  The statistic is thus "stats of the 1e-12-quantized
+# values": well-defined, deterministic, and engine-exact.
+
+_DIM_Q = "1e12"
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    qx = F.floor(F.col("x") * F.expr(_DIM_Q) + F.lit(0.5)).cast("long")
+    qxx = F.floor(
+        F.col("x") * F.col("x") * F.expr(_DIM_Q) + F.lit(0.5)
+    ).cast("long")
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("s_int"),
+        F.sum(qxx).alias("ss_int"),
+    )
+    n = F.col("n").cast("double")
+    m = (F.col("s_int").cast("double") / F.expr(_DIM_Q)) / n
+    m2 = (F.col("ss_int").cast("double") / F.expr(_DIM_Q)) / n
+    return agg.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        m.alias("mean"),
+        (m2 - m * m).alias("variance"),
+    ).orderBy("dim")
+
+
+O_EMBEDDING_DIM_STATS = f"""
+WITH dims AS (
+  SELECT CAST(gs - 1 AS INTEGER) AS dim,
+         CAST(v AS DOUBLE) AS x
+  FROM (
+    -- two unnests in one SELECT zip positionally in DuckDB
+    SELECT unnest(range(1, len(embedding) + 1)) AS gs,
+           unnest(embedding) AS v
+    FROM embeddings
+  )),
+agg AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(floor(x * {_DIM_Q} + 0.5) AS BIGINT)) AS s_int,
+         SUM(CAST(floor(x * x * {_DIM_Q} + 0.5) AS BIGINT)) AS ss_int
+  FROM dims GROUP BY dim)
+SELECT dim,
+       CAST(n AS BIGINT) AS n,
+       (CAST(s_int AS DOUBLE) / {_DIM_Q}) / CAST(n AS DOUBLE) AS mean,
+       (CAST(ss_int AS DOUBLE) / {_DIM_Q}) / CAST(n AS DOUBLE)
+         - ((CAST(s_int AS DOUBLE) / {_DIM_Q}) / CAST(n AS DOUBLE))
+           * ((CAST(s_int AS DOUBLE) / {_DIM_Q}) / CAST(n AS DOUBLE))
+         AS variance
+FROM agg
+ORDER BY dim
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -570,4 +640,7 @@ SPECS = [
     ),
     QuerySpec("semantic_dedup", q_semantic_dedup, O_SEMANTIC_DEDUP),
     QuerySpec("knn_label_purity", q_knn_label_purity, O_KNN_LABEL_PURITY),
+    QuerySpec(
+        "embedding_dim_stats", q_embedding_dim_stats, O_EMBEDDING_DIM_STATS
+    ),
 ]
