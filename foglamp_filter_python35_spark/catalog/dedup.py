@@ -286,6 +286,70 @@ ORDER BY id_a, id_b
 """
 
 
+# --- X2f: ensemble near-dup detection — a pair is a duplicate only when
+# >= 2 of the 3 independent signals (MinHash-Jaccard, SimHash-Hamming,
+# asymmetric containment) agree.  The production pattern for cutting
+# single-signal false positives before an expensive human/LLM review
+# queue.  Each signal emits a pair at most once (their candidate sets
+# are DISTINCT), so the vote count is exact; the oracle nests the three
+# signals' full SQL as independent CTE scopes and re-aggregates.  At
+# 100 TB the three signals would share one shingle scan (cached or
+# computed in one pass) instead of three self-contained lineages.
+
+_ENSEMBLE_MIN_VOTES = 2
+
+
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mh = D.minhash_lsh_near_dups(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=_THRESHOLD,
+    ).select("id_a", "id_b")
+    sim = D.simhash_near_dups(docs).select("id_a", "id_b")
+    cont = D.ngram_containment_pairs(
+        docs, threshold=_CONTAIN_THRESHOLD
+    ).select("id_a", "id_b")
+    votes = (
+        mh.withColumn("src", F.lit("minhash"))
+        .unionByName(sim.withColumn("src", F.lit("simhash")))
+        .unionByName(cont.withColumn("src", F.lit("containment")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.concat_ws(",", F.sort_array(F.collect_list("src"))).alias(
+                "sources"
+            ),
+        )
+    )
+    return votes.filter(
+        F.col("n_votes") >= _ENSEMBLE_MIN_VOTES
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_ensemble_oracle() -> str:
+    mh = _minhash_pairs_sql()
+    sim = _simhash_oracle().rpartition("ORDER BY")[0]
+    cont = O_DOC_CONTAINMENT.rpartition("ORDER BY")[0]
+    return f"""
+WITH mh AS ({mh}),
+sim AS ({sim}),
+cont AS ({cont}),
+allv AS (
+  SELECT id_a, id_b, 'minhash' AS src FROM mh
+  UNION ALL SELECT id_a, id_b, 'simhash' FROM sim
+  UNION ALL SELECT id_a, id_b, 'containment' FROM cont)
+SELECT id_a, id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       array_to_string(list_sort(list(src)), ',') AS sources
+FROM allv
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= {_ENSEMBLE_MIN_VOTES}
+ORDER BY id_a, id_b
+"""
+
+
 # --- X2d: duplicate-cluster labeling — connected components over the
 # MinHash near-dup pairs via alternating large-star/small-star
 # contraction, which converges in O(log^2 n) rounds independent of
@@ -413,4 +477,5 @@ SPECS = [
     QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
     QuerySpec("dedup_clusters", q_dedup_clusters, _clusters_oracle()),
     QuerySpec("dedup_apply", q_dedup_apply, _dedup_apply_oracle()),
+    QuerySpec("dedup_ensemble", q_dedup_ensemble, _dedup_ensemble_oracle()),
 ]
