@@ -313,6 +313,17 @@ def test_pipeline_round2_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_ensemble_stays_candidate_pruned(spark):
+    # the 2-of-3 vote union must not degrade any signal to an all-pairs
+    # join: no cartesian anywhere, and the vote aggregate is partial+final
+    from foglamp_filter_python35_spark.catalog.dedup import q_dedup_ensemble
+
+    df = q_dedup_ensemble(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.has_partial_aggregate(df)
+
+
 def test_semantic_dedup_pairs_are_cell_pruned(spark):
     # G72 candidate generation must be the equi-join on the quantizer
     # cell, never the all-pairs theta join; nested-loop joins are only
