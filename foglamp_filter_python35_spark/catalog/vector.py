@@ -86,6 +86,57 @@ ORDER BY id_a, id_b
 """
 
 
+# --- X3e-audit: IVF cell-balance histogram — the index-build QA pass.
+# Cell-pruned search cost is quadratic in cell size, so one bloated
+# cell quietly destroys the pruning ratio; this reports per-cell vector
+# counts plus each cell's share of the corpus.  Plan: broadcast
+# centroids, map-side assignment, one partial+final count.
+
+
+def q_ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = S.ivf_assign(emb, centroids)
+    # one-row total broadcast keeps the builder lazy (no driver action)
+    total = emb.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cid",
+            "n_vectors",
+            (F.col("n_vectors").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+O_IVF_CELL_HISTOGRAM = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assign AS (
+  SELECT a.vec_id, b.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+  FROM embeddings a CROSS JOIN cents b
+),
+a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings) AS share
+FROM a1
+GROUP BY cid
+ORDER BY cid
+"""
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
@@ -642,5 +693,8 @@ SPECS = [
     QuerySpec("knn_label_purity", q_knn_label_purity, O_KNN_LABEL_PURITY),
     QuerySpec(
         "embedding_dim_stats", q_embedding_dim_stats, O_EMBEDDING_DIM_STATS
+    ),
+    QuerySpec(
+        "ivf_cell_histogram", q_ivf_cell_histogram, O_IVF_CELL_HISTOGRAM
     ),
 ]
