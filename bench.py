@@ -209,26 +209,31 @@ def main() -> None:
     all_total = round(
         sum(t for t in all_times.values() if t is not None), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "all_queries": all_times,
-                # timing regime per query: headline entries are warmed
-                # (sf0.001 pass) + min-of-N; tail entries are unwarmed,
-                # so their samples include codegen compile — compare
-                # like with like across rounds via these counts
-                "all_queries_runs": all_runs,
-                "warmed_queries": [s.name for s in specs if s.headline],
-                "all_queries_total_wall": all_total,
-                "python_filter_throughput": throughput,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "all_queries": all_times,
+        # timing regime per query: headline entries are warmed
+        # (sf0.001 pass) + min-of-N; tail entries are unwarmed,
+        # so their samples include codegen compile — compare
+        # like with like across rounds via these counts
+        "all_queries_runs": all_runs,
+        "warmed_queries": [s.name for s in specs if s.headline],
+        "all_queries_total_wall": all_total,
+        "python_filter_throughput": throughput,
+        "sf": sf,
+    }
+    # the driver may truncate stdout capture (BENCH_r02/r03 recorded
+    # "parsed: null"); persist the full result next to the repo so the
+    # per-query history is always readable as one JSON file
+    try:
+        with open(os.path.join(_REPO_ROOT, "bench_last.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:
+        print(f"bench: could not write bench_last.json: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from foglamp_filter_python35_spark.catalog import QuerySpec, dsum, load, o_dsum
+from foglamp_filter_python35_spark.catalog import (
+    QuerySpec,
+    dsum,
+    load,
+    o_dsum,
+    o_ordstat_quantile,
+    ordstat_quantile,
+)
 from foglamp_filter_python35_spark.functions import text as T
 
 # DuckDB twin of functions.text.fingerprint — kept in ONE place here so the
@@ -406,9 +413,12 @@ FROM n
 # --- G55: conversion-latency quantiles ----------------------------------
 # How long after first signup does the first (post-signup) purchase land.
 # Complements event_funnel (which counts conversions) with the latency
-# distribution.  One user-keyed shuffle, then a single-row exact-percentile
-# agg; at 100 TB swap F.percentile for approx_percentile and keep the
-# identical plan shape.
+# distribution.  One user-keyed shuffle, then a single-row quantile agg;
+# at 100 TB swap the exact quantiles for approx_percentile and keep the
+# identical plan shape.  Quantiles use rank-selected order statistics
+# (`ordstat_quantile`) so p50/p90 are bit-identical across engines
+# (r3 ADVICE: percentile()/quantile_cont() interpolation is not
+# contractually the same parenthesization).
 
 
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,12 +445,15 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.percentile("lat_us", 0.5).alias("p50_us"),
-        F.percentile("lat_us", 0.9).alias("p90_us"),
+        F.sort_array(F.collect_list("lat_us")).alias("s"),
+    ).select(
+        "n_converted",
+        ordstat_quantile("s", "n_converted", 0.5).alias("p50_us"),
+        ordstat_quantile("s", "n_converted", 0.9).alias("p90_us"),
     )
 
 
-O_CONVERSION_LATENCY = """
+O_CONVERSION_LATENCY = f"""
 WITH per_user AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
@@ -452,11 +465,15 @@ lat AS (
   SELECT CAST(epoch_us(first_purchase) - epoch_us(first_signup) AS BIGINT)
            AS lat_us
   FROM per_user
-  WHERE first_signup IS NOT NULL AND first_purchase >= first_signup)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-       quantile_cont(lat_us, 0.5) AS p50_us,
-       quantile_cont(lat_us, 0.9) AS p90_us
-FROM lat
+  WHERE first_signup IS NOT NULL AND first_purchase >= first_signup),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+         list_sort(list(lat_us)) AS s
+  FROM lat)
+SELECT n_converted,
+       {o_ordstat_quantile('s', 'n_converted', 0.5)} AS p50_us,
+       {o_ordstat_quantile('s', 'n_converted', 0.9)} AS p90_us
+FROM agg
 """
 
 

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.catalog import (
+    QuerySpec,
+    load,
+    o_ordstat_quantile,
+    ordstat_quantile,
+)
 from foglamp_filter_python35_spark.functions import similarity as S
 
 _QUERY_ID = 0
@@ -376,20 +381,18 @@ ORDER BY vec_id
 # --- embedding hygiene: norm outliers ------------------------------------
 # Corpus-QA for the vector store: vectors whose L2 norm falls outside
 # median +/- 1.5*IQR (the Tukey fence) — truncated inputs, double-embedded rows, or zero
-# vectors.  One tiny exact-percentile agg broadcast against a map-side
+# vectors.  One tiny exact-quantile agg broadcast against a map-side
 # scan; norms are sqrt(dot) (IEEE-exact, shared with the oracle).
 #
-# KNOWN CROSS-ENGINE TOLERANCE (unlike the repo's decimal-sum/no-ln
-# policy, which is bit-exact): the fence interpolates percentiles —
-# Spark `percentile` computes lo + (hi-lo)*frac, DuckDB `quantile_cont`
-# is not contractually the same parenthesization, so the two fences may
-# differ by ~1 ULP.  A vector sitting EXACTLY on the fence could then
-# flip membership between engines; no corpus vector does (norms sit well
-# off the fence — the parity hash passes), and a production deployment
-# that needs engine-exactness should rank-order instead: flag rows whose
-# integer rank falls outside [n*0.25 - 1.5*(n*0.5), ...] — integer
-# arithmetic, no interpolation.  Same latent tolerance applies to
-# q_conversion_latency's p50/p90 values (values, not set membership).
+# ENGINE-EXACT FENCES (r3 ADVICE hardening): the quantiles are computed
+# from explicitly rank-selected order statistics via `ordstat_quantile`
+# — both engines evaluate the identical IEEE interpolation expression,
+# so a norm sitting EXACTLY on the fence gets the same membership in
+# Spark and DuckDB (previously `percentile` vs `quantile_cont` could
+# diverge by 1 ULP; see tests/test_properties.py fence-tie test).
+# The exact-quantile agg buffers the norm column in one agg state — the
+# same asymptotics as Spark's exact `percentile`; at 100 TB swap to
+# approx_percentile and drop the exactness claim.
 
 
 def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,9 +401,12 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", S.norm(F.col("embedding")).alias("l2")
     )
     stats = normed.agg(
-        F.percentile("l2", 0.5).alias("p50"),
-        F.percentile("l2", 0.75).alias("p75"),
-        F.percentile("l2", 0.25).alias("p25"),
+        F.count("l2").alias("n"),
+        F.sort_array(F.collect_list("l2")).alias("s"),
+    ).select(
+        ordstat_quantile("s", "n", 0.25).alias("p25"),
+        ordstat_quantile("s", "n", 0.5).alias("p50"),
+        ordstat_quantile("s", "n", 0.75).alias("p75"),
     )
     j = normed.crossJoin(F.broadcast(stats))
     iqr = F.col("p75") - F.col("p25")
@@ -414,17 +420,19 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_EMBEDDING_NORM_OUTLIERS = """
+O_EMBEDDING_NORM_OUTLIERS = f"""
 WITH normed AS (
   SELECT vec_id,
          sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS l2
   FROM embeddings),
+agg AS (
+  SELECT COUNT(l2) AS n, list_sort(list(l2)) AS s FROM normed),
 stats AS (
-  SELECT quantile_cont(l2, 0.5) AS p50,
-         quantile_cont(l2, 0.75) AS p75,
-         quantile_cont(l2, 0.25) AS p25
-  FROM normed)
+  SELECT {o_ordstat_quantile('s', 'n', 0.25)} AS p25,
+         {o_ordstat_quantile('s', 'n', 0.5)} AS p50,
+         {o_ordstat_quantile('s', 'n', 0.75)} AS p75
+  FROM agg)
 SELECT vec_id, l2, p50
 FROM normed CROSS JOIN stats
 WHERE l2 > p50 + 1.5 * (p75 - p25)

@@ -214,8 +214,12 @@ def _from_wire(result: Wire) -> pd.DataFrame:
     # — one micros-precision stamp per batch, appended as int64 so the
     # column builds vectorized (a per-row pd.Timestamp costs ~1 µs/row,
     # measurable at 1 M rows)
-    now = _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None)
-    now_us = int(now.timestamp() * 1_000_000)
+    # .timestamp() must run on the AWARE datetime: a naive datetime is
+    # interpreted in the host's local timezone, shifting the stamp by the
+    # UTC offset on any non-UTC host
+    now_us = int(
+        _dt.datetime.now(tz=_dt.timezone.utc).timestamp() * 1_000_000
+    )
     for rec in result:
         if not isinstance(rec, dict):
             raise BatchReject("each reading must be a dict")

@@ -61,7 +61,15 @@ SinkFn = Callable[[DataFrame, int], None]
 
 
 class AssetTracker:
-    """Collects per-stage, per-direction (in/out) asset counts."""
+    """Collects per-stage, per-direction (in/out) asset counts.
+
+    DEBUG PATH, opt-in only: ``record`` runs a per-batch aggregate and
+    collects one row per distinct asset to the driver — bounded by asset
+    cardinality, but still a driver materialization every micro-batch.
+    The default lineage path is ``observe_readings`` (zero extra job,
+    metrics ride the micro-batch progress events); pass an AssetTracker
+    to ``run_micro_batch_pipeline(tracker=...)`` only when per-asset
+    in/out counts are needed for debugging."""
 
     def __init__(self) -> None:
         self.tuples: list[tuple[str, str, str, int]] = []
@@ -102,9 +110,20 @@ def run_micro_batch_pipeline(
     checkpoint_dir: str,
     query_name: str = "readings-pipeline",
     trigger: dict[str, Any] | None = None,
+    lineage: str | None = "lineage",
+    tracker: AssetTracker | None = None,
 ) -> StreamingQuery:
     """Wire source -> filter chain -> sink with the reference's degraded
-    behavior: a failing transform forwards the input batch unchanged."""
+    behavior: a failing transform forwards the input batch unchanged.
+
+    Lineage (S6): by default the input stream carries an ``observe``
+    named ``lineage`` — per-batch row/asset counts ride
+    ``StreamingQueryProgress.observedMetrics[lineage]`` at zero extra
+    cost (no job, no collect).  Pass ``lineage=None`` to disable, or a
+    ``tracker`` to ALSO record per-asset in/out counts via the
+    collect-based debug path (see ``AssetTracker``)."""
+    if lineage:
+        stream = observe_readings(stream, lineage)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from foglamp_filter_python35_spark.operators.python_filter import (  # noqa: PLC0415
@@ -113,6 +132,8 @@ def run_micro_batch_pipeline(
 
         out = None
         try:
+            if tracker is not None:
+                tracker.record(query_name, "in", batch_df)
             try:
                 out = apply_pipeline(batch_df, stages)
                 # force evaluation inside the try so transform errors

@@ -301,3 +301,49 @@ def test_stratified_sample_rates_and_determinism(spark):
     n_de = sum(1 for r in rows if r.lang == "de")
     assert n_de == 800  # default rate keeps every non-en row
     assert 0.12 < n_en / 3200 < 0.28  # ~20% of the en stratum
+
+
+def test_norm_outlier_fence_is_engine_exact_on_tie(spark, tmp_path):
+    """A norm sitting EXACTLY on the Tukey fence must get identical
+    membership in Spark and DuckDB (r3 ADVICE: interpolated percentiles
+    were only ~1-ULP-compatible across engines; `ordstat_quantile` makes
+    the fence arithmetic bit-identical).
+
+    Construction: single-dim vectors with dyadic norms 0..29 plus two
+    appended values whose ranks exceed every quantile rank, so quantiles
+    are known exactly: n=32 -> p25=7.75, p50=15.5, p75=23.25, upper
+    fence = 15.5 + 1.5*(23.25-7.75) = 38.75.  Vector 30 sits exactly ON
+    the fence (strictly-greater -> excluded); vector 31 at 39.0 is the
+    single outlier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from foglamp_filter_python35_spark.catalog.vector import (
+        O_EMBEDDING_NORM_OUTLIERS,
+        q_embedding_norm_outliers,
+    )
+    from tests.oracle_utils import compare_spark_vs_oracle
+
+    norms = [float(i) for i in range(30)] + [38.75, 39.0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(norms)), type=pa.int64()),
+            "embedding": pa.array(
+                [[v] for v in norms], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(norms), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = q_embedding_norm_outliers(spark, str(tmp_path)).collect()
+    assert [r["vec_id"] for r in got] == [31], (
+        f"expected only the above-fence vector, got {got}"
+    )
+    # and the oracle agrees bit-for-bit (membership AND p50 value)
+    compare_spark_vs_oracle(
+        spark,
+        q_embedding_norm_outliers,
+        O_EMBEDDING_NORM_OUTLIERS,
+        str(tmp_path),
+    )

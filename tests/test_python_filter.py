@@ -252,3 +252,30 @@ def test_windowed_rollup_tolerates_empty_numeric_map(spark):
     assert len(got) == 1
     assert got[0]["n_readings"] == 2
     assert got[0]["sum_first_dp"] == 5.0  # null from the empty map ignored
+
+
+def test_default_timestamp_is_utc_regardless_of_host_tz():
+    """T7 default stamp: readings returned without ts/user_ts get "now" in
+    UTC.  Regression for the naive-.timestamp() bug where a non-UTC host
+    timezone shifted the stamp by the local UTC offset (ADVICE r3)."""
+    import os
+    import time
+
+    from foglamp_filter_python35_spark.operators.python_filter import (
+        _from_wire,
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-5/-4 — offset never 0
+    time.tzset()
+    try:
+        df = _from_wire([{"asset_code": "a", "reading": {"v": 1.0}}])
+        stamped = df["ts"].iloc[0].to_pydatetime()
+        now_utc = dt.datetime.now(tz=dt.timezone.utc).replace(tzinfo=None)
+        assert abs((stamped - now_utc).total_seconds()) < 60
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

@@ -910,3 +910,61 @@ def test_stream_static_dim_join_preserves_rows(
         assert all(v is not None for k, v in cats.items() if k != unmapped)
     finally:
         q.stop()
+
+
+def _observed_metric(progress, name):
+    if hasattr(progress, "observedMetrics"):
+        return progress.observedMetrics.get(name)
+    return (progress.get("observedMetrics") or {}).get(name)
+
+
+def test_default_lineage_rides_observed_metrics(
+    spark, events_stream_dir, tmp_path
+):
+    """S6 default path: lineage metrics arrive via observe() on the
+    progress events — zero extra jobs, no driver collect (r3 VERDICT:
+    AssetTracker.record's collect is opt-in debug only)."""
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [
+        REGISTRY.stage(
+            "scale",
+            FilterConfig("scale", enable=True, params={"scale": 5, "offset": 10}),
+        )
+    ]
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, epoch: df.count(),
+        checkpoint_dir=str(tmp_path / "ckpt_obs"),
+    )
+    q.processAllAvailable()
+    metrics = [
+        m
+        for m in (_observed_metric(p, "lineage") for p in q.recentProgress)
+        if m is not None
+    ]
+    q.stop()
+    assert metrics, "no observed lineage metrics in any progress event"
+    assert sum(m["n_readings"] for m in metrics) == 1000
+    assert all(m["n_assets"] >= 1 for m in metrics if m["n_readings"] > 0)
+
+
+def test_asset_tracker_is_optin_debug_path(spark, events_stream_dir, tmp_path):
+    from foglamp_filter_python35_spark.streaming.pipeline import AssetTracker
+
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [REGISTRY.stage("drop_empty_payload")]
+    tracker = AssetTracker()
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=lambda df, epoch: df.count(),
+        checkpoint_dir=str(tmp_path / "ckpt_trk"),
+        query_name="trk-pipeline",
+        tracker=tracker,
+    )
+    _run_to_completion(q)
+    assert tracker.assets_seen("trk-pipeline")
+    assert (
+        sum(n for (_s, _a, d, n) in tracker.tuples if d == "in") == 1000
+    )
