@@ -30,10 +30,19 @@ def _pointers(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
     the write job and pins the pointer rows), then hand downstream
     operators a (uri, offset, length) table.  After this line no binary
     column exists anywhere in the query plan — payload bytes are
-    range-fetched inside the consuming Arrow kernel."""
+    range-fetched inside the consuming Arrow kernel.
+
+    The shard dir is keyed by the Spark applicationId as well as
+    (sf-dir, tag): two concurrent sessions running the same query would
+    otherwise rewrite each other's shard files in place while the other
+    session's checkpointed pointer rows still reference the old offsets
+    (r3 ADVICE).  At scale the analog is a per-job output prefix in the
+    object store."""
     docs = load(spark, sf_dir, "documents")
     shard_dir = os.path.join(
-        _SHARD_ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}"
+        _SHARD_ROOT,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}",
     )
     return M.pack_payload_shards(docs, shard_dir).localCheckpoint()
 

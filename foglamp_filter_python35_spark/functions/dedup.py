@@ -671,8 +671,14 @@ def connected_components_star(
     neighborhood minimum, small-star links the center and its smaller
     neighbors to that minimum, so both emit (bigger, smaller) pairs.
     Convergence is detected by (count, bit_xor of xxhash64) edge-set
-    fingerprints going stable; at the fixpoint the edge set is exactly
-    the star {(v, root) : v non-root}, read off as the label map.
+    fingerprints going stable, then CONFIRMED by an exact set check
+    (``exceptAll(...).isEmpty()`` — with equal counts, one-sided
+    emptiness proves set equality): a 64-bit fingerprint collision
+    between successive non-equal edge sets therefore cannot silently
+    terminate with wrong labels (r3 ADVICE).  The exact check costs one
+    job and runs only when fingerprints match — once, at the fixpoint.
+    At the fixpoint the edge set is exactly the star
+    {(v, root) : v non-root}, read off as the label map.
     """
     e = (
         pairs.select(
@@ -699,6 +705,7 @@ def connected_components_star(
         return (row["n"], row["chk"])
 
     prev = _fingerprint(e)
+    e_prev = e
     for _ in range(max_rounds):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: m(u) = min(N(u) ∪ {u}); link every v ∈ N(u), v > u
@@ -733,9 +740,12 @@ def connected_components_star(
         )
         e = e2
         cur = _fingerprint(e)
-        if cur == prev:
+        # equal fingerprints imply equal counts; the one-sided exceptAll
+        # emptiness then proves exact set equality (collision guard)
+        if cur == prev and e.exceptAll(e_prev).isEmpty():
             break
         prev = cur
+        e_prev = e
     else:
         raise RuntimeError(
             f"connected_components_star: no convergence in {max_rounds} "

@@ -109,7 +109,17 @@ def exchange_input_types(df: DataFrame) -> list[str]:
     """simpleString data types of every column entering any Exchange
     node — the columns that physically cross a shuffle.  Walks the
     pre-AQE physical plan via py4j (the formatted text plan does not
-    carry types)."""
+    carry types).
+
+    BUILD-TIME SCOPE ONLY: under AQE this inspects ``initialPlan``, so
+    exchanges AQE inserts or rewrites at runtime (skew-join splits,
+    runtime repartitions) are invisible — ``binary_crosses_exchange``
+    can report no binary shuffle while an AQE-materialized exchange
+    still carries one.  For a runtime-accurate answer, run an action
+    first and re-walk ``executedPlan()`` (whose AdaptiveSparkPlan
+    ``finalPhysicalPlan`` is then populated); the plan-shape tests use
+    this helper as a static guard on the declared plan, where the
+    build-time view is the intended contract."""
     types: list[str] = []
     root = df._jdf.queryExecution().executedPlan()
     if root.nodeName() == "AdaptiveSparkPlan":
