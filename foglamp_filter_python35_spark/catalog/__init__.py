@@ -101,6 +101,41 @@ def o_davg(expr: str, alias: str, scale: int = 6) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Production approx toggle.  The catalog's exact COUNT(DISTINCT) and exact
+# quantiles exist for the oracle gate's bit-equality; at 100 TB the right
+# operators are the mergeable sketches (HLL approx_count_distinct,
+# t-digest approx_percentile).  `approx_mode()` flips the three affected
+# queries (percentile_summary, conversion_latency, sliding_unique_users)
+# to the sketch forms while keeping the identical plan shape; exact stays
+# the default so driver correctness runs are unaffected.  Enable via
+# `with approx_mode():`, `set_approx_mode(True)`, or SPARK_GRAFT_APPROX=1.
+# ---------------------------------------------------------------------------
+
+_APPROX = os.environ.get("SPARK_GRAFT_APPROX", "") == "1"
+
+
+def approx_enabled() -> bool:
+    return _APPROX
+
+
+def set_approx_mode(on: bool) -> None:
+    global _APPROX  # noqa: PLW0603
+    _APPROX = bool(on)
+
+
+class approx_mode:  # noqa: N801 — context-manager, used like a function
+    def __init__(self, on: bool = True) -> None:
+        self._on = on
+
+    def __enter__(self) -> None:
+        self._old = _APPROX
+        set_approx_mode(self._on)
+
+    def __exit__(self, *exc) -> None:
+        set_approx_mode(self._old)
+
+
 def ordstat_quantile(sorted_col: str, n_col: str, q: float) -> Column:
     """Engine-exact interpolated quantile from a pre-sorted array column.
 

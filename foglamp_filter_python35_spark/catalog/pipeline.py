@@ -176,10 +176,19 @@ GROUP BY w_start, event_type
 
 
 def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import (  # noqa: PLC0415
+        approx_enabled,
+    )
+
     ev = load(spark, sf_dir, "events")
+    distinct = (
+        F.approx_count_distinct("user_id")
+        if approx_enabled()
+        else F.countDistinct("user_id")
+    )
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(distinct.alias("n_users"))
         .select(F.col("w.start").alias("w_start"), "n_users")
     )
 
@@ -443,6 +452,20 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("first_purchase") - F.unix_micros("first_signup")
         ).alias("lat_us")
     )
+    from foglamp_filter_python35_spark.catalog import (  # noqa: PLC0415
+        approx_enabled,
+    )
+
+    if approx_enabled():
+        return lat.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.approx_percentile("lat_us", 0.5, 10_000)
+            .cast("double")
+            .alias("p50_us"),
+            F.approx_percentile("lat_us", 0.9, 10_000)
+            .cast("double")
+            .alias("p90_us"),
+        )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.sort_array(F.collect_list("lat_us")).alias("s"),

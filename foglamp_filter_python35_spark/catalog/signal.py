@@ -231,19 +231,28 @@ ORDER BY event_type, session_start
 # --- per-asset percentile summary.  Exact percentile (Spark sort-based
 # `percentile` == DuckDB `quantile_cont`, verified 0-ULP on this corpus);
 # at 100 TB the production variant is approx_percentile (t-digest,
-# mergeable partials) — exact here because the oracle gate needs
-# bit-equality, same tradeoff as the decimal sums. ---
+# mergeable partials) — exact by default because the oracle gate needs
+# bit-equality, same tradeoff as the decimal sums; `approx_mode()` flips
+# to the sketch form with the identical plan shape. ---
 
 
 def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import (  # noqa: PLC0415
+        approx_enabled,
+    )
+
     ev = load(spark, sf_dir, "events")
+    if approx_enabled():
+        pct = lambda c, p: F.approx_percentile(c, p, 10_000)  # noqa: E731
+    else:
+        pct = F.percentile
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.9).alias("p90"),
-            F.percentile("value", 0.99).alias("p99"),
+            pct("value", 0.5).alias("p50"),
+            pct("value", 0.9).alias("p90"),
+            pct("value", 0.99).alias("p99"),
         )
         .orderBy("event_type")
     )

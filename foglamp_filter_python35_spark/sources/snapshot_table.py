@@ -1,0 +1,218 @@
+"""Minimal manifest-based snapshot table: an ACID parquet table with no
+external table-format dependency.
+
+The container cannot install Delta/Iceberg (no package installs), but a
+100 TB deployment expects a storage layer with atomic commits, snapshot
+isolation, and time travel.  This module implements the core idea those
+formats share — an immutable-data-files + metadata-pointer design — with
+nothing beyond Spark and the filesystem:
+
+* **Data files are immutable.**  Every commit writes its parquet files
+  into a fresh ``data/<uuid>/`` directory; nothing is ever modified or
+  deleted by a commit.
+* **A manifest is the unit of atomicity.**  ``manifests/v{N}.json``
+  lists exactly the data files visible at version N.  A manifest is
+  created with ``open(..., "x")`` — an atomic create-if-absent — so two
+  racing writers cannot both publish the same version; the loser gets
+  ``CommitConflict`` and retries on the new parent (optimistic
+  concurrency, the same protocol Delta uses on its ``_delta_log`` JSON
+  files).
+* **Readers resolve a version, then read only its files.**  A reader
+  holding version N is fully isolated from later commits: its file list
+  is frozen, and those files are immutable.  ``version=`` gives time
+  travel.
+* **Failed jobs are invisible.**  A writer that dies after writing data
+  files but before publishing its manifest leaves orphan files that no
+  manifest references — the table is unchanged.  ``vacuum`` removes
+  orphans (and, optionally, files only referenced by expired versions).
+
+Scale mapping: on an object store the manifest write becomes a
+conditional PUT (S3 if-none-match / GCS generation-match) and data files
+get a per-job prefix — the dataflow and the commit protocol are
+unchanged.  The reference has no storage layer at all (it forwards
+readings to the next FogLAMP filter), so this is part of the mandated
+beyond-the-reference surface, not a port.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first; retry on the new
+    parent or surface to the caller after ``max_retries``."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "manifests")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def current_version(path: str) -> int | None:
+    """Latest committed version, or None for an empty/absent table.
+
+    The manifest directory itself is the source of truth (max version
+    present); there is no mutable pointer file to go stale or regress."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := _MANIFEST_RE.match(f))
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _list_parquet(commit_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_retries: int = 10,
+) -> int:
+    """Atomically commit ``df`` to the table at ``path``.
+
+    ``mode="append"`` adds the new files to the parent snapshot's;
+    ``mode="overwrite"`` makes the new files the entire table.  Returns
+    the committed version.  The data write runs ONCE; only the (cheap,
+    metadata-only) manifest publish retries on conflict.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
+    df.write.mode("error").parquet(commit_dir)
+    new_files = [
+        os.path.relpath(f, path) for f in _list_parquet(commit_dir)
+    ]
+
+    for _ in range(max_retries):
+        parent = current_version(path)
+        version = 0 if parent is None else parent + 1
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = _read_manifest(path, parent)["files"] + files
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": mode,
+            "files": files,
+        }
+        target = os.path.join(_manifest_dir(path), f"v{version}.json")
+        try:
+            # atomic create-if-absent IS the commit: exactly one writer
+            # can create v{N}.json
+            with open(target, "x") as f:
+                json.dump(manifest, f)
+            return version
+        except FileExistsError:
+            continue  # lost the race; recompute parent and retry
+    raise CommitConflict(
+        f"could not publish a manifest after {max_retries} attempts "
+        f"(heavy writer contention on {path!r})"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over one immutable snapshot (latest by default;
+    ``version=`` time-travels).  The resolved file list is frozen at
+    call time, so concurrent commits cannot change what this DataFrame
+    reads — snapshot isolation by construction."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    manifest = _read_manifest(path, v)
+    if not manifest["files"]:
+        return spark.range(0).drop("id")  # empty table, empty schema
+    return spark.read.parquet(
+        *(os.path.join(path, f) for f in manifest["files"])
+    )
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version / parent / operation / n_files."""
+    v = current_version(path)
+    if v is None:
+        return []
+    out = []
+    for i in range(v + 1):
+        m = _read_manifest(path, i)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files not referenced by any of the newest
+    ``keep_versions`` manifests (orphans from failed jobs, and files
+    only visible to expired versions); drops the expired manifests too.
+    Returns the deleted file paths.  Never touches files referenced by
+    a retained version, so readers of those snapshots are unaffected."""
+    if keep_versions < 1:
+        raise ValueError("must keep at least the current version")
+    v = current_version(path)
+    if v is None:
+        return []
+    retained = range(max(0, v - keep_versions + 1), v + 1)
+    live = {
+        os.path.normpath(os.path.join(path, f))
+        for i in retained
+        for f in _read_manifest(path, i)["files"]
+    }
+    deleted: list[str] = []
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for commit_id in os.listdir(ddir):
+            cdir = os.path.join(ddir, commit_id)
+            for root, _dirs, fnames in os.walk(cdir):
+                for fname in fnames:
+                    p = os.path.normpath(os.path.join(root, fname))
+                    if p.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        deleted.append(p)
+            if not _list_parquet(cdir):
+                # commit dir holds no live parquet; drop it and its
+                # _SUCCESS/.crc debris
+                for root, dirs, fnames in os.walk(cdir, topdown=False):
+                    for fname in fnames:
+                        os.remove(os.path.join(root, fname))
+                    for d in dirs:
+                        os.rmdir(os.path.join(root, d))
+                os.rmdir(cdir)
+    for i in range(0, retained.start):
+        m = os.path.join(_manifest_dir(path), f"v{i}.json")
+        if os.path.exists(m):
+            os.remove(m)
+    return deleted

@@ -1,0 +1,105 @@
+"""ACID contract tests for the manifest-based snapshot table — the
+storage capability a 100 TB deployment expects (Delta/Iceberg are not
+installable here; this is the same immutable-files + atomic-metadata
+protocol with no dependency)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from foglamp_filter_python35_spark.sources import snapshot_table as st
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_append_overwrite_history_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = st.commit(_df(spark, 0, 5), t, mode="append")
+    v1 = st.commit(_df(spark, 5, 8), t, mode="append")
+    v2 = st.commit(_df(spark, 100, 102), t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert _keys(st.read_snapshot(spark, t)) == [100, 101]
+    # time travel: every old snapshot is intact
+    assert _keys(st.read_snapshot(spark, t, version=0)) == [0, 1, 2, 3, 4]
+    assert _keys(st.read_snapshot(spark, t, version=1)) == list(range(8))
+    ops = [h["operation"] for h in st.history(t)]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_reader_is_snapshot_isolated_from_later_commits(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 10), t)
+    reader = st.read_snapshot(spark, t)  # resolves version 0 NOW
+    st.commit(_df(spark, 10, 20), t, mode="append")
+    st.commit(_df(spark, 900, 901), t, mode="overwrite")
+    # the pre-commit reader still sees exactly version 0
+    assert _keys(reader) == list(range(10))
+    assert _keys(st.read_snapshot(spark, t)) == [900]
+
+
+def test_failed_write_is_invisible(spark, tmp_path):
+    """A job that dies after writing data files but before publishing a
+    manifest must leave the table unchanged (atomicity)."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 3), t)
+
+    # simulate the death: write orphan data files with no manifest
+    orphan = os.path.join(t, "data", "deadc0de")
+    _df(spark, 50, 60).write.parquet(orphan)
+
+    assert st.current_version(t) == 0
+    assert _keys(st.read_snapshot(spark, t)) == [0, 1, 2]
+    # vacuum reclaims the orphans without touching live files
+    deleted = st.vacuum(t)
+    assert deleted and all("deadc0de" in p for p in deleted)
+    assert _keys(st.read_snapshot(spark, t)) == [0, 1, 2]
+
+
+def test_commit_conflict_retries_on_new_parent(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer whose parent read went stale
+    (another commit landed in between) hits FileExistsError on the
+    manifest create, recomputes the parent, and lands on the next
+    version — with BOTH writers' rows visible."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 3), t)  # v0
+    st.commit(_df(spark, 1000, 1001), t, mode="append")  # v1: the racer
+
+    real = st.current_version
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(st, "current_version", stale_once)
+    # first attempt: stale parent v0 -> target v1 already exists ->
+    # retry with the true parent v1 -> lands v2 including the racer's rows
+    v = st.commit(_df(spark, 3, 6), t, mode="append")
+    assert v == 2
+    assert calls["n"] >= 2
+    assert _keys(st.read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 5, 1000]
+
+
+def test_vacuum_expires_old_versions_but_keeps_retained(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 4), t)
+    st.commit(_df(spark, 200, 202), t, mode="overwrite")
+    deleted = st.vacuum(t, keep_versions=1)
+    # v0's files (overwritten away) are reclaimed, v1 intact
+    assert deleted
+    assert _keys(st.read_snapshot(spark, t)) == [200, 201]
+    with pytest.raises(FileNotFoundError):
+        st.read_snapshot(spark, t, version=0)
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        st.read_snapshot(spark, str(tmp_path / "nope"))

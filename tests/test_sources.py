@@ -157,6 +157,10 @@ def test_readings_jsonl_valid_and_corrupt_split(spark, tmp_path):
         "{this is not json\n"
         "{}\n"
         '{"id": 9, "user_ts": 1699999998, "reading": {"power": 2.0}}\n'
+        '{"id": 10, "asset_code": null, "ts": 1699999999, '
+        '"reading": {"power": 3.0}}\n'
+        '{"id": 11, "asset_code": "lab4", "ts": null, '
+        '"reading": {"power": 4.0}}\n'
     )
     good, bad = read_readings_jsonl(spark, str(p))
     rows = {r["id"]: r for r in good.collect()}
@@ -168,12 +172,17 @@ def test_readings_jsonl_valid_and_corrupt_split(spark, tmp_path):
     assert rows[1]["reading_str"] == {}  # absent map -> empty, not null
     assert rows[2]["reading_str"] == {"state": "on"}
     assert rows[1]["ts"].year == 2023  # epoch seconds decoded
-    # rejects: malformed JSON, empty object (no asset/ts), missing ts
+    # rejects: malformed JSON, empty object (no asset/ts), missing ts,
+    # and EXPLICIT-null asset_code / ts (JSON null, not absent key)
     assert sorted(r[0] for r in bad.collect()) == sorted(
         [
             "{this is not json",
             "{}",
             '{"id": 9, "user_ts": 1699999998, "reading": {"power": 2.0}}',
+            '{"id": 10, "asset_code": null, "ts": 1699999999, '
+            '"reading": {"power": 3.0}}',
+            '{"id": 11, "asset_code": "lab4", "ts": null, '
+            '"reading": {"power": 4.0}}',
         ]
     )
 
@@ -191,6 +200,8 @@ def test_stream_readings_jsonl_good_and_bad_streams(spark, tmp_path):
         '{"id": 1, "asset_code": "lab1", "ts": 1699999999, '
         '"user_ts": 1699999998, "reading": {"power": 1.5}}\n'
         "not json at all\n"
+        "{}\n"
+        '{"id": 7, "asset_code": null, "ts": 1699999999}\n'
     )
     (d / "b.jsonl").write_text(
         '{"id": 2, "asset_code": "lab2", "ts": 1699999999, '
@@ -215,8 +226,18 @@ def test_stream_readings_jsonl_good_and_bad_streams(spark, tmp_path):
         got = {r["id"]: r for r in spark.sql("SELECT * FROM wire_good").collect()}
         assert set(got) == {1, 2}
         assert got[1]["reading"]["power"] == 1.5
-        rejects = [r[0] for r in spark.sql("SELECT * FROM wire_bad").collect()]
-        assert rejects == ["not json at all"]
+        rejects = sorted(
+            r[0] for r in spark.sql("SELECT * FROM wire_bad").collect()
+        )
+        # malformed, empty-object, and explicit-null asset all quarantined
+        # on the streaming path too
+        assert rejects == sorted(
+            [
+                "not json at all",
+                "{}",
+                '{"id": 7, "asset_code": null, "ts": 1699999999}',
+            ]
+        )
     finally:
         q1.stop()
         q2.stop()

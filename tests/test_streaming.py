@@ -968,3 +968,81 @@ def test_asset_tracker_is_optin_debug_path(spark, events_stream_dir, tmp_path):
     assert (
         sum(n for (_s, _a, d, n) in tracker.tuples if d == "in") == 1000
     )
+
+
+def test_reconfigure_swaps_script_identity_from_checkpoint(
+    spark, tmp_path, events_stream_dir
+):
+    """C3, script-identity swap: the reference's reconfigure can switch
+    to a DIFFERENT script, not just new params (python35_filter.cpp:
+    404-422).  Restart from the same checkpoint with a transform loaded
+    from a different user script whose output payload shape differs
+    (adds a datapoint); the restarted query must resume at the stored
+    offset (exactly-once: batch A is not reprocessed) and apply the new
+    script."""
+    import textwrap
+
+    from foglamp_filter_python35_spark.registry import load_filter_script
+
+    src = str(tmp_path / "c3s_src")
+    ckpt = str(tmp_path / "c3s_ckpt")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(src, "a.parquet"),
+    )
+    raw_schema = spark.read.parquet(src).schema
+
+    def readings():
+        ev = spark.readStream.schema(raw_schema).parquet(src)
+        ev = fix_event_ts(ev)
+        return events_to_readings(ev)
+
+    got: list = []
+
+    def sink(df, _epoch):
+        got.extend(df.collect())
+
+    # phase 1: built-in scale script semantics
+    q = run_micro_batch_pipeline(
+        readings(),
+        [REGISTRY.stage("scale", FilterConfig("scale", enable=True,
+                                              params={"scale": 5, "offset": 10}))],
+        sink, ckpt,
+    )
+    _run_to_completion(q)
+    assert len(got) == 1000
+    assert all("audited" not in r["reading"] for r in got)
+
+    shutil.copy(
+        os.path.join(events_stream_dir, "part-0.parquet"),
+        os.path.join(src, "b.parquet"),
+    )
+
+    # phase 2: a DIFFERENT script file, loaded via the reference's
+    # naming rule, with a schema-evolving payload (new datapoint)
+    script = tmp_path / "deadbeef_script_audit.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            def audit(readings):
+                for r in readings:
+                    new = dict(r["reading"])
+                    new["audited"] = 1.0
+                    r["reading"] = new
+                return readings
+            """
+        )
+    )
+    method = load_filter_script(str(script))
+    assert method == "audit"
+    got.clear()
+    q = run_micro_batch_pipeline(
+        readings(),
+        [REGISTRY.stage(method, FilterConfig(method, enable=True))],
+        sink, ckpt,
+    )
+    _run_to_completion(q)
+    # only file b processed (offset resume), all rows through the NEW script
+    assert len(got) == 1000
+    assert all(r["reading"]["audited"] == 1.0 for r in got)
