@@ -641,6 +641,51 @@ ORDER BY doc_id
 """
 
 
+# --- G88: log2-bucketed document-length histogram -------------------------
+# Sequence-length distribution for packing/curriculum planning: documents
+# bucketed by floor(log2(token_count)) — the bucket boundaries a packing
+# planner (G73) and a context-length budget actually care about.  Pure
+# integer arithmetic end-to-end (bucket = digits of bin(n), counts and
+# sums are BIGINT), so the oracle is bit-trivial; one map-side bucket
+# column + one tiny hash agg — scan-bound at any corpus size.
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(T.token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        # digits of the binary representation == floor(log2(n)) + 1:
+        # integer-exact log bucketing with no transcendental functions
+        # (the repo's no-ln cross-engine policy)
+        .withColumn("bucket", F.length(F.bin("n_tokens")).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_DOC_LENGTH_HISTOGRAM = """
+WITH t AS (
+  SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM t
+WHERE n_tokens > 0
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
@@ -666,5 +711,8 @@ SPECS = [
     ),
     QuerySpec(
         "pretokenize_counts", q_pretokenize_counts, O_PRETOKENIZE_COUNTS
+    ),
+    QuerySpec(
+        "doc_length_histogram", q_doc_length_histogram, O_DOC_LENGTH_HISTOGRAM
     ),
 ]

@@ -676,6 +676,77 @@ ORDER BY dim
 """
 
 
+# --- G89: inter-label centroid margin ------------------------------------
+# Embedding-space class-separation audit: squared L2 distance between
+# every pair of label centroids.  A label whose centroid sits close to
+# another's signals mislabeled or entangled classes — the eval-side
+# complement of knn_label_purity.  Centroids are a (labels x dims)
+# aggregate (vocabulary-sized, sublinear in corpus); the pair join is
+# centroids-only, so the whole query after the one posexplode shuffle is
+# O(labels^2 x dims) — trivially broadcastable at any corpus size.
+# Cross-engine exactness: per-dim squared diffs are quantized with pure
+# IEEE ops (floor(d^2 * 1e9 + 0.5), the embedding_dim_stats pattern) and
+# summed as BIGINT — no float association order anywhere.
+
+
+def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import davg  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    cent = ex.groupBy("label", "dim").agg(davg("v", "c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    d = F.col("ca") - F.col("cb")
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.floor(d * d * F.lit(1e9) + F.lit(0.5)).alias("q"),
+        )
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.sum("q").alias("dist2_q"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+O_EMBEDDING_LABEL_MARGIN = """
+WITH cent AS (
+  SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(v) AS c
+  FROM (
+    SELECT label,
+           unnest(range(1, len(embedding) + 1)) AS gs,
+           unnest(embedding) AS v
+    FROM embeddings)
+  GROUP BY label, dim),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(FLOOR((a.c - b.c) * (a.c - b.c) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label)
+SELECT label_a, label_b,
+       CAST(SUM(q) AS BIGINT) AS dist2_q,
+       CAST(COUNT(*) AS BIGINT) AS n_dims
+FROM pairs
+GROUP BY label_a, label_b
+ORDER BY label_a, label_b
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -704,5 +775,10 @@ SPECS = [
     ),
     QuerySpec(
         "ivf_cell_histogram", q_ivf_cell_histogram, O_IVF_CELL_HISTOGRAM
+    ),
+    QuerySpec(
+        "embedding_label_margin",
+        q_embedding_label_margin,
+        O_EMBEDDING_LABEL_MARGIN,
     ),
 ]
