@@ -88,11 +88,24 @@ def _list_parquet(commit_dir: str) -> list[str]:
     )
 
 
+def _txn_version(path: str, txn: str) -> int | None:
+    """Version already committed under ``txn``, or None.  Scans newest
+    to oldest — a replayed transaction is usually the most recent."""
+    v = current_version(path)
+    if v is None:
+        return None
+    for i in range(v, -1, -1):
+        if _read_manifest(path, i).get("txn") == txn:
+            return i
+    return None
+
+
 def commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
     max_retries: int = 10,
+    txn: str | None = None,
 ) -> int:
     """Atomically commit ``df`` to the table at ``path``.
 
@@ -100,10 +113,18 @@ def commit(
     ``mode="overwrite"`` makes the new files the entire table.  Returns
     the committed version.  The data write runs ONCE; only the (cheap,
     metadata-only) manifest publish retries on conflict.
+
+    ``txn`` makes the commit IDEMPOTENT: if a manifest already carries
+    this transaction id, the commit is a no-op returning that version —
+    the exactly-once primitive a replayed streaming epoch needs (the
+    same idempotent-writes contract Delta exposes as
+    ``txnAppId``/``txnVersion``).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    if txn is not None and (seen := _txn_version(path, txn)) is not None:
+        return seen
     commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
     df.write.mode("error").parquet(commit_dir)
     new_files = [
@@ -121,6 +142,7 @@ def commit(
             "parent": parent,
             "operation": mode,
             "files": files,
+            "txn": txn,
         }
         target = os.path.join(_manifest_dir(path), f"v{version}.json")
         try:
@@ -130,11 +152,30 @@ def commit(
                 json.dump(manifest, f)
             return version
         except FileExistsError:
-            continue  # lost the race; recompute parent and retry
+            # lost the race; if the winner was a replay of OUR txn,
+            # adopt its version instead of double-committing
+            if txn is not None and (seen := _txn_version(path, txn)) is not None:
+                return seen
+            continue
     raise CommitConflict(
         f"could not publish a manifest after {max_retries} attempts "
         f"(heavy writer contention on {path!r})"
     )
+
+
+def snapshot_sink(path: str, query_name: str = "pipeline"):
+    """A ``SinkFn`` for ``run_micro_batch_pipeline`` that lands every
+    micro-batch as an idempotent snapshot-table commit: the epoch id is
+    the transaction key, so a replayed epoch (restart between sink and
+    checkpoint advance) commits exactly once.  End-to-end this gives the
+    micro-batch pipeline an exactly-once ACID sink."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        commit(
+            batch_df, path, mode="append", txn=f"{query_name}:{epoch_id}"
+        )
+
+    return sink
 
 
 def read_snapshot(

@@ -103,3 +103,30 @@ def test_vacuum_expires_old_versions_but_keeps_retained(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         st.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_txn_commit_is_idempotent(spark, tmp_path):
+    """The exactly-once primitive: replaying a commit with the same txn
+    id is a no-op returning the original version."""
+    t = str(tmp_path / "tbl")
+    v1 = st.commit(_df(spark, 0, 5), t, txn="epoch:0")
+    v2 = st.commit(_df(spark, 0, 5), t, txn="epoch:0")  # replay
+    assert v1 == v2 == 0
+    assert _keys(st.read_snapshot(spark, t)) == [0, 1, 2, 3, 4]
+    # a NEW txn still lands
+    st.commit(_df(spark, 5, 7), t, txn="epoch:1")
+    assert _keys(st.read_snapshot(spark, t)) == list(range(7))
+
+
+def test_snapshot_sink_gives_streaming_exactly_once(spark, tmp_path):
+    """run_micro_batch_pipeline -> snapshot_sink: a re-delivered epoch
+    (sink called twice for the same epoch id, as happens on restart
+    between sink success and checkpoint advance) must not duplicate
+    rows."""
+    t = str(tmp_path / "tbl")
+    sink = st.snapshot_sink(t, query_name="q")
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 0, 10), 0)  # epoch replay
+    sink(_df(spark, 10, 15), 1)
+    assert _keys(st.read_snapshot(spark, t)) == list(range(15))
+    assert [h["version"] for h in st.history(t)] == [0, 1]
