@@ -1046,3 +1046,36 @@ def test_reconfigure_swaps_script_identity_from_checkpoint(
     # only file b processed (offset resume), all rows through the NEW script
     assert len(got) == 1000
     assert all(r["reading"]["audited"] == 1.0 for r in got)
+
+
+def test_pipeline_into_snapshot_sink_end_to_end(
+    spark, events_stream_dir, tmp_path
+):
+    """S1 -> filter chain -> S7: the micro-batch pipeline lands in the
+    ACID snapshot table via epoch-keyed idempotent commits; the final
+    snapshot holds exactly the transformed readings."""
+    from foglamp_filter_python35_spark.sources import snapshot_table as st
+
+    readings = _readings_stream(spark, events_stream_dir)
+    stages = [
+        REGISTRY.stage(
+            "scale",
+            FilterConfig("scale", enable=True, params={"scale": 5, "offset": 10}),
+        )
+    ]
+    table = str(tmp_path / "sink_tbl")
+    q = run_micro_batch_pipeline(
+        readings,
+        stages,
+        sink=st.snapshot_sink(table, query_name="e2e"),
+        checkpoint_dir=str(tmp_path / "ckpt_snap"),
+    )
+    _run_to_completion(q)
+    snap = st.read_snapshot(spark, table)
+    assert snap.count() == 1000
+    raw = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(events_stream_dir).collect()
+    }
+    for row in snap.limit(50).collect():
+        assert row["reading"]["value"] == pytest.approx(raw[row["id"]] * 5 + 10)
