@@ -51,6 +51,11 @@ class CommitConflict(Exception):
     parent or surface to the caller after ``max_retries``."""
 
 
+class SchemaConflict(Exception):
+    """An append's column type contradicts the table schema.  New
+    columns are allowed (additive evolution); type changes are not."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "manifests")
 
@@ -100,6 +105,25 @@ def _txn_version(path: str, txn: str) -> int | None:
     return None
 
 
+def _merge_schema(parent: dict, new: dict) -> dict:
+    """Additive schema evolution: an append may introduce NEW columns
+    (readers of old files see them as null) but may not change an
+    existing column's type — the same rule Delta/Iceberg apply to
+    un-migrated appends."""
+    by_name = {f["name"]: f for f in parent["fields"]}
+    merged = list(parent["fields"])
+    for f in new["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            merged.append(f)
+        elif have["type"] != f["type"]:
+            raise SchemaConflict(
+                f"column {f['name']!r}: table has type {have['type']!r}, "
+                f"append has {f['type']!r} — additive evolution only"
+            )
+    return {**parent, "fields": merged}
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -125,6 +149,14 @@ def commit(
     os.makedirs(_manifest_dir(path), exist_ok=True)
     if txn is not None and (seen := _txn_version(path, txn)) is not None:
         return seen
+    # validate schema compatibility BEFORE paying the data write; the
+    # publish loop re-merges against whatever parent wins the race
+    pre_parent = current_version(path)
+    if mode == "append" and pre_parent is not None:
+        _merge_schema(
+            _read_manifest(path, pre_parent)["schema"],
+            json.loads(df.schema.json()),
+        )
     commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
     df.write.mode("error").parquet(commit_dir)
     new_files = [
@@ -135,13 +167,17 @@ def commit(
         parent = current_version(path)
         version = 0 if parent is None else parent + 1
         files = list(new_files)
+        schema = json.loads(df.schema.json())
         if mode == "append" and parent is not None:
-            files = _read_manifest(path, parent)["files"] + files
+            pm = _read_manifest(path, parent)
+            files = pm["files"] + files
+            schema = _merge_schema(pm["schema"], schema)
         manifest = {
             "version": version,
             "parent": parent,
             "operation": mode,
             "files": files,
+            "schema": schema,
             "txn": txn,
         }
         target = os.path.join(_manifest_dir(path), f"v{version}.json")
@@ -185,13 +221,20 @@ def read_snapshot(
     ``version=`` time-travels).  The resolved file list is frozen at
     call time, so concurrent commits cannot change what this DataFrame
     reads — snapshot isolation by construction."""
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version at {path!r}")
     manifest = _read_manifest(path, v)
+    # the MANIFEST schema is authoritative (schema-on-metadata, like any
+    # table format): files committed before an additive evolution are
+    # read with the evolved schema, missing columns null-filled by the
+    # parquet reader — no mergeSchema inference pass over all footers
+    schema = StructType.fromJson(manifest["schema"])
     if not manifest["files"]:
-        return spark.range(0).drop("id")  # empty table, empty schema
-    return spark.read.parquet(
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
         *(os.path.join(path, f) for f in manifest["files"])
     )
 

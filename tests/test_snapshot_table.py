@@ -130,3 +130,35 @@ def test_snapshot_sink_gives_streaming_exactly_once(spark, tmp_path):
     sink(_df(spark, 10, 15), 1)
     assert _keys(st.read_snapshot(spark, t)) == list(range(15))
     assert [h["version"] for h in st.history(t)] == [0, 1]
+
+
+def test_additive_schema_evolution_on_append(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from foglamp_filter_python35_spark.sources.snapshot_table import (
+        SchemaConflict,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/tbl"
+        st.commit(_df(spark, 0, 3), t)
+        # append with a NEW column: allowed; old rows read as null
+        st.commit(
+            _df(spark, 3, 5).withColumn("extra", F.lit("x")), t, mode="append"
+        )
+        snap = st.read_snapshot(spark, t)
+        assert set(snap.columns) == {"k", "extra"}
+        rows = {r["k"]: r["extra"] for r in snap.collect()}
+        assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x"}
+        # time travel to v0 keeps the ORIGINAL schema
+        assert st.read_snapshot(spark, t, version=0).columns == ["k"]
+        # type change is rejected before any manifest is written
+        with pytest.raises(SchemaConflict):
+            st.commit(
+                _df(spark, 9, 10).withColumn("extra", F.lit(1.5)),
+                t,
+                mode="append",
+            )
+        assert st.current_version(t) == 1
