@@ -162,3 +162,35 @@ def test_additive_schema_evolution_on_append(spark):
                 mode="append",
             )
         assert st.current_version(t) == 1
+
+
+def test_model_based_commit_sequences(spark, tmp_path):
+    """Model check: a deterministic mix of appends/overwrites/replays
+    must make every historical snapshot equal the Python-list model at
+    that version — the whole-table analog of the per-feature tests."""
+    import random
+
+    rng = random.Random(42)
+    t = str(tmp_path / "model_tbl")
+    model: list[list[int]] = []  # model[v] = expected keys at version v
+    next_key = 0
+    for step in range(8):
+        lo, hi = next_key, next_key + rng.randint(1, 5)
+        next_key = hi
+        batch = list(range(lo, hi))
+        if rng.random() < 0.3 or not model:
+            st.commit(_df(spark, lo, hi), t, mode="overwrite")
+            model.append(batch)
+        else:
+            st.commit(_df(spark, lo, hi), t, mode="append")
+            model.append(model[-1] + batch)
+        if rng.random() < 0.3:
+            # idempotent replay of an arbitrary txn never changes state
+            v_before = st.current_version(t)
+            st.commit(_df(spark, 0, 1), t, txn="replay-fixed")
+            if v_before != st.current_version(t):
+                model.append(model[-1] + [0])
+    for v, expected in enumerate(model):
+        assert _keys(st.read_snapshot(spark, t, version=v)) == sorted(
+            expected
+        ), f"version {v} diverged from model"
