@@ -130,6 +130,7 @@ def commit(
     mode: str = "append",
     max_retries: int = 10,
     txn: str | None = None,
+    require_parent: int | None = None,
 ) -> int:
     """Atomically commit ``df`` to the table at ``path``.
 
@@ -143,6 +144,11 @@ def commit(
     the exactly-once primitive a replayed streaming epoch needs (the
     same idempotent-writes contract Delta exposes as
     ``txnAppId``/``txnVersion``).
+
+    ``require_parent`` makes the commit SERIALIZABLE with respect to a
+    read: if any other commit landed after that version, the publish
+    fails with ``CommitConflict`` instead of silently clobbering it —
+    the read-modify-write guard ``merge_upsert`` relies on.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -165,6 +171,14 @@ def commit(
 
     for _ in range(max_retries):
         parent = current_version(path)
+        if require_parent is not None:
+            # -1 = "the table must still be empty" (first-writer guard)
+            expected = None if require_parent < 0 else require_parent
+            if parent != expected:
+                raise CommitConflict(
+                    f"serializable check failed: read version "
+                    f"{expected}, table is now at {parent}"
+                )
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         schema = json.loads(df.schema.json())
@@ -196,6 +210,50 @@ def commit(
     raise CommitConflict(
         f"could not publish a manifest after {max_retries} attempts "
         f"(heavy writer contention on {path!r})"
+    )
+
+
+def merge_upsert(
+    df: DataFrame,
+    path: str,
+    key: str | list[str],
+    max_retries: int = 5,
+) -> int:
+    """Copy-on-write MERGE: rows of ``df`` replace same-key rows in the
+    table; new keys insert.  Serializable: the overwrite publishes with
+    ``require_parent`` pinned to the version the merge read, so a commit
+    landing in between triggers a re-read + re-merge instead of a lost
+    update — optimistic concurrency at MERGE granularity.
+
+    This rewrites the whole table (the snapshot is small relative to a
+    commit here); at 100 TB the production refinement is file-pruned
+    copy-on-write — per-file key min/max in the manifest restricts the
+    rewrite to files that can contain a matching key, identical
+    protocol, smaller rewrite set.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    for _ in range(max_retries):
+        parent = current_version(path)
+        if parent is None:
+            merged = df
+        else:
+            snap = read_snapshot(spark, path, version=parent)
+            kept = snap.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = kept.unionByName(df, allowMissingColumns=True)
+        try:
+            return commit(
+                merged,
+                path,
+                mode="overwrite",
+                require_parent=parent if parent is not None else -1,
+            )
+        except CommitConflict:
+            continue  # someone committed meanwhile; re-read and re-merge
+    raise CommitConflict(
+        f"merge lost the serializable race {max_retries} times on {path!r}"
     )
 
 

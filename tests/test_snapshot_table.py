@@ -194,3 +194,52 @@ def test_model_based_commit_sequences(spark, tmp_path):
         assert _keys(st.read_snapshot(spark, t, version=v)) == sorted(
             expected
         ), f"version {v} diverged from model"
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    base = _df(spark, 0, 5).withColumn("v", F.col("k") * 10)
+    st.commit(base, t)
+    # update keys 2,3; insert key 7
+    delta = spark.createDataFrame(
+        [(2, 999), (3, 999), (7, 70)], ["k", "v"]
+    )
+    st.merge_upsert(delta, t, key="k")
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got == {0: 0, 1: 10, 2: 999, 3: 999, 4: 40, 7: 70}
+    # pre-merge snapshot intact (time travel)
+    old = {r["k"]: r["v"] for r in st.read_snapshot(spark, t, version=0).collect()}
+    assert old == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_merge_upsert_survives_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between the merge's read and its publish forces
+    a re-read + re-merge: both the racer's row and the merge land."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 3).withColumn("v", F.col("k")), t)
+
+    real_read = st.read_snapshot
+    raced = {"done": False}
+
+    def read_and_race(spark_, path_, version=None):
+        out = real_read(spark_, path_, version)
+        if not raced["done"]:
+            raced["done"] = True
+            # racer appends key 50 AFTER the merge has read its snapshot
+            st.commit(
+                spark_.createDataFrame([(50, 50)], ["k", "v"]),
+                path_,
+                mode="append",
+            )
+        return out
+
+    monkeypatch.setattr(st, "read_snapshot", read_and_race)
+    st.merge_upsert(
+        spark.createDataFrame([(1, 111)], ["k", "v"]), t, key="k"
+    )
+    got = {r["k"]: r["v"] for r in real_read(spark, t).collect()}
+    assert got == {0: 0, 1: 111, 2: 2, 50: 50}
