@@ -93,6 +93,36 @@ def _list_parquet(commit_dir: str) -> list[str]:
     )
 
 
+def _file_stats(file_path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet FOOTER (no data
+    read) — the statistics a manifest needs for file skipping."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    md = pq.ParquetFile(file_path).metadata
+    idx = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st_ = md.row_group(rg).column(idx[c]).statistics
+            if st_ is None or not st_.has_min_max:
+                lo = hi = None
+                break  # a stats-less row group poisons the whole file
+            lo = st_.min if lo is None else min(lo, st_.min)
+            hi = st_.max if hi is None else max(hi, st_.max)
+        # manifests are JSON: keep only losslessly-serializable stats
+        if lo is not None and all(
+            isinstance(v, (int, float, str)) and not isinstance(v, bool)
+            for v in (lo, hi)
+        ):
+            out[c] = [lo, hi]
+    return out
+
+
 def _txn_version(path: str, txn: str) -> int | None:
     """Version already committed under ``txn``, or None.  Scans newest
     to oldest — a replayed transaction is usually the most recent."""
@@ -131,6 +161,7 @@ def commit(
     max_retries: int = 10,
     txn: str | None = None,
     require_parent: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Atomically commit ``df`` to the table at ``path``.
 
@@ -149,6 +180,12 @@ def commit(
     read: if any other commit landed after that version, the publish
     fails with ``CommitConflict`` instead of silently clobbering it —
     the read-modify-write guard ``merge_upsert`` relies on.
+
+    ``stats_cols`` harvests per-file min/max for those columns from the
+    parquet footers (no data read) into the manifest; readers passing
+    ``between=`` to ``read_snapshot`` then SKIP files whose range
+    cannot match — manifest-level file pruning, the mechanism behind
+    Iceberg's scan planning and Delta's data skipping.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -168,6 +205,14 @@ def commit(
     new_files = [
         os.path.relpath(f, path) for f in _list_parquet(commit_dir)
     ]
+    new_stats = (
+        {
+            rel: _file_stats(os.path.join(path, rel), stats_cols)
+            for rel in new_files
+        }
+        if stats_cols
+        else {}
+    )
 
     for _ in range(max_retries):
         parent = current_version(path)
@@ -182,16 +227,19 @@ def commit(
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         schema = json.loads(df.schema.json())
+        stats = dict(new_stats)
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
             files = pm["files"] + files
             schema = _merge_schema(pm["schema"], schema)
+            stats = {**pm.get("stats", {}), **stats}
         manifest = {
             "version": version,
             "parent": parent,
             "operation": mode,
             "files": files,
             "schema": schema,
+            "stats": stats,
             "txn": txn,
         }
         target = os.path.join(_manifest_dir(path), f"v{version}.json")
@@ -273,12 +321,23 @@ def snapshot_sink(path: str, query_name: str = "pipeline"):
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """DataFrame over one immutable snapshot (latest by default;
     ``version=`` time-travels).  The resolved file list is frozen at
     call time, so concurrent commits cannot change what this DataFrame
-    reads — snapshot isolation by construction."""
+    reads — snapshot isolation by construction.
+
+    ``between=(col, lo, hi)`` prunes at the MANIFEST level: files whose
+    recorded [min, max] for ``col`` (see ``commit(stats_cols=...)``)
+    cannot intersect [lo, hi] are never opened; files without stats are
+    conservatively read.  The matching row filter is also applied, so
+    the result is exact — pruning only changes how many files Spark
+    lists, which is the entire point at 100 TB."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
     v = current_version(path) if version is None else version
@@ -290,11 +349,26 @@ def read_snapshot(
     # read with the evolved schema, missing columns null-filled by the
     # parquet reader — no mergeSchema inference pass over all footers
     schema = StructType.fromJson(manifest["schema"])
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *(os.path.join(path, f) for f in manifest["files"])
-    )
+    files = manifest["files"]
+    if between is not None:
+        col, lo, hi = between
+        stats = manifest.get("stats", {})
+        files = [
+            f
+            for f in files
+            if (rng := stats.get(f, {}).get(col)) is None
+            or (rng[0] <= hi and rng[1] >= lo)
+        ]
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *(os.path.join(path, f) for f in files)
+        )
+    if between is not None:
+        col, lo, hi = between
+        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df
 
 
 def history(path: str) -> list[dict]:

@@ -243,3 +243,27 @@ def test_merge_upsert_survives_concurrent_commit(spark, tmp_path, monkeypatch):
     )
     got = {r["k"]: r["v"] for r in real_read(spark, t).collect()}
     assert got == {0: 0, 1: 111, 2: 2, 50: 50}
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    """commit(stats_cols=...) records footer min/max in the manifest;
+    read_snapshot(between=...) must open only files whose range can
+    match — and still return exactly the matching rows."""
+    t = str(tmp_path / "tbl")
+    # three commits with disjoint key ranges; 1 file each
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        st.commit(
+            _df(spark, lo, hi).coalesce(1), t, stats_cols=["k"]
+        )
+    full = st.read_snapshot(spark, t)
+    assert len(full.inputFiles()) == 3
+
+    pruned = st.read_snapshot(spark, t, between=("k", 120, 130))
+    assert len(pruned.inputFiles()) == 1  # only the middle file opened
+    assert _keys(pruned) == list(range(120, 131))
+
+    # a commit WITHOUT stats is conservatively read, result still exact
+    st.commit(_df(spark, 500, 501).coalesce(1), t)
+    conservative = st.read_snapshot(spark, t, between=("k", 120, 130))
+    assert len(conservative.inputFiles()) == 2  # middle + stats-less
+    assert _keys(conservative) == list(range(120, 131))
