@@ -135,6 +135,18 @@ def _txn_version(path: str, txn: str) -> int | None:
     return None
 
 
+def _nullable_schema(schema: dict) -> dict:
+    """Every table column is nullable by convention (as in Delta /
+    Iceberg): additive evolution null-fills old files, so a
+    non-nullable writer schema (e.g. a ``lit()`` column) must not leak
+    into the manifest — readers would codegen non-null access over
+    null-filled rows."""
+    return {
+        **schema,
+        "fields": [{**f, "nullable": True} for f in schema["fields"]],
+    }
+
+
 def _merge_schema(parent: dict, new: dict) -> dict:
     """Additive schema evolution: an append may introduce NEW columns
     (readers of old files see them as null) but may not change an
@@ -226,7 +238,7 @@ def commit(
                 )
         version = 0 if parent is None else parent + 1
         files = list(new_files)
-        schema = json.loads(df.schema.json())
+        schema = _nullable_schema(json.loads(df.schema.json()))
         stats = dict(new_stats)
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)

@@ -1,0 +1,114 @@
+"""The snapshot table as a registered Spark data source (Python Data
+Source API): batch read with time travel, and a streaming source that
+tails the manifest log with version offsets."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.sources import snapshot_table as st
+from foglamp_filter_python35_spark.sources.snapshot_source import (
+    SnapshotTableDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SnapshotTableDataSource)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def test_batch_format_matches_read_snapshot(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 50), t)
+    st.commit(_df(spark, 50, 80).withColumn("tag", F.lit("b")), t)
+
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    assert sorted(r["k"] for r in got.collect()) == list(range(80))
+    # evolved column null-filled on pre-evolution files
+    tags = {r["k"]: r["tag"] for r in got.collect()}
+    assert tags[0] is None and tags[79] == "b"
+
+    # time travel via option
+    v0 = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.columns == ["k"]
+    assert v0.count() == 50
+
+
+def test_streaming_source_tails_commits_exactly_once(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 10), t)
+
+    got: list[int] = []
+
+    def start(ck):
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _e: got.extend(r["k"] for r in df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    ck = str(tmp_path / "ck")
+    q = start(ck)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == list(range(10))
+
+    # two more commits land; a restarted stream picks up ONLY the delta
+    st.commit(_df(spark, 10, 15), t)
+    st.commit(_df(spark, 15, 20), t)
+    got.clear()
+    q = start(ck)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == list(range(10, 20))  # no re-delivery of v0
+
+
+def test_streaming_source_rejects_rewrites_without_optin(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 5), t)
+    st.commit(_df(spark, 100, 102), t, mode="overwrite")
+
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_reject")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges|STREAM_FAILED|overwrite"):
+        q.awaitTermination(120)
+
+    # with the opt-in, the rewrite's files flow
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_accept")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT * FROM snap_accept").collect())
+    assert ks == [0, 1, 2, 3, 4, 100, 101]
