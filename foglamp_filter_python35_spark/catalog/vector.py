@@ -747,6 +747,120 @@ ORDER BY label_a, label_b
 """
 
 
+# --- G90: IVF coarse-quantizer training (Lloyd k-means, 2 iterations) -----
+# The iterative-algorithm representative in the catalog: trains the
+# centroids the IVF queries consume, as two unrolled Lloyd rounds —
+# deterministic seeding (the first k vectors), assignment by QUANTIZED
+# integer squared-L2 (floor(d^2*1e12+0.5) summed as BIGINT, so argmin
+# ties and sums are engine-exact), centroid update via the decimal-avg.
+# Each round is: broadcast (k x d) centroid rows -> map-side per-dim
+# terms -> one (vec, cid) integer agg -> argmin -> one (cid, dim) avg.
+# At 100 TB: identical dataflow with k-means|| init and the per-dim join
+# fused into a packed-array dot kernel; rounds stay O(n*d*k) map-side
+# work + vocabulary-sized aggregates, the textbook Spark k-means shape.
+# The oracle unrolls the same two rounds in SQL — every stage integer-
+# or decimal-exact, so the driver hash-gate covers an ITERATIVE plan.
+
+_KM_K = 16
+_KM_SCALE = 1e12
+
+
+def q_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import davg  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    c0 = ex.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v").alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = F.col("v") - F.col("c")
+        dist = (
+            ex.join(F.broadcast(cent), "dim")
+            .select(
+                "vec_id",
+                "cid",
+                F.floor(d * d * F.lit(_KM_SCALE) + F.lit(0.5)).alias("q"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("q").alias("dist_q"))
+        )
+        mind = dist.groupBy("vec_id").agg(F.min("dist_q").alias("mind"))
+        return (
+            dist.join(mind, "vec_id")
+            .filter(F.col("dist_q") == F.col("mind"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("cid").alias("cid"),  # deterministic tie-break
+                F.min("mind").alias("dist_q"),
+            )
+        )
+
+    b1 = assign(c0)
+    c1 = (
+        ex.join(b1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(davg("v", "c"))
+    )
+    b2 = assign(c1)
+    return (
+        b2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum("dist_q").alias("inertia_q"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _km_assign_sql(cent: str, tag: str) -> str:
+    return f"""
+d{tag} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS dist_q
+  FROM ex e JOIN {cent} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid),
+m{tag} AS (SELECT vec_id, MIN(dist_q) AS mind FROM d{tag} GROUP BY vec_id),
+b{tag} AS (
+  SELECT d.vec_id, MIN(d.cid) AS cid, MIN(d.dist_q) AS dist_q
+  FROM d{tag} d JOIN m{tag} m
+    ON d.vec_id = m.vec_id AND d.dist_q = m.mind
+  GROUP BY d.vec_id)"""
+
+
+O_IVF_TRAIN_KMEANS = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(gs - 1 AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+  FROM (
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS gs,
+           unnest(embedding) AS v
+    FROM embeddings)),
+c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ex WHERE vec_id < {_KM_K}),
+{_km_assign_sql('c0', '1')},
+c1 AS (
+  SELECT b.cid, e.dim,
+         CAST(SUM(CAST(e.v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(e.v) AS c
+  FROM ex e JOIN b1 b ON e.vec_id = b.vec_id
+  GROUP BY b.cid, e.dim),
+{_km_assign_sql('c1', '2')}
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(dist_q) AS BIGINT) AS inertia_q
+FROM b2
+GROUP BY cid
+ORDER BY cid
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -780,5 +894,8 @@ SPECS = [
         "embedding_label_margin",
         q_embedding_label_margin,
         O_EMBEDDING_LABEL_MARGIN,
+    ),
+    QuerySpec(
+        "ivf_train_kmeans", q_ivf_train_kmeans, O_IVF_TRAIN_KMEANS
     ),
 ]
