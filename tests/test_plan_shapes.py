@@ -463,3 +463,44 @@ def test_corpus_qa_plan_shapes(spark):
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert E.is_fully_jvm(df)
+
+
+def test_kmeans_rounds_broadcast_centroids(spark):
+    """G90: every assignment round joins the (k x d) centroid rows by
+    BROADCAST — the exploded corpus must never shuffle for a join
+    against a vocabulary-sized side."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_ivf_train_kmeans,
+    )
+
+    plan = E.formatted_plan(q_ivf_train_kmeans(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # one per round
+    assert "CartesianProduct" not in plan
+
+
+def test_label_margin_pair_join_is_broadcast(spark):
+    """G89: the centroid pair join is centroids-only (labels x dims) —
+    broadcast, never a corpus shuffle join."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_embedding_label_margin,
+    )
+
+    plan = E.formatted_plan(q_embedding_label_margin(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_length_histogram_is_scan_plus_one_shuffle(spark):
+    """G88: map-side bucket + partial agg; exactly one hash-partition
+    exchange (plus the output sort's range exchange)."""
+    from foglamp_filter_python35_spark.catalog.text import (
+        q_doc_length_histogram,
+    )
+
+    df = q_doc_length_histogram(spark, SF)
+    plan = E.formatted_plan(df)
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1  # only the output sort
+    assert "partial_count" in plan
+    # scan pruned to the text column only
+    assert any("text" in s and "doc_id" not in s for s in E.read_schemas(df))
