@@ -54,9 +54,18 @@ def test_approx_mode_drops_exact_buffering_from_plan(spark):
     """The toggle must change the aggregate physically: no exact
     percentile / collect_list buffering, no two-phase exact distinct."""
     qs = all_queries()
+
+    def optimized(name):
+        return (
+            qs[name].fn(spark, _SF)._jdf.queryExecution().optimizedPlan().toString()
+        )
+
     with approx_mode():
-        lat_plan = qs["conversion_latency"].fn(spark, _SF)._jdf.queryExecution().optimizedPlan().toString()
-        uu_plan = qs["sliding_unique_users"].fn(spark, _SF)._jdf.queryExecution().optimizedPlan().toString()
+        lat_plan = optimized("conversion_latency")
+        uu_plan = optimized("sliding_unique_users")
+        pct_plan = optimized("percentile_summary")
     assert "approx_percentile" in lat_plan
     assert "collect_list" not in lat_plan
     assert "approx_count_distinct" in uu_plan
+    assert "approx_percentile" in pct_plan
+    assert "percentile(" not in pct_plan.replace("approx_percentile(", "")
