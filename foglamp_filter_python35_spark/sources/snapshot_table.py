@@ -407,7 +407,13 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     ``keep_versions`` manifests (orphans from failed jobs, and files
     only visible to expired versions); drops the expired manifests too.
     Returns the deleted file paths.  Never touches files referenced by
-    a retained version, so readers of those snapshots are unaffected."""
+    a retained version, so readers of those snapshots are unaffected.
+
+    Retention vs streaming: a streaming reader replaying an uncommitted
+    micro-batch (``readBetweenOffsets``) needs the files ADDED between
+    its checkpointed offsets — size ``keep_versions`` to cover the
+    maximum streaming checkpoint lag, the same retention-vs-stream
+    contract Delta documents for VACUUM."""
     if keep_versions < 1:
         raise ValueError("must keep at least the current version")
     v = current_version(path)

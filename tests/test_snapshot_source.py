@@ -112,3 +112,44 @@ def test_streaming_source_rejects_rewrites_without_optin(spark, tmp_path):
     q.awaitTermination(120)
     ks = sorted(r["k"] for r in spark.sql("SELECT * FROM snap_accept").collect())
     assert ks == [0, 1, 2, 3, 4, 100, 101]
+
+
+def test_table_to_table_pipeline_is_exactly_once_across_restart(
+    spark, tmp_path
+):
+    """The full loop: snapshot table A --streaming source--> transform
+    --snapshot sink--> table B, stopped midway and restarted from the
+    checkpoint.  Every source row lands in B exactly once, no matter
+    where the stop fell."""
+    src_t = str(tmp_path / "src_tbl")
+    dst_t = str(tmp_path / "dst_tbl")
+    ck = str(tmp_path / "ck_loop")
+    st.commit(_df(spark, 0, 20), src_t)
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src_t)
+            .load()
+            .withColumn("v", F.col("k") * 2)
+            .writeStream.foreachBatch(
+                st.snapshot_sink(dst_t, query_name="loop")
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    # more commits while the stream is DOWN
+    st.commit(_df(spark, 20, 30), src_t)
+    st.commit(_df(spark, 30, 35), src_t)
+    run_once()
+    # replay the last epoch manually (simulates restart between sink
+    # success and checkpoint advance): idempotent sink absorbs it
+    run_once()
+
+    out = st.read_snapshot(spark, dst_t)
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(k, 2 * k) for k in range(35)]
