@@ -69,36 +69,64 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Association-order-independent SUM of a double column.
 
-    Casting each double to DECIMAL(38, scale) rounds it identically in
-    Spark and DuckDB; the decimal sum is exact (order-free); the final
-    cast back to double is deterministic.  Oracle-side twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.
+    Each value is quantized with PURE IEEE ops — ``floor(x*10^scale +
+    0.5)`` as BIGINT — and summed exactly as integers; the final
+    ``double / 10^scale`` is one deterministic expression mirrored by
+    ``o_dsum``.  Two properties make this the gate mechanism:
+
+    * order-free: integer addition is associative, so any partitioning
+      or merge order yields the same sum;
+    * tie-safe: the quantization rounds identically in both engines
+      (the previous DECIMAL(38) cast was 5x slower in Spark's agg AND
+      carried a latent half-up-vs-half-even tie divergence on dyadic
+      inputs — see tests/test_properties.py and the verify notes).
+
+    Bound: exactness requires ``|sum(x)| * 10^scale < 2^63`` (~9.2e12
+    at scale 6) — orders of magnitude above the sf0.01/sf0.1 oracle
+    gate this exists for.  Production at 100 TB uses plain double sums
+    (SCALE.md); a deployment needing exact sums beyond the bound brings
+    back ``SUM(CAST(x AS DECIMAL(38,scale)))`` at the 5x agg cost.
     """
     c = F.col(col) if isinstance(col, str) else col
+    m = F.lit(float(10**scale))
     return (
-        F.sum(c.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+        F.sum(F.floor(c * m + F.lit(0.5)).cast("bigint")).cast("double") / m
+    ).alias(alias)
+
+
+def o_dsum_expr(expr: str, scale: int = 6) -> str:
+    """Bare-expression form of ``o_dsum`` — for ratios, HAVING clauses,
+    and any oracle fragment that reuses the quantized sum outside a
+    simple aliased SELECT item."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1e{scale} + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / 1e{scale})"
     )
 
 
 def o_dsum(expr: str, alias: str, scale: int = 6) -> str:
     """DuckDB twin of ``dsum`` for use inside oracle SQL strings."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+    return f"{o_dsum_expr(expr, scale)} AS {alias}"
 
 
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Deterministic AVG: exact decimal sum / count, divided in double."""
+    """Deterministic AVG: the ``dsum`` quantized-integer sum divided by
+    the non-null count, every step mirrored by ``o_davg``."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
-        / F.count(c)
-    ).alias(alias)
+    m = F.lit(float(10**scale))
+    s = (
+        F.sum(F.floor(c * m + F.lit(0.5)).cast("bigint")).cast("double") / m
+    )
+    return (s / F.count(c)).alias(alias)
+
+
+def o_davg_expr(expr: str, scale: int = 6) -> str:
+    """Bare-expression form of ``o_davg``."""
+    return f"({o_dsum_expr(expr, scale)} / COUNT({expr}))"
 
 
 def o_davg(expr: str, alias: str, scale: int = 6) -> str:
-    return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
-    )
+    return f"{o_davg_expr(expr, scale)} AS {alias}"
 
 
 # ---------------------------------------------------------------------------

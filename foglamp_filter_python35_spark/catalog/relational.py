@@ -32,6 +32,7 @@ from foglamp_filter_python35_spark.catalog import (
     load,
     o_davg,
     o_dsum,
+    o_dsum_expr,
 )
 
 # ---------------------------------------------------------------------------
@@ -1000,8 +1001,8 @@ O_MARKET_SHARE = f"""
 SELECT o_year,
        {o_dsum("national", "national_volume")},
        {o_dsum("volume", "total_volume")},
-       CAST(SUM(CAST(national AS DECIMAL(38,6))) AS DOUBLE)
-         / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+       {o_dsum_expr("national")}
+         / {o_dsum_expr("volume")} AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1.0 - l_discount) AS volume,
@@ -1173,8 +1174,8 @@ O_PROMO_REVENUE = f"""
 SELECT {o_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", "promo_volume")},
        {o_dsum("l_extendedprice * (1.0 - l_discount)", "total_volume")},
        CAST(100.0 AS DOUBLE)
-         * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         * {o_dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         / {o_dsum_expr("l_extendedprice * (1.0 - l_discount)")}
          AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{_Q14_START}'
@@ -1215,7 +1216,7 @@ WITH avg_q AS (
   SELECT l_partkey AS ap_key, {o_davg("l_quantity", "avg_qty")}
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+SELECT {o_dsum_expr("l_extendedprice")}
          / CAST(7.0 AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part  ON l_partkey = p_partkey
@@ -1257,7 +1258,7 @@ O_LARGE_ORDERS = f"""
 WITH big AS (
   SELECT l_orderkey AS big_key, {o_dsum("l_quantity", "sum_qty")}
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+  HAVING {o_dsum_expr("l_quantity")}
          > {_Q18_MIN_QTY}
 )
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from foglamp_filter_python35_spark.catalog import (
     QuerySpec,
     load,
+    o_davg,
+    o_davg_expr,
     o_ordstat_quantile,
     ordstat_quantile,
 )
@@ -302,10 +304,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_EMBEDDING_CENTROIDS = """
+O_EMBEDDING_CENTROIDS = f"""
 SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
-       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
-         / COUNT(v) AS centroid,
+       {o_davg("CAST(v AS DOUBLE)", "centroid")},
        CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM (
   -- two unnests in one SELECT zip positionally in DuckDB
@@ -723,11 +724,10 @@ def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_EMBEDDING_LABEL_MARGIN = """
+O_EMBEDDING_LABEL_MARGIN = f"""
 WITH cent AS (
   SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
-         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
-           / COUNT(v) AS c
+         {o_davg_expr("CAST(v AS DOUBLE)")} AS c
   FROM (
     SELECT label,
            unnest(range(1, len(embedding) + 1)) AS gs,
@@ -848,7 +848,7 @@ c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ex WHERE vec_id < {_KM_K}),
 {_km_assign_sql('c0', '1')},
 c1 AS (
   SELECT b.cid, e.dim,
-         CAST(SUM(CAST(e.v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(e.v) AS c
+         {o_davg_expr("e.v")} AS c
   FROM ex e JOIN b1 b ON e.vec_id = b.vec_id
   GROUP BY b.cid, e.dim),
 {_km_assign_sql('c1', '2')}
