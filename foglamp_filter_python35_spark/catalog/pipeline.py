@@ -225,8 +225,8 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("dl", F.size("toks").cast("double"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        # exact decimal sum of integer lengths -> deterministic avgdl
-        F.sum(F.size("toks").cast("decimal(38,6)"))
+        # integer lengths sum exactly as BIGINT -> deterministic avgdl
+        F.sum(F.size("toks").cast("bigint"))
         .cast("double")
         .alias("sum_dl"),
         *[
@@ -271,7 +271,7 @@ WITH docs AS (
   FROM documents),
 stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         CAST(SUM(CAST(len(toks) AS DECIMAL(38,6))) AS DOUBLE) AS sum_dl,
+         CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sum_dl,
          {", ".join(
              f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 "
              f"END) AS DOUBLE) AS df_{i}"

@@ -2089,11 +2089,16 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(c).alias(f"n_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.max(c).alias(f"max_{c}"),
-            F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"),
+            # quantized-integer sum (catalog.dsum mechanism): order-free,
+            # tie-safe, and skips Spark's interpreted Decimal agg
+            F.sum(
+                F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+            ).alias(f"s_{c}"),
         ]
     one = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', n_{c}, min_{c}, max_{c}, CAST(s_{c} AS DOUBLE) / n_{c}"
+        f"'{c}', n_{c}, min_{c}, max_{c}, "
+        f"CAST(s_{c} AS DOUBLE) / 1e6 / n_{c}"
         for c in _PROFILE_COLS
     )
     return one.select(
@@ -2113,8 +2118,8 @@ def _profile_row(c: str) -> str:
          CAST(COUNT({c}) AS BIGINT) AS n_values,
          CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
          MIN({c}) AS min, MAX({c}) AS max,
-         CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})
-           AS mean
+         CAST(SUM(CAST(FLOOR({c} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e6 / COUNT({c}) AS mean
   FROM lineitem"""
 
 
