@@ -347,3 +347,66 @@ def test_norm_outlier_fence_is_engine_exact_on_tie(spark, tmp_path):
         O_EMBEDDING_NORM_OUTLIERS,
         str(tmp_path),
     )
+
+
+def test_dsum_is_tie_safe_cross_engine(spark, tmp_path):
+    """The quantized-integer dsum/davg must agree with the DuckDB twins
+    on dyadic values whose scaled fraction is EXACTLY .5 — the tie the
+    old DECIMAL(38,6) casts resolved half-up in Spark but half-even in
+    DuckDB.  0.0078125 = 1/128 scales to 7812.5 at 1e6: decimal casts
+    disagree (7813 vs 7812), the IEEE floor(x*1e6+0.5) agrees by
+    construction."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from foglamp_filter_python35_spark.catalog import (
+        davg,
+        dsum,
+        o_davg,
+        o_dsum,
+    )
+
+    # 0.1983642578125 is a float32 dyadic whose scaled value at 1e12 is
+    # exactly ...812.5 — the documented real-world tie case
+    ties = [0.1983642578125, -0.1983642578125, 3.0234375, 1.5, -7.5]
+    pq.write_table(
+        pa.table({"v": pa.array(ties, type=pa.float64())}),
+        str(tmp_path / "ties.parquet"),
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "ties.parquet"))
+        .agg(dsum("v", "s", scale=12), davg("v", "a", scale=12))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    want_s, want_a = con.execute(
+        f"SELECT {o_dsum('v', 's', scale=12)}, {o_davg('v', 'a', scale=12)} "
+        f"FROM read_parquet('{tmp_path}/ties.parquet')"
+    ).fetchone()
+    con.close()
+    assert got["s"] == want_s, (got["s"], want_s)
+    assert got["a"] == want_a, (got["a"], want_a)
+    # and the old decimal behavior WOULD have diverged here: at scale 12
+    # the ...812.5 tie rounds half-up in Spark (...813) but half-even in
+    # DuckDB (...812) — the divergence the new mechanism removed
+    pq.write_table(
+        pa.table({"v": pa.array([0.1983642578125], type=pa.float64())}),
+        str(tmp_path / "tie1.parquet"),
+    )
+    con = duckdb.connect()
+    (duck_dec,) = con.execute(
+        "SELECT CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) "
+        f"FROM read_parquet('{tmp_path}/tie1.parquet')"
+    ).fetchone()
+    con.close()
+    spark_dec = (
+        spark.read.parquet(str(tmp_path / "tie1.parquet"))
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert spark_dec != duck_dec, (
+        "expected the decimal casts to disagree on the scale-12 tie — if "
+        "they now agree, the engines changed their rounding and this "
+        "test should be revisited"
+    )
