@@ -317,6 +317,69 @@ def merge_upsert(
     )
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits_per_col: int = 4,
+) -> int:
+    """Rewrite the table clustered on a Z-order (Morton) curve over
+    ``cols`` and republish with per-file stats — multi-column file
+    skipping, the OPTIMIZE ZORDER analog.
+
+    A linear sort only localizes its leading column; bit-interleaving
+    quantile buckets of EACH column gives every listed column locality,
+    so ``read_snapshot(between=(col, ...))`` prunes files for range
+    probes on ANY of them.  Bucket boundaries come from a sampled
+    ``approxQuantile`` (the same sampled-range approach production
+    optimizers use); the rewrite is one ``repartitionByRange`` on the
+    z-value — a single shuffle, no driver materialization of data.
+
+    Publishes with ``require_parent`` so a commit racing the rewrite
+    raises instead of being silently clobbered.  Returns the committed
+    version.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    snap = read_snapshot(spark, path, version=parent)
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    zparts = []
+    for j, c in enumerate(cols):
+        bounds = snap.stat.approxQuantile(c, probs, 0.01)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(F.col(c).cast("double") > b, 1).otherwise(0)
+        # interleave this column's bits into the z-value
+        for i in range(bits_per_col):
+            zparts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    z = zparts[0]
+    for p in zparts[1:]:
+        z = z + p
+    rewritten = (
+        snap.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return commit(
+        rewritten,
+        path,
+        mode="overwrite",
+        require_parent=parent,
+        stats_cols=cols,
+    )
+
+
 def snapshot_sink(path: str, query_name: str = "pipeline"):
     """A ``SinkFn`` for ``run_micro_batch_pipeline`` that lands every
     micro-batch as an idempotent snapshot-table commit: the epoch id is

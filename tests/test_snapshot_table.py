@@ -267,3 +267,40 @@ def test_stats_based_file_skipping(spark, tmp_path):
     conservative = st.read_snapshot(spark, t, between=("k", 120, 130))
     assert len(conservative.inputFiles()) == 2  # middle + stats-less
     assert _keys(conservative) == list(range(120, 131))
+
+
+def test_zorder_gives_multi_column_file_skipping(spark):
+    """Z-order rewrite: after clustering on (x, y), a narrow range probe
+    on EITHER column must open strictly fewer files than the unclustered
+    layout (where every file spans the full range of both)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/tbl"
+        n = 4096
+        # x uniform; y independent (decorrelated via multiplicative hash)
+        df = (
+            spark.range(n)
+            .withColumn("x", F.col("id").cast("double"))
+            .withColumn("y", ((F.col("id") * 2654435761) % n).cast("double"))
+            .repartition(8)  # random-ish layout: every file spans x AND y
+        )
+        st.commit(df, t, stats_cols=["x", "y"])
+        probe_x = ("x", 100.0, 300.0)
+        probe_y = ("y", 100.0, 300.0)
+        before_x = len(st.read_snapshot(spark, t, between=probe_x).inputFiles())
+        before_y = len(st.read_snapshot(spark, t, between=probe_y).inputFiles())
+        assert before_x == 8 and before_y == 8  # no pruning possible
+
+        st.optimize_zorder(spark, t, ["x", "y"], target_files=8)
+        after_x = st.read_snapshot(spark, t, between=probe_x)
+        after_y = st.read_snapshot(spark, t, between=probe_y)
+        assert len(after_x.inputFiles()) < 8
+        assert len(after_y.inputFiles()) < 8
+        # pruning never changes results
+        assert after_x.count() == 201 and after_y.count() == 201
+        # rewrite is a normal commit: time travel to the pre-optimize
+        # version still works
+        assert st.read_snapshot(spark, t, version=0).count() == n
