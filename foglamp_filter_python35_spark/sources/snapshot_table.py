@@ -317,6 +317,31 @@ def merge_upsert(
     )
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 4,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Bin-pack the table's files into ``target_files`` (the OPTIMIZE /
+    small-file compaction every streaming sink needs: one commit per
+    micro-batch epoch means one file per epoch).  A single coalesce-and-
+    rewrite published as an overwrite commit under ``require_parent`` —
+    a racing commit raises instead of being lost; old versions stay
+    time-travelable until ``vacuum``."""
+    parent = current_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    snap = read_snapshot(spark, path, version=parent)
+    return commit(
+        snap.repartition(target_files),
+        path,
+        mode="overwrite",
+        require_parent=parent,
+        stats_cols=stats_cols,
+    )
+
+
 def optimize_zorder(
     spark: SparkSession,
     path: str,

@@ -304,3 +304,25 @@ def test_zorder_gives_multi_column_file_skipping(spark):
         # rewrite is a normal commit: time travel to the pre-optimize
         # version still works
         assert st.read_snapshot(spark, t, version=0).count() == n
+
+
+def test_compact_binpacks_epoch_files(spark, tmp_path):
+    """After many per-epoch commits the table holds many small files;
+    compact() rewrites them into the target count with identical rows
+    and intact time travel."""
+    t = str(tmp_path / "tbl")
+    sink = st.snapshot_sink(t, query_name="q")
+    for epoch in range(6):
+        sink(_df(spark, epoch * 5, epoch * 5 + 5).coalesce(1), epoch)
+    before = st.read_snapshot(spark, t)
+    assert len(before.inputFiles()) >= 6
+
+    v = st.compact(spark, t, target_files=2)
+    after = st.read_snapshot(spark, t)
+    assert len(after.inputFiles()) <= 2
+    assert _keys(after) == list(range(30))
+    # pre-compaction snapshot untouched
+    assert _keys(st.read_snapshot(spark, t, version=v - 1)) == list(range(30))
+    # vacuum now reclaims the small files
+    assert st.vacuum(t)
+    assert _keys(st.read_snapshot(spark, t)) == list(range(30))
