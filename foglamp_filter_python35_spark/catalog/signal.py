@@ -14,7 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.catalog import (
+    QuerySpec,
+    davg,
+    dsum,
+    load,
+    o_davg,
+    o_dsum,
+    o_ordstat_quantile,
+    ordstat_quantile,
+)
 from foglamp_filter_python35_spark.functions import signal as S
 
 _PART = ["event_type"]
@@ -398,6 +407,239 @@ SELECT event_id, event_type, value, ema FROM ema
 """
 
 
+# --- G91: linear-interpolation gap fill — the time-weighted twin of
+# LOCF (same null injection: 'error' readings are the gaps).  Two window
+# passes (forward fill + backward fill) over one asset-partitioned
+# shuffle; the lerp is integer-microsecond deltas and three IEEE double
+# ops, mirrored token-for-token by the oracle. ---
+
+
+def q_interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_or_null",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return S.interp(
+        ev, "value_or_null", "ts", ["user_id"], _ORDER, out_col="filled"
+    ).select("event_id", "user_id", "value_or_null", "filled")
+
+
+O_INTERP_GAP_FILL = """
+SELECT event_id, user_id, value_or_null,
+       CASE WHEN value_or_null IS NOT NULL THEN value_or_null
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            WHEN next_t = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(t_us - prev_t AS DOUBLE)
+                    / CAST(next_t - prev_t AS DOUBLE))
+       END AS filled
+FROM (
+  SELECT event_id, user_id, value_or_null, t_us,
+         LAST_VALUE(value_or_null IGNORE NULLS) OVER wf AS prev_v,
+         LAST_VALUE(CASE WHEN value_or_null IS NOT NULL THEN t_us END
+                    IGNORE NULLS) OVER wf AS prev_t,
+         FIRST_VALUE(value_or_null IGNORE NULLS) OVER wb AS next_v,
+         FIRST_VALUE(CASE WHEN value_or_null IS NOT NULL THEN t_us END
+                     IGNORE NULLS) OVER wb AS next_t
+  FROM (
+    SELECT event_id, user_id, ts, epoch_us(ts) AS t_us,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END
+             AS value_or_null
+    FROM events)
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+"""
+
+# --- G92: winsorization — clip each reading to its asset's rank-exact
+# [p05, p95] fences (standard pre-training value normalization).  One
+# grouped order-statistic agg (5 fence rows) broadcast back over the
+# scan; fences use the engine-exact integer-rank quantile, so no
+# cross-engine interpolation ULP can move a fence. ---
+
+
+def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fences = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sort_array(F.collect_list("value")).alias("s"),
+        )
+        .select(
+            "event_type",
+            ordstat_quantile("s", "n", 0.05).alias("lo_fence"),
+            ordstat_quantile("s", "n", 0.95).alias("hi_fence"),
+        )
+    )
+    return ev.join(F.broadcast(fences), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "lo_fence",
+        "hi_fence",
+        F.least(
+            F.greatest(F.col("value"), F.col("lo_fence")), F.col("hi_fence")
+        ).alias("clipped"),
+    )
+
+
+O_WINSORIZE_CLIP = f"""
+WITH agg AS (
+  SELECT event_type, COUNT(value) AS n, list_sort(list(value)) AS s
+  FROM events GROUP BY event_type),
+fences AS (
+  SELECT event_type,
+         {o_ordstat_quantile('s', 'n', 0.05)} AS lo_fence,
+         {o_ordstat_quantile('s', 'n', 0.95)} AS hi_fence
+  FROM agg)
+SELECT e.event_id, e.event_type, e.value, f.lo_fence, f.hi_fence,
+       LEAST(GREATEST(e.value, f.lo_fence), f.hi_fence) AS clipped
+FROM events e JOIN fences f USING (event_type)
+"""
+
+# --- G93: cross-asset correlation — Pearson r between every asset pair
+# over hour-aligned mean values (sensor cross-correlation audit).  The
+# raw scan reduces to (assets x hours) cells in one hash agg; the pair
+# join and the moment sums run on cells only, so cost is independent of
+# row count.  Both sides of the pair self-join share one cells subtree;
+# AQE's exchange reuse materializes it once, so the raw stream is
+# scanned a single time (asserted in tests/test_plan_shapes.py).  All
+# five moment sums are quantized-integer (order-free), and the r
+# formula is one shared-shape IEEE expression. ---
+
+
+def q_asset_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(davg("value", "avg_value"))
+    a = cells.select(
+        F.col("event_type").alias("type_a"),
+        "bucket",
+        F.col("avg_value").alias("x"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("type_b"),
+        "bucket",
+        F.col("avg_value").alias("y"),
+    )
+    agg = (
+        a.join(F.broadcast(b), "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            dsum("x", "sx"),
+            dsum("y", "sy"),
+            dsum(F.col("x") * F.col("y"), "sxy"),
+            dsum(F.col("x") * F.col("x"), "sxx"),
+            dsum(F.col("y") * F.col("y"), "syy"),
+        )
+    )
+    n = F.col("n_hours").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "type_a", "type_b", "n_hours", corr.alias("corr")
+    ).orderBy("type_a", "type_b")
+
+
+O_ASSET_CORRELATION = f"""
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {o_davg('value', 'avg_value')}
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.avg_value AS x, b.avg_value AS y
+  FROM cells a JOIN cells b
+    ON a.bucket = b.bucket AND a.event_type < b.event_type),
+agg AS (
+  SELECT type_a, type_b, COUNT(*) AS n_hours,
+         {o_dsum('x', 'sx')}, {o_dsum('y', 'sy')},
+         {o_dsum('x * y', 'sxy')},
+         {o_dsum('x * x', 'sxx')},
+         {o_dsum('y * y', 'syy')}
+  FROM pairs GROUP BY type_a, type_b)
+SELECT type_a, type_b, n_hours,
+       (CAST(n_hours AS DOUBLE) * sxy - sx * sy)
+         / (SQRT(CAST(n_hours AS DOUBLE) * sxx - sx * sx)
+            * SQRT(CAST(n_hours AS DOUBLE) * syy - sy * sy)) AS corr
+FROM agg
+ORDER BY type_a, type_b
+"""
+
+# --- G94: robust outliers by median absolute deviation — the
+# distribution-free alternative to z-scores (immune to the outliers it
+# hunts).  Two grouped order-statistic aggs (median, then median of
+# |value - median|), each a 5-row broadcast back over the scan; both
+# medians are rank-exact.  Three passes over the raw stream (median,
+# MAD, final filter) — the floor for uncached two-level order
+# statistics; a deployment that can afford executor memory swaps in
+# ``devs.persist()`` to drop to two. ---
+
+_MAD_K = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sort_array(F.collect_list("value")).alias("s"),
+        )
+        .select("event_type", ordstat_quantile("s", "n", 0.5).alias("med"))
+    )
+    devs = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = (
+        devs.groupBy("event_type")
+        .agg(
+            F.count("dev").alias("n"),
+            F.sort_array(F.collect_list("dev")).alias("s"),
+        )
+        .select("event_type", ordstat_quantile("s", "n", 0.5).alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > _MAD_K * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    )
+
+
+O_MAD_OUTLIERS = f"""
+WITH agg1 AS (
+  SELECT event_type, COUNT(value) AS n, list_sort(list(value)) AS s
+  FROM events GROUP BY event_type),
+med AS (
+  SELECT event_type, {o_ordstat_quantile('s', 'n', 0.5)} AS med FROM agg1),
+devs AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)),
+agg2 AS (
+  SELECT event_type, COUNT(dev) AS n, list_sort(list(dev)) AS s
+  FROM devs GROUP BY event_type),
+mad AS (
+  SELECT event_type, {o_ordstat_quantile('s', 'n', 0.5)} AS mad FROM agg2)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+FROM devs d JOIN mad USING (event_type)
+WHERE d.dev > {_MAD_K} * mad.mad
+ORDER BY d.event_id
+"""
+
+
 SPECS = [
     QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
     QuerySpec("median_filter", q_median_filter, O_MEDIAN_FILTER),
@@ -414,4 +656,8 @@ SPECS = [
     ),
     QuerySpec("deadband_suppress", q_deadband_suppress, O_DEADBAND_SUPPRESS),
     QuerySpec("deadband_chunked", q_deadband_chunked, O_DEADBAND_SUPPRESS),
+    QuerySpec("interp_gap_fill", q_interp_gap_fill, O_INTERP_GAP_FILL),
+    QuerySpec("winsorize_clip", q_winsorize_clip, O_WINSORIZE_CLIP),
+    QuerySpec("asset_correlation", q_asset_correlation, O_ASSET_CORRELATION),
+    QuerySpec("mad_outliers", q_mad_outliers, O_MAD_OUTLIERS),
 ]

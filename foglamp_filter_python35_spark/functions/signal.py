@@ -288,6 +288,56 @@ def locf(
     )
 
 
+def interp(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_cols: Iterable[str],
+    order_cols: Iterable[str],
+    out_col: str = "filled",
+) -> DataFrame:
+    """Gap fill by time-weighted linear interpolation: nulls take
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` between
+    the bracketing non-null readings of the same asset; leading/trailing
+    gaps degrade to nearest-observation (backward/forward fill).  Two
+    window passes over the same (asset-partitioned, ts-ordered) frame —
+    the LOCF shape run once forward and once backward, still no loop and
+    no state, so at 100 TB it is the same single hash-partition shuffle
+    as ``locf``.
+
+    Determinism: timestamps enter as integer microseconds, so both gap
+    deltas are exact; the fraction is one double division and the lerp
+    two exactly-rounded IEEE ops — bit-identical in any engine that
+    mirrors the expression shape (the DuckDB oracle does).  Tied
+    timestamps around a gap (``t_next == t_prev``) fall back to the
+    previous observation rather than dividing by zero.
+    """
+    v = F.col(value_col)
+    t_us = F.unix_micros(F.col(ts_col))
+    fwd = (
+        _window(partition_cols, order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        _window(partition_cols, order_cols)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nn_ts = F.when(v.isNotNull(), t_us)
+    prev_v = F.last(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(nn_ts, ignorenulls=True).over(fwd)
+    next_v = F.first(v, ignorenulls=True).over(bwd)
+    next_t = F.first(nn_ts, ignorenulls=True).over(bwd)
+    frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac),
+    )
+
+
 def _next_cross(v: np.ndarray, start: int, last: float, tol: float) -> int:
     """First index >= start with |v[i] - last| > tol, else -1.
 

@@ -504,3 +504,47 @@ def test_doc_length_histogram_is_scan_plus_one_shuffle(spark):
     assert "partial_count" in plan
     # scan pruned to the text column only
     assert any("text" in s and "doc_id" not in s for s in E.read_schemas(df))
+
+
+def test_interp_gap_fill_single_shuffle(spark):
+    """G91: forward and backward fill share one user_id partitioning —
+    exactly one hash exchange, no join, no Python."""
+    from foglamp_filter_python35_spark.catalog.signal import (
+        q_interp_gap_fill,
+    )
+
+    df = q_interp_gap_fill(spark, SF)
+    plan = E.formatted_plan(df)
+    assert plan.count("hashpartitioning(") == 1
+    assert "Join" not in plan
+    assert E.is_fully_jvm(df)
+
+
+def test_winsorize_and_mad_fences_broadcast(spark):
+    """G92/G94: the per-asset fence rows join back as broadcasts — the
+    raw stream is never shuffled for the join."""
+    from foglamp_filter_python35_spark.catalog.signal import (
+        q_mad_outliers,
+        q_winsorize_clip,
+    )
+
+    for q in (q_winsorize_clip, q_mad_outliers):
+        plan = E.formatted_plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_asset_correlation_reuses_cells_exchange(spark):
+    """G93: both sides of the pair self-join are the same cells agg; AQE
+    materializes the exchange once, so the raw stream is scanned a
+    single time at runtime."""
+    from foglamp_filter_python35_spark.catalog.signal import (
+        q_asset_correlation,
+    )
+
+    df = q_asset_correlation(spark, SF)
+    df.collect()  # exchange reuse is an AQE runtime decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan
