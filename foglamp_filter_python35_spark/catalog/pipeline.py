@@ -1086,6 +1086,85 @@ ORDER BY source, doc_id
 """
 
 
+# --- G96: temperature-scaled corpus rebalance --------------------------
+# The multilingual data-mixing step (the alpha-temperature sampling of
+# mBERT/XLM-R): shrink the head language's share by drawing target
+# counts proportional to (n_lang)^alpha instead of n_lang.  alpha = 0.5
+# keeps the pipeline transcendental-free — x^0.5 IS sqrt, an
+# exactly-rounded IEEE op — per this module's no-``ln`` policy; the
+# 5-row weight normalization uses a quantized-integer sum so the share
+# denominator is association-order-free.  Selection inside each
+# language is the md5(doc_id) rank used by every sampler here, so
+# reruns (and engines) pick identical rows.  Scale: one count agg, a
+# broadcast of per-language targets, one rank window partitioned by
+# language — the skew-prone head language is bounded by its target, and
+# the salted two-phase trim of G49 applies unchanged if a single
+# language still overwhelms one reducer.
+
+_REBALANCE_FRAC = 0.5  # total kept = floor(N * frac)
+
+
+def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    weights = counts.select(
+        "lang", "n_lang", F.sqrt(F.col("n_lang").cast("double")).alias("wt")
+    )
+    tot = weights.agg(
+        dsum("wt", "wt_total"),
+        F.sum("n_lang").alias("n_total"),
+    )
+    targets = weights.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("n_lang"),
+            F.floor(
+                F.floor(
+                    F.col("n_total").cast("double") * F.lit(_REBALANCE_FRAC)
+                )
+                * (F.col("wt") / F.col("wt_total"))
+            ),
+        ).alias("target_n"),
+    )
+    w = Window.partitionBy("lang").orderBy("pick_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("pick_key"),
+        )
+        .withColumn("lang_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(targets), "lang")
+        .filter(F.col("lang_rank") <= F.col("target_n"))
+        .select("doc_id", "lang", "lang_rank", "target_n")
+    )
+
+
+O_CORPUS_REBALANCE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+weights AS (
+  SELECT lang, n_lang, SQRT(CAST(n_lang AS DOUBLE)) AS wt FROM counts),
+tot AS (
+  SELECT {o_dsum('wt', 'wt_total')}, SUM(n_lang) AS n_total FROM weights),
+targets AS (
+  SELECT lang,
+         CAST(LEAST(n_lang,
+                    FLOOR(FLOOR(CAST(n_total AS DOUBLE) * {_REBALANCE_FRAC})
+                          * (wt / wt_total))) AS BIGINT) AS target_n
+  FROM weights CROSS JOIN tot),
+ranked AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pick_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) AS BIGINT) AS lang_rank
+  FROM documents)
+SELECT r.doc_id, r.lang, r.lang_rank, t.target_n
+FROM ranked r JOIN targets t USING (lang)
+WHERE r.lang_rank <= t.target_n
+"""
+
+
 SPECS = [
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
     QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
@@ -1115,4 +1194,5 @@ SPECS = [
     QuerySpec(
         "sliding_unique_users", q_sliding_unique_users, O_SLIDING_UNIQUE_USERS
     ),
+    QuerySpec("corpus_rebalance", q_corpus_rebalance, O_CORPUS_REBALANCE),
 ]

@@ -861,6 +861,127 @@ ORDER BY cid
 """
 
 
+# --- G95: top principal component by power iteration (2 unrolled
+# rounds) — embedding-space QA: the dominant variance direction flags
+# batch effects / collapsed encoders before training.  Same iterative-
+# algorithm-under-the-hash-gate pattern as k-means (G90): per-dim means
+# centered out (decimal-avg, broadcast), every matvec a quantized-
+# integer sum (order-free), the 64-row direction vector broadcast into
+# the next round, normalization one sqrt of a quantized sum-of-squares.
+# At 100 TB each round is one scan + two int-sum shuffles keyed by
+# vec_id/dim; rounds are a fixed unroll, state is (dims) rows.  Start
+# vector = all-ones (unnormalized is fine: each round renormalizes, and
+# the oracle replays the identical arithmetic, so convergence quality
+# is irrelevant to the gate). ---
+
+_PCA_SCALE = 1e12
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from foglamp_filter_python35_spark.catalog import davg  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    mu = ex.groupBy("dim").agg(davg("v", "mu"))
+    xc = ex.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("v") - F.col("mu")).alias("x")
+    )
+
+    def matvec(vcur: DataFrame) -> DataFrame:
+        """One power-iteration round: w = X^T (X v), renormalized."""
+        s = (
+            xc.join(F.broadcast(vcur), "dim")
+            .select(
+                "vec_id",
+                F.floor(
+                    F.col("x") * F.col("vd") * F.lit(_PCA_SCALE) + F.lit(0.5)
+                ).alias("q"),
+            )
+            .groupBy("vec_id")
+            .agg((F.sum("q").cast("double") / F.lit(_PCA_SCALE)).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .select(
+                "dim",
+                F.floor(
+                    F.col("s") * F.col("x") * F.lit(_PCA_SCALE) + F.lit(0.5)
+                ).alias("q"),
+            )
+            .groupBy("dim")
+            .agg((F.sum("q").cast("double") / F.lit(_PCA_SCALE)).alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        F.col("w") * F.col("w") * F.lit(_PCA_SCALE)
+                        + F.lit(0.5)
+                    )
+                ).cast("double")
+                / F.lit(_PCA_SCALE)
+            ).alias("nrm")
+        )
+        return w.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("w") / F.col("nrm")).alias("vd")
+        )
+
+    v0 = xc.select("dim").distinct().select("dim", F.lit(1.0).alias("vd"))
+    v1 = matvec(v0)
+    v2 = matvec(v1)
+    return v2.select("dim", F.col("vd").alias("loading")).orderBy("dim")
+
+
+def _pca_round_sql(vcur: str, tag: str) -> str:
+    return f"""
+s{tag} AS (
+  SELECT x.vec_id,
+         CAST(SUM(CAST(FLOOR(x.x * v.vd * 1e12 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e12 AS s
+  FROM xc x JOIN {vcur} v ON x.dim = v.dim
+  GROUP BY x.vec_id),
+w{tag} AS (
+  SELECT x.dim,
+         CAST(SUM(CAST(FLOOR(s.s * x.x * 1e12 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e12 AS w
+  FROM xc x JOIN s{tag} s ON x.vec_id = s.vec_id
+  GROUP BY x.dim),
+n{tag} AS (
+  SELECT SQRT(CAST(SUM(CAST(FLOOR(w * w * 1e12 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e12) AS nrm
+  FROM w{tag}),
+v{tag} AS (
+  SELECT dim, w / nrm AS vd FROM w{tag} CROSS JOIN n{tag})"""
+
+
+O_EMBEDDING_PCA_POWER = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(gs - 1 AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+  FROM (
+    -- two unnests in one SELECT zip positionally in DuckDB
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS gs,
+           unnest(embedding) AS v
+    FROM embeddings)),
+mu AS (
+  SELECT dim, {o_davg('v', 'mu')} FROM ex GROUP BY dim),
+xc AS (
+  SELECT e.vec_id, e.dim, e.v - m.mu AS x
+  FROM ex e JOIN mu m ON e.dim = m.dim),
+v0 AS (
+  SELECT DISTINCT dim, CAST(1.0 AS DOUBLE) AS vd FROM xc),
+{_pca_round_sql('v0', '1')},
+{_pca_round_sql('v1', '2')}
+SELECT dim, vd AS loading FROM v2 ORDER BY dim
+"""
+
+
 SPECS = [
     QuerySpec(
         "embedding_norm_outliers",
@@ -897,5 +1018,8 @@ SPECS = [
     ),
     QuerySpec(
         "ivf_train_kmeans", q_ivf_train_kmeans, O_IVF_TRAIN_KMEANS
+    ),
+    QuerySpec(
+        "embedding_pca_power", q_embedding_pca_power, O_EMBEDDING_PCA_POWER
     ),
 ]

@@ -548,3 +548,31 @@ def test_asset_correlation_reuses_cells_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pca_power_rounds_are_broadcast_and_quantized(spark):
+    """G95: direction vectors (dims rows) broadcast into each round; the
+    one-row norm is a broadcast nested loop, never a cartesian; matvec
+    sums are integer (order-free)."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_embedding_pca_power,
+    )
+
+    plan = E.formatted_plan(q_embedding_pca_power(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "FLOOR" in plan
+
+
+def test_corpus_rebalance_targets_broadcast(spark):
+    """G96: the per-language target row set joins back as a broadcast;
+    ranking shuffles the corpus once, partitioned by language."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_corpus_rebalance,
+    )
+
+    df = q_corpus_rebalance(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
