@@ -408,6 +408,56 @@ ORDER BY doc_id
 """
 
 
+# --- X2d-b (G98): duplicate-cluster size histogram — the QA readout for
+# the clustering step (the CC twin of G87's IVF cell-balance audit): a
+# heavy tail of giant clusters means the near-dup threshold is too
+# loose, thousands of singleton pairs mean it is too tight.  Cluster
+# sizes come from one count agg over the CC labels; log2 bucketing is
+# the integer-exact digits-of-bin trick (no transcendentals).  Scale:
+# everything after the CC step is O(clusters) rows. ---
+
+
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(
+        docs,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=_THRESHOLD,
+    )
+    sizes = (
+        D.connected_components_star(pairs)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("csize"))
+    )
+    return (
+        sizes.withColumn("bucket", F.length(F.bin("csize")).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.max("csize").alias("max_size"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    return f"""
+{_clusters_cte()},
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM comp GROUP BY component)
+SELECT CAST(length(bin(csize)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(csize) AS BIGINT) AS n_docs,
+       CAST(MAX(csize) AS BIGINT) AS max_size
+FROM sizes
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # --- X2e: dedup APPLY — the materialization step closing the arc
 # detect -> cluster -> keep one canonical doc per cluster.  Losers
 # (cluster members that are not their component's minimum id) are
@@ -476,6 +526,11 @@ SPECS = [
     QuerySpec("doc_containment", q_doc_containment, O_DOC_CONTAINMENT),
     QuerySpec("simhash_dedup", q_simhash_dedup, _simhash_oracle()),
     QuerySpec("dedup_clusters", q_dedup_clusters, _clusters_oracle()),
+    QuerySpec(
+        "dedup_cluster_histogram",
+        q_dedup_cluster_histogram,
+        _cluster_histogram_oracle(),
+    ),
     QuerySpec("dedup_apply", q_dedup_apply, _dedup_apply_oracle()),
     QuerySpec("dedup_ensemble", q_dedup_ensemble, _dedup_ensemble_oracle()),
 ]

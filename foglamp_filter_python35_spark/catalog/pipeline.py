@@ -1086,6 +1086,63 @@ ORDER BY source, doc_id
 """
 
 
+# --- G97: user-journey transition matrix --------------------------------
+# First-order Markov transitions between consecutive event types per
+# user — the sequence-analysis complement to sessionization (G22) and
+# the funnel (G24): which step follows which, and with what
+# probability.  One lag window over the user-partitioned shuffle, then
+# a (types x types)-sized count agg; the out-degree normalizer is a
+# broadcast of at most |types| rows, and the probability is a single
+# double division (rational, no ``ln`` — this module's policy).
+
+
+def q_event_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = steps.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_from").cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+O_EVENT_PATH_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+outdeg AS (
+  SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.event_type, t.n_transitions,
+       CAST(t.n_transitions AS DOUBLE) / CAST(o.n_from AS DOUBLE) AS prob
+FROM trans t JOIN outdeg o USING (prev_type)
+ORDER BY prev_type, event_type
+"""
+
+
 # --- G96: temperature-scaled corpus rebalance --------------------------
 # The multilingual data-mixing step (the alpha-temperature sampling of
 # mBERT/XLM-R): shrink the head language's share by drawing target
@@ -1195,4 +1252,9 @@ SPECS = [
         "sliding_unique_users", q_sliding_unique_users, O_SLIDING_UNIQUE_USERS
     ),
     QuerySpec("corpus_rebalance", q_corpus_rebalance, O_CORPUS_REBALANCE),
+    QuerySpec(
+        "event_path_transitions",
+        q_event_path_transitions,
+        O_EVENT_PATH_TRANSITIONS,
+    ),
 ]

@@ -576,3 +576,17 @@ def test_corpus_rebalance_targets_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_event_path_transitions_one_lag_shuffle(spark):
+    """G97: one user-partitioned window + tiny count aggs; the
+    out-degree normalizer joins back as a broadcast."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_event_path_transitions,
+    )
+
+    df = q_event_path_transitions(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert E.is_fully_jvm(df)
