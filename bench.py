@@ -76,8 +76,10 @@ def _python_filter_throughput(spark, sf_dir: str) -> dict:
         n = readings.count()
 
         # --- engine path: Arrow-batched mapInPandas, executor-parallel ---
+        # best-of-N: the 1x run is short enough that one scheduler hiccup
+        # halves the measured rate, so give it an extra attempt
         best_engine = float("inf")
-        for _ in range(2):
+        for _ in range(3 if mult == 1 else 2):
             t0 = time.perf_counter()
             run_python_filter(
                 readings, _scale_fn, FilterConfig(enable=True)

@@ -212,8 +212,13 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 # those 50 never-sampled queries (vector 12 + multimodal 5 + dedup 6 +
 # pipeline 18 + relational 6 + signal 3); the 10 never-sampled text
 # queries follow at positions 51-60 (their family already has r1 driver
-# evidence) and rotate into the window next round.  Queries not listed
-# keep module order after the prioritized block.
+# evidence) and rotate into the window next round, together with the
+# round-4 additions (G88-G98), which append after the block in module
+# order and have local + vanilla-session evidence only.  Queries not
+# listed keep module order after the prioritized block.  Round 5:
+# once CORRECTNESS_r04 greens this window, run tools/rotate_window.py
+# and replace this list with its suggestion (text block + G88-G98 +
+# any r4 failures first).
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     # vector (X3, G17-G20, G31, G43, G68, G72, G75, G85, G87)
     "embedding_topk",
