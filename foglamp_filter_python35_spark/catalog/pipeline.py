@@ -1222,7 +1222,106 @@ WHERE r.lang_rank <= t.target_n
 """
 
 
+# --- G99: span-level exact dedup (C4-style) -----------------------------
+# Doc-level dedup (X1) misses the dominant duplication mode in web
+# corpora: REPEATED PASSAGES inside otherwise-distinct documents
+# (boilerplate, quoted headers, licence blocks).  C4/RefinedWeb drop
+# duplicate three-sentence spans corpus-wide, keeping one occurrence;
+# here the unit is a non-overlapping _SPAN_TOKENS-token window (the
+# corpus has no sentence boundaries).  The first occurrence — minimal
+# (doc_id, span_idx) — survives; every other copy is cut and the doc is
+# reassembled from its surviving windows.
+#
+# Scale shape: the global winner election shuffles (md5, doc_id, idx)
+# — 16-byte keys, never span text; the per-doc reassembly groups
+# (doc_id, idx) ints; the only wide row is the final join back to the
+# doc's own token array, an equi-join on doc_id that co-partitions with
+# the corpus layout.  No all-pairs anything: cost is O(total spans) at
+# any corpus size.
+
+_SPAN_TOKENS = 8
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    k = _SPAN_TOKENS
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {k}.0)) - 1),"
+                f" i -> md5(array_join(slice(toks, i * {k} + 1, {k}), ' ')))"
+            )
+        ).alias("span_idx", "span_md5"),
+    )
+    winners = occ.groupBy("span_md5").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    kept = winners.select(
+        F.col("w.doc_id").alias("doc_id"), F.col("w.span_idx").alias("span_idx")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("span_idx")).alias("kept_idx")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(f"int(ceil(size(toks) / {k}.0))").alias("n_spans"),
+            F.coalesce(F.size("kept_idx"), F.lit(0)).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.flatten(
+                        F.expr(
+                            f"transform(kept_idx,"
+                            f" i -> slice(toks, i * {k} + 1, {k}))"
+                        )
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST(u.i AS INT) AS span_idx,
+         md5(array_to_string(
+           list_slice(t, u.i * {_SPAN_TOKENS} + 1,
+                      u.i * {_SPAN_TOKENS} + {_SPAN_TOKENS}), ' ')) AS h
+  FROM toks,
+       UNNEST(range(CAST(CEIL(len(t) / {_SPAN_TOKENS}.0) AS BIGINT))) AS u(i)),
+winners AS (
+  SELECT doc_id, span_idx FROM (
+    SELECT doc_id, span_idx,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY doc_id, span_idx) AS rn
+    FROM occ) WHERE rn = 1),
+per_doc AS (
+  SELECT doc_id, list(span_idx ORDER BY span_idx) AS kept_idx
+  FROM winners GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CEIL(len(d.t) / {_SPAN_TOKENS}.0) AS INT) AS n_spans,
+       COALESCE(CAST(len(p.kept_idx) AS INT), 0) AS n_kept,
+       COALESCE(array_to_string(
+         flatten(list_transform(p.kept_idx,
+           i -> list_slice(d.t, i * {_SPAN_TOKENS} + 1,
+                           i * {_SPAN_TOKENS} + {_SPAN_TOKENS}))), ' '),
+         '') AS clean_text
+FROM toks d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("span_dedup", q_span_dedup, O_SPAN_DEDUP),
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
     QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
     QuerySpec(
