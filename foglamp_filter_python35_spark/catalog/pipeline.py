@@ -1320,8 +1320,203 @@ ORDER BY doc_id
 """
 
 
+# --- G100: distribution drift between time windows (chi-square) ----------
+# The data-quality monitor a production ingest runs per batch: has the
+# value distribution of each event type shifted between a reference
+# window and the current one?  PSI is the textbook score but needs
+# ``ln``; the chi-square distance sum((pa-pb)^2/(pa+pb)) is the
+# rational-arithmetic equivalent (module no-``ln`` policy) and ranks
+# drift identically for small shifts.  Bin fences are exact per-type
+# MIN/MAX (no interpolated quantiles — the order-statistic ULP trap),
+# and the per-bin terms are summed with the quantized-integer ``dsum``
+# so association order cannot change the score.  Scale: two scans
+# collapse to (types x 10) cells immediately — the fence frame is a
+# |types|-row broadcast and everything after the first partial agg is
+# O(types * bins).
+
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_BINS = 10
+
+
+def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    b = _DRIFT_BINS
+    binned = (
+        ev.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("ref"),
+            F.least(
+                F.lit(b - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * F.lit(float(b))
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("ref"), 0).otherwise(1)).alias("n_b"),
+        )
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    # (pa-pb)^2 spelled as d*d — Math.pow vs libm pow is not contractually
+    # exact-rounded for integer exponents; *,/ are (IEEE 754)
+    pa = F.col("n_a") / F.col("tot_a")
+    pb = F.col("n_b") / F.col("tot_b")
+    terms = binned.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "tot_a",
+        "tot_b",
+        ((pa - pb) * (pa - pb) / (pa + pb)).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("tot_a").alias("n_ref"),
+            F.max("tot_b").alias("n_cur"),
+            dsum("term", "chi2", scale=9),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_VALUE_DRIFT_CHI2 = f"""
+WITH fences AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY event_type),
+binned AS (
+  SELECT e.event_type,
+         SUM(CASE WHEN e.ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END)
+           AS n_a,
+         SUM(CASE WHEN e.ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END)
+           AS n_b
+  FROM events e JOIN fences f USING (event_type)
+  GROUP BY e.event_type,
+           LEAST({_DRIFT_BINS - 1},
+                 CAST(FLOOR((e.value - f.vmin) / (f.vmax - f.vmin)
+                            * {_DRIFT_BINS}.0) AS INT))),
+totals AS (
+  SELECT event_type, SUM(n_a) AS tot_a, SUM(n_b) AS tot_b
+  FROM binned GROUP BY event_type),
+terms AS (
+  SELECT b.event_type, t.tot_a, t.tot_b,
+         (b.n_a / t.tot_a - b.n_b / t.tot_b)
+           * (b.n_a / t.tot_a - b.n_b / t.tot_b)
+           / (b.n_a / t.tot_a + b.n_b / t.tot_b) AS term
+  FROM binned b JOIN totals t USING (event_type))
+SELECT event_type,
+       CAST(MAX(tot_a) AS BIGINT) AS n_ref,
+       CAST(MAX(tot_b) AS BIGINT) AS n_cur,
+       {o_dsum('term', 'chi2', scale=9)}
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- G101: top session paths (sequential pattern mining) -----------------
+# The order-SENSITIVE complement to the transition matrix (G97): entire
+# session journeys ranked by frequency — the query behind "what are the
+# top user flows" product dashboards and behavioral-cloning dataset
+# curation.  Sessions use the G22 convention (30-min inactivity gap);
+# a path is the first _PATH_MAX_STEPS event types of the session joined
+# with '>'.  Scale: one user-partitioned window pass assigns session
+# ids, the per-session collect is bounded by _PATH_MAX_STEPS after the
+# slice (collect_list buffers the session — sessions are human-scale;
+# a pathological unbounded session would cap collection with a
+# row_number <= k pre-filter), and the final count agg is O(distinct
+# paths).  LIMIT is deterministic: (n_sessions DESC, path) totally
+# orders because path is the GROUP BY key.
+
+_PATH_MAX_STEPS = 8
+_PATH_TOP_K = 20
+
+
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap > 1800, 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_sess").over(w).alias("sess_id"),
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda e: e["event_type"],
+                ),
+                1,
+                _PATH_MAX_STEPS,
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP_K)
+    )
+
+
+O_TOP_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sess_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, sess_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {_PATH_MAX_STEPS}), '>') AS path,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sess_id)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup", q_span_dedup, O_SPAN_DEDUP),
+    QuerySpec("value_drift_chi2", q_value_drift_chi2, O_VALUE_DRIFT_CHI2),
+    QuerySpec("top_session_paths", q_top_session_paths, O_TOP_SESSION_PATHS),
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
     QuerySpec("incremental_dedup", q_incremental_dedup, O_INCREMENTAL_DEDUP),
     QuerySpec(
