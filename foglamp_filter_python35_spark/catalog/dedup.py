@@ -60,6 +60,20 @@ def _minhash_oracle() -> str:
 
 
 def _minhash_pairs_sql() -> str:
+    return (
+        _minhash_cte_sql()
+        + f"""
+SELECT c.id_a, c.id_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
+"""
+    )
+
+
+def _minhash_cte_sql() -> str:
     from foglamp_filter_python35_spark.functions.dedup import MINHASH_PRIME
 
     p = MINHASH_PRIME
@@ -116,13 +130,86 @@ common AS (
   JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
-SELECT c.id_a, c.id_b,
-       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-FROM common c
-JOIN sz sa ON sa.doc_id = c.id_a
-JOIN sz sb ON sb.doc_id = c.id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_THRESHOLD}
 """
+
+
+# --- G103: MinHash estimator accuracy audit ------------------------------
+# Sketch QA: before trusting a 12-hash signature to gate dedup at 100 TB,
+# measure how far the estimate strays from truth ON THIS CORPUS.  For
+# every LSH candidate pair (threshold-free — the full range the bands
+# surface), emit the exact Jaccard next to the signature estimate
+# (matching-component fraction) and the absolute error.  Reuses the
+# production candidate pipeline unchanged; the only additions are two
+# candidate-bounded broadcast joins that carry (sset, s0..s11) together,
+# so the md5 pipeline is not re-run per side beyond the near-dup query's
+# own cost.  est = n_eq/12 and the error are single exact-rounded IEEE
+# ops — engine-deterministic without quantization.
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ds = D.minhash_doc_sets(docs, num_hashes=_NUM_HASHES)
+    sigs = ds.select("doc_id", *[f"s{i}" for i in range(_NUM_HASHES)])
+    bands = D.lsh_bands(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    cands = D.candidate_pairs(bands, "doc_id")
+    a = ds.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sset").alias("set_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
+    )
+    b = ds.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sset").alias("set_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
+    )
+    with_a = a.join(F.broadcast(cands), "id_a")
+    both = b.join(F.broadcast(with_a), "id_b")
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_common.cast("double") / (
+        F.size("set_a") + F.size("set_b") - n_common
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    est = n_eq.cast("double") / F.lit(float(_NUM_HASHES))
+    return both.select(
+        "id_a",
+        "id_b",
+        jac.alias("jaccard"),
+        est.alias("est_jaccard"),
+        F.abs(est - jac).alias("abs_err"),
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_accuracy_oracle() -> str:
+    n_eq = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    jac = (
+        "CAST(COALESCE(cm.n_common, 0) AS DOUBLE)"
+        " / (sa.n + sb.n - COALESCE(cm.n_common, 0))"
+    )
+    est = f"CAST(e.n_eq AS DOUBLE) / {_NUM_HASHES}.0"
+    return (
+        _minhash_cte_sql()
+        + f""", est AS (
+  SELECT c.id_a, c.id_b, ({n_eq}) AS n_eq
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.id_a
+  JOIN sigs b ON b.doc_id = c.id_b)
+SELECT e.id_a, e.id_b,
+       {jac} AS jaccard,
+       {est} AS est_jaccard,
+       ABS({est} - {jac}) AS abs_err
+FROM est e
+LEFT JOIN common cm ON cm.id_a = e.id_a AND cm.id_b = e.id_b
+JOIN sz sa ON sa.doc_id = e.id_a
+JOIN sz sb ON sb.doc_id = e.id_b
+ORDER BY e.id_a, e.id_b
+"""
+    )
 
 
 # --- X2c: asymmetric containment dedup (snippet-in-document) ---
@@ -521,6 +608,9 @@ SPECS = [
     QuerySpec(
         "minhash_lsh_dedup", q_minhash_lsh_dedup, _minhash_oracle(),
         headline=True,
+    ),
+    QuerySpec(
+        "minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_oracle()
     ),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
     QuerySpec("doc_containment", q_doc_containment, O_DOC_CONTAINMENT),

@@ -686,8 +686,72 @@ ORDER BY bucket
 """
 
 
+# --- G102: tokenizer fertility / vocabulary economy per language ---------
+# The tokenizer-QA table every multilingual training run consults:
+# characters per token (fertility — how many chars one token "buys",
+# the cost driver for context-window budgeting) and type-token ratio
+# (vocabulary economy) per language.  All ratios are single divisions
+# of exact integer totals, so they are engine-deterministic without
+# quantization.  Scale: the totals agg is map-side partial; the
+# distinct-token count is one (lang, token) shuffle — the classic
+# two-stage distinct whose key space is the vocabulary, not the corpus.
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    vocab = (
+        docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n_distinct"))
+    )
+    return (
+        totals.join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_distinct",
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_TOKEN_FERTILITY = """
+WITH totals AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang),
+vocab AS (
+  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang)
+SELECT lang, n_docs, n_tokens, n_chars, n_distinct,
+       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS type_token_ratio
+FROM totals JOIN vocab USING (lang)
+ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, O_TEXT_STATS, headline=True),
+    QuerySpec("token_fertility", q_token_fertility, O_TOKEN_FERTILITY),
     QuerySpec("quality_score", q_quality_score, O_QUALITY_SCORE),
     QuerySpec("language_id", q_language_id, O_LANGUAGE_ID),
     QuerySpec("token_count_total", q_token_count_total, O_TOKEN_COUNT_TOTAL, headline=True),

@@ -982,7 +982,117 @@ SELECT dim, vd AS loading FROM v2 ORDER BY dim
 """
 
 
+# --- G104: IVF recall audit (recall@k vs brute force) --------------------
+# The acceptance test for an ANN index: for a deterministic probe set
+# (every ``_RECALL_QMOD``-th vector), compare multi-probe IVF top-k
+# against the exact brute-force top-k and report recall@k per query.
+# This is the number a platform pins in its index SLO ("recall@10 >=
+# 0.95 at nprobe=2") and re-measures after every re-train; G87's
+# cell-balance histogram says the index is WELL SHAPED, this says it is
+# RIGHT.  Scale: ground truth is the broadcast-query kNN (exact, one
+# corpus scan); the IVF side scans only probed cells; the final
+# intersection joins two (queries x k)-row frames — negligible.  A
+# query's own cell is always probe #1 (same argmax), so n_hits >= 1 and
+# every probe query appears in the output.
+
+_RECALL_QMOD = 97
+_RECALL_NPROBE = 2
+
+
+def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") % _RECALL_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    truth = S.knn_join(emb, queries, k=_K).select("qid", "vec_id")
+    assign = S.ivf_assign(emb, centroids)
+    probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "qid", "cid", S.cosine(F.col("qv"), F.col("cv")).alias("cscore")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("cscore").desc(), "cid")
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _RECALL_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = emb.join(assign, "vec_id").join(F.broadcast(probes), "cid")
+    scored = cand.join(F.broadcast(queries), "qid").select(
+        "qid",
+        "vec_id",
+        S.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    ivf = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _K)
+        .select("qid", "vec_id")
+    )
+    return (
+        ivf.join(truth, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+O_IVF_RECALL_AUDIT = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}),
+q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings
+  WHERE vec_id % {_RECALL_QMOD} = 0),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT b.qid, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY b.qid
+                              ORDER BY {_COS_SQL} DESC, a.vec_id) AS rank
+    FROM embeddings a CROSS JOIN q b) WHERE rank <= {_K}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, b.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+    FROM embeddings a CROSS JOIN cents b) WHERE rn = 1),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT a.qid, b.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.qid
+                              ORDER BY {_COS_SQL} DESC, b.cid) AS rn
+    FROM q a CROSS JOIN cents b) WHERE rn <= {_RECALL_NPROBE}),
+cand AS (
+  SELECT p.qid, e.vec_id, e.embedding
+  FROM probes p
+  JOIN assign s ON s.cid = p.cid
+  JOIN embeddings e ON e.vec_id = s.vec_id),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT a.qid, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY a.qid
+                              ORDER BY {_COS_SQL} DESC, a.vec_id) AS rank
+    FROM cand a JOIN q b ON b.qid = a.qid) WHERE rank <= {_K})
+SELECT t.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / {_K}.0 AS recall_at_k
+FROM truth t JOIN ivf i ON i.qid = t.qid AND i.vec_id = t.vec_id
+GROUP BY t.qid ORDER BY t.qid
+"""
+
+
 SPECS = [
+    QuerySpec("ivf_recall_audit", q_ivf_recall_audit, O_IVF_RECALL_AUDIT),
     QuerySpec(
         "embedding_norm_outliers",
         q_embedding_norm_outliers,
