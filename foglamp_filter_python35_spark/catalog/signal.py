@@ -640,7 +640,154 @@ ORDER BY d.event_id
 """
 
 
+# --- G105: SPC control chart (train/apply, Western Electric rules) -------
+# Statistical process control, the industrial ancestor of every anomaly
+# monitor on the reference's transform surface: fit center/sigma per
+# asset on a TRAINING window (first week), then audit the rest of the
+# stream against Western Electric rule 1 (|x - center| > 3 sigma) and
+# rule 4 (8 consecutive points on the same side of the center line).
+# Differs from zscore_anomaly (G6) exactly the way SPC differs from a
+# rolling z-score: limits are FROZEN at train time, so drift shows up
+# as violations instead of silently re-normalizing.  Moments use the
+# quantized-integer sums (association-order-free); sigma is one SQRT
+# (exactly rounded, IEEE); runs are gaps-and-islands over integer row
+# numbers.  Scale: fences are a |types|-row broadcast; the audit is one
+# asset-partitioned window pass; islands aggregate O(runs) rows.
+
+_SPC_SPLIT = "2024-01-08"
+_SPC_RUN = 8
+
+
+def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_SPC_SPLIT).cast("timestamp")
+    fences = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(
+            dsum("value", "s1"),
+            dsum(F.col("value") * F.col("value"), "s2"),
+            F.count("value").alias("n_train"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1") / F.col("n_train")).alias("center"),
+            F.sqrt(
+                F.col("s2") / F.col("n_train")
+                - (F.col("s1") / F.col("n_train"))
+                * (F.col("s1") / F.col("n_train"))
+            ).alias("sigma"),
+        )
+    )
+    audit = (
+        ev.filter(F.col("ts") >= split)
+        .join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "center",
+            "sigma",
+            F.when(F.col("value") > F.col("center"), 1).otherwise(0).alias(
+                "side"
+            ),
+            F.when(
+                F.abs(F.col("value") - F.col("center"))
+                > F.lit(3.0) * F.col("sigma"),
+                1,
+            )
+            .otherwise(0)
+            .alias("rule1"),
+        )
+    )
+    w_all = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_side = Window.partitionBy("event_type", "side").orderBy(
+        "ts", "event_id"
+    )
+    isl = audit.select(
+        "event_type",
+        "side",
+        (F.row_number().over(w_all) - F.row_number().over(w_side)).alias(
+            "grp"
+        ),
+    )
+    runs = (
+        isl.groupBy("event_type", "side", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .filter(F.col("len") >= _SPC_RUN)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_runs8"))
+    )
+    base = audit.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("rule1").alias("n_rule1"),
+        F.max("center").alias("center"),
+        F.max("sigma").alias("sigma"),
+    )
+    return (
+        base.join(runs, "event_type", "left")
+        .select(
+            "event_type",
+            "n_points",
+            "n_rule1",
+            F.coalesce(F.col("n_runs8"), F.lit(0).cast("bigint")).alias(
+                "n_runs8"
+            ),
+            "center",
+            "sigma",
+        )
+        .orderBy("event_type")
+    )
+
+
+O_SPC_CONTROL_CHART = f"""
+WITH fences AS (
+  SELECT event_type,
+         {o_dsum('value', 's1')},
+         {o_dsum('value * value', 's2')},
+         COUNT(value) AS n_train
+  FROM events WHERE ts < TIMESTAMP '{_SPC_SPLIT}' GROUP BY event_type),
+f2 AS (
+  SELECT event_type,
+         s1 / n_train AS center,
+         SQRT(s2 / n_train - (s1 / n_train) * (s1 / n_train)) AS sigma
+  FROM fences),
+audit AS (
+  SELECT e.event_type, e.ts, e.event_id, f.center, f.sigma,
+         CASE WHEN e.value > f.center THEN 1 ELSE 0 END AS side,
+         CASE WHEN ABS(e.value - f.center) > 3.0 * f.sigma
+              THEN 1 ELSE 0 END AS rule1
+  FROM events e JOIN f2 f USING (event_type)
+  WHERE e.ts >= TIMESTAMP '{_SPC_SPLIT}'),
+isl AS (
+  SELECT event_type, side,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY event_type, side
+                              ORDER BY ts, event_id) AS grp
+  FROM audit),
+runs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_runs8
+  FROM (SELECT event_type, COUNT(*) AS len
+        FROM isl GROUP BY event_type, side, grp)
+  WHERE len >= {_SPC_RUN} GROUP BY event_type),
+base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(rule1) AS BIGINT) AS n_rule1,
+         MAX(center) AS center, MAX(sigma) AS sigma
+  FROM audit GROUP BY event_type)
+SELECT b.event_type, b.n_points, b.n_rule1,
+       COALESCE(r.n_runs8, 0) AS n_runs8, b.center, b.sigma
+FROM base b LEFT JOIN runs r USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "spc_control_chart", q_spc_control_chart, O_SPC_CONTROL_CHART
+    ),
     QuerySpec("moving_average", q_moving_average, O_MOVING_AVERAGE),
     QuerySpec("median_filter", q_median_filter, O_MEDIAN_FILTER),
     QuerySpec("ema_smooth", q_ema_smooth, O_EMA_SMOOTH),

@@ -471,6 +471,97 @@ def read_snapshot(
     return df
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots (Delta CDF semantics):
+    each changed row is emitted with a ``_change_type`` column —
+    ``insert``, ``delete``, or an ``update_preimage``/``update_postimage``
+    pair.
+
+    Reads ONLY the files that differ between the two manifests — rows in
+    files shared by both versions cannot have changed (data files are
+    immutable), so a CDC consumer pays for the touched data, not a diff
+    of two full snapshots.  With ``key`` given, rows are classified by a
+    full-outer join on the key and rewrite-noise is cancelled: a row
+    rewritten bit-identically (compaction, Z-order, the untouched
+    remainder of a copy-on-write merge) compares null-safe-equal on its
+    value columns and is dropped, so OPTIMIZE-style operations produce an
+    EMPTY feed.  Requires the key to be unique per snapshot (which
+    ``merge_upsert`` maintains).  With ``key=None`` the classification
+    is file-level only (append-only fast path: new-file rows are
+    ``insert``, removed-file rows ``delete``) — correct for append/drop
+    workloads, noisy under rewrites.
+
+    At 100 TB this is the incremental-consumer contract: downstream jobs
+    checkpoint a version number and read forward from it instead of
+    rescanning the table.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    v_to = current_version(path) if to_version is None else to_version
+    if v_to is None:
+        raise FileNotFoundError(f"no committed version at {path!r}")
+    mf = _read_manifest(path, from_version)
+    mt = _read_manifest(path, v_to)
+    schema = StructType.fromJson(mt["schema"])
+    from_files, to_files = set(mf["files"]), set(mt["files"])
+
+    def _read(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(path, f) for f in files)
+        )
+
+    old_df = _read([f for f in mf["files"] if f not in to_files])
+    new_df = _read([f for f in mt["files"] if f not in from_files])
+    cols = schema.fieldNames()
+    if key is None:
+        return new_df.select(
+            *cols, F.lit("insert").alias("_change_type")
+        ).unionByName(
+            old_df.select(*cols, F.lit("delete").alias("_change_type"))
+        )
+
+    keys = [key] if isinstance(key, str) else list(key)
+    vals = [c for c in cols if c not in keys]
+    o = old_df.withColumn("_present", F.lit(1)).alias("o")
+    n = new_df.withColumn("_present", F.lit(1)).alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    o_cols = [F.col(f"o.{c}").alias(c) for c in cols]
+    n_cols = [F.col(f"n.{c}").alias(c) for c in cols]
+    inserts = j.filter(F.col("o._present").isNull()).select(
+        *n_cols, F.lit("insert").alias("_change_type")
+    )
+    deletes = j.filter(F.col("n._present").isNull()).select(
+        *o_cols, F.lit("delete").alias("_change_type")
+    )
+    changed = j.filter(
+        F.col("o._present").isNotNull()
+        & F.col("n._present").isNotNull()
+        & ~F.struct(*[F.col(f"o.{c}") for c in vals]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in vals])
+        )
+    )
+    pre = changed.select(
+        *o_cols, F.lit("update_preimage").alias("_change_type")
+    )
+    post = changed.select(
+        *n_cols, F.lit("update_postimage").alias("_change_type")
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
 def history(path: str) -> list[dict]:
     """Commit log, oldest first: version / parent / operation / n_files."""
     v = current_version(path)

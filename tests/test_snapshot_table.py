@@ -326,3 +326,50 @@ def test_compact_binpacks_epoch_files(spark, tmp_path):
     # vacuum now reclaims the small files
     assert st.vacuum(t)
     assert _keys(st.read_snapshot(spark, t)) == list(range(30))
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_read_changes_classifies_insert_update_delete(spark, tmp_path):
+    t = str(tmp_path / "cdc")
+    st.commit(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), t)  # v0
+    st.merge_upsert(_kv(spark, [(2, "B"), (4, "d")]), t, key="k")  # v1
+    ch = st.read_changes(spark, t, 0, 1, key="k")
+    got = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    # untouched k=1,3 were rewritten by the copy-on-write merge but must
+    # NOT appear — null-safe value equality cancels rewrite noise
+    assert got == {
+        (4, "d", "insert"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    snap = st.read_snapshot(spark, t).filter("k <> 1")
+    st.commit(snap, t, mode="overwrite")  # v2: delete k=1
+    ch2 = st.read_changes(spark, t, 1, 2, key="k")
+    assert {(r.k, r.v, r._change_type) for r in ch2.collect()} == {
+        (1, "a", "delete")
+    }
+
+
+def test_read_changes_compaction_is_noop(spark, tmp_path):
+    t = str(tmp_path / "cdc2")
+    st.commit(_kv(spark, [(1, "a")]), t, mode="append")
+    st.commit(_kv(spark, [(2, "b")]), t, mode="append")
+    v_pre = st.current_version(t)
+    st.compact(spark, t, target_files=1)
+    assert (
+        st.read_changes(spark, t, v_pre, key="k").count() == 0
+    ), "a pure rewrite must produce an empty change feed"
+
+
+def test_read_changes_append_only_fast_path(spark, tmp_path):
+    t = str(tmp_path / "cdc3")
+    st.commit(_kv(spark, [(1, "a")]), t, mode="append")
+    st.commit(_kv(spark, [(2, "b"), (3, "c")]), t, mode="append")
+    ch = st.read_changes(spark, t, 0)  # key=None: file-level
+    assert {(r.k, r._change_type) for r in ch.collect()} == {
+        (2, "insert"),
+        (3, "insert"),
+    }
