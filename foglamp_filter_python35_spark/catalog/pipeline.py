@@ -24,6 +24,7 @@ from foglamp_filter_python35_spark.catalog import (
     dsum,
     load,
     o_dsum,
+    o_dsum_expr,
     o_ordstat_quantile,
     ordstat_quantile,
 )
@@ -1513,8 +1514,245 @@ LIMIT {_PATH_TOP_K}
 """
 
 
+# --- G106: HyperLogLog distinct-count audit (mergeable-sketch QA) --------
+# `approx_count_distinct` is the right operator at 100 TB, but its HLL++
+# internals are engine-private, so it can never sit under this catalog's
+# cross-engine hash gate.  This query hand-rolls the HLL it approximates
+# — md5-bucketed registers, max rho per bucket, harmonic-mean estimate —
+# deterministically enough that DuckDB reproduces it BIT-FOR-BIT, and
+# audits it against the exact distinct count per event type.  The
+# registers are a (types x 64)-row mergeable state built by one
+# map-side-combinable MAX agg: exactly the sketch-merge shape that makes
+# HLL free at scale (registers from different partitions/days/tables
+# union by max).  Determinism tricks: rho via digits-of-bin (integer
+# log2), the harmonic sum as SCALED INTEGERS — each term 2^(55-rho) is
+# exact in BIGINT, so the only float ops are one division and one
+# multiply by a literal.  No ln: the small-range linear-counting
+# correction is deliberately omitted (documented estimator choice; the
+# audit column shows exactly what that costs on this corpus).
+
+_HLL_BUCKETS = 64  # m = 2^6
+_HLL_W_DIV = 1 << 54  # 60-bit hash -> 6-bit bucket + 54-bit remainder
+_HLL_SCALE = float(1 << 55)  # rho <= 55, so 2^(55-rho) is integral
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_BUCKETS) * _HLL_BUCKETS**2
+
+
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h60"),
+    )
+    b = h.select(
+        "event_type",
+        F.expr(f"h60 div {_HLL_W_DIV}").alias("bucket"),
+        F.expr(f"h60 % {_HLL_W_DIV}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("w")))
+        .alias("rho")
+    )
+    regs = (
+        b.select("event_type", "bucket", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - m_j as int))")).alias(
+            "present_scaled"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.lit(_HLL_ALPHA_M2) / (
+        (
+            F.col("present_scaled")
+            + (F.lit(_HLL_BUCKETS) - F.col("n_present"))
+            * F.lit(1 << 55)
+        ).cast("double")
+        / F.lit(_HLL_SCALE)
+    )
+    return (
+        sums.join(F.broadcast(exact), "event_type")
+        .select("event_type", "n_exact", est.alias("hll_estimate"))
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            (
+                F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_HLL_DISTINCT_AUDIT = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h60
+  FROM events),
+b AS (
+  SELECT event_type, h60 // {_HLL_W_DIV} AS bucket,
+         h60 % {_HLL_W_DIV} AS w
+  FROM h),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m_j
+  FROM b GROUP BY event_type, bucket),
+sums AS (
+  SELECT event_type,
+         SUM((1::BIGINT) << CAST(55 - m_j AS INT)) AS present_scaled,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type),
+est AS (
+  SELECT s.event_type, x.n_exact,
+         {_HLL_ALPHA_M2!r} / (
+           CAST(s.present_scaled
+                + ({_HLL_BUCKETS} - s.n_present) * {1 << 55} AS DOUBLE)
+           / {_HLL_SCALE!r}) AS hll_estimate
+  FROM sums s JOIN exact x USING (event_type))
+SELECT event_type, n_exact, hll_estimate,
+       ABS(hll_estimate - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_err
+FROM est ORDER BY event_type
+"""
+
+
+# --- G107: per-source vocabulary divergence (domain outlier scan) --------
+# The curation question G100 asks over TIME, asked over SOURCES: which
+# domains' unigram distributions diverge from the corpus — boilerplate
+# farms, machine-generated text, off-topic crawls.  Cells are the
+# corpus top-_VOCAB_DIV_V tokens plus an <other> bucket; the score is
+# the symmetric chi-square distance against the corpus distribution.
+# Absent cells have a closed form — (0-pc)^2/(0+pc) = pc — so the score
+# is (present terms) + (1 - sum of pc over present cells): everything
+# stays rational and O(sources x V) after the token agg, with no dense
+# cell matrix materialized.  Scale: one (source, token) count shuffle
+# dominated by vocabulary size; the vocab and corpus-share frames are
+# broadcasts.
+
+_VOCAB_DIV_V = 200
+
+
+def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    wv = Window.orderBy(F.col("n_tok").desc(), "tok")
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _VOCAB_DIV_V)
+        .select("tok")
+    )
+    cells = (
+        toks.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
+        .select(
+            "source",
+            F.when(F.col("in_v").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<other>"))
+            .alias("cell"),
+        )
+        .groupBy("source", "cell")
+        .agg(F.count(F.lit(1)).alias("n_sc"))
+    )
+    corpus = cells.groupBy("cell").agg(F.sum("n_sc").alias("n_c"))
+    total = corpus.agg(F.sum("n_c").alias("n_total"))
+    src_tot = cells.groupBy("source").agg(F.sum("n_sc").alias("n_s"))
+    ps = F.col("n_sc").cast("double") / F.col("n_s").cast("double")
+    pc = F.col("n_c").cast("double") / F.col("n_total").cast("double")
+    terms = (
+        cells.join(F.broadcast(corpus), "cell")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_s",
+            ((ps - pc) * (ps - pc) / (ps + pc)).alias("term"),
+            pc.alias("pc_present"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            dsum("term", "chi2_present", scale=9),
+            dsum("pc_present", "pc_sum", scale=9),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("chi2_present") + (F.lit(1.0) - F.col("pc_sum"))
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+O_SOURCE_VOCAB_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY n_tok DESC, tok) AS rn
+    FROM counts) WHERE rn <= {_VOCAB_DIV_V}),
+cells AS (
+  SELECT t.source,
+         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<other>' END AS cell,
+         COUNT(*) AS n_sc
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+  GROUP BY 1, 2),
+corpus AS (SELECT cell, SUM(n_sc) AS n_c FROM cells GROUP BY cell),
+total AS (SELECT SUM(n_c) AS n_total FROM corpus),
+src_tot AS (SELECT source, SUM(n_sc) AS n_s FROM cells GROUP BY source),
+terms AS (
+  SELECT c.source, s.n_s,
+         (CAST(c.n_sc AS DOUBLE) / CAST(s.n_s AS DOUBLE)
+          - CAST(k.n_c AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+         * (CAST(c.n_sc AS DOUBLE) / CAST(s.n_s AS DOUBLE)
+            - CAST(k.n_c AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+         / (CAST(c.n_sc AS DOUBLE) / CAST(s.n_s AS DOUBLE)
+            + CAST(k.n_c AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS term,
+         CAST(k.n_c AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS pc_present
+  FROM cells c
+  JOIN corpus k USING (cell)
+  JOIN src_tot s USING (source)
+  CROSS JOIN total t)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       ({o_dsum_expr('term', 9)} + (1.0 - {o_dsum_expr('pc_present', 9)}))
+         AS chi2
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup", q_span_dedup, O_SPAN_DEDUP),
+    QuerySpec(
+        "hll_distinct_audit", q_hll_distinct_audit, O_HLL_DISTINCT_AUDIT
+    ),
+    QuerySpec(
+        "source_vocab_divergence",
+        q_source_vocab_divergence,
+        O_SOURCE_VOCAB_DIVERGENCE,
+    ),
     QuerySpec("value_drift_chi2", q_value_drift_chi2, O_VALUE_DRIFT_CHI2),
     QuerySpec("top_session_paths", q_top_session_paths, O_TOP_SESSION_PATHS),
     QuerySpec("domain_quota_sample", q_domain_quota_sample, O_DOMAIN_QUOTA_SAMPLE),
