@@ -590,3 +590,74 @@ def test_event_path_transitions_one_lag_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert E.is_fully_jvm(df)
+
+
+def test_span_dedup_winner_election_is_partial_and_bounded(spark):
+    """G99: the corpus-wide winner election must map-side combine (the
+    span_md5 agg) and the whole pipeline holds at <= 4 exchanges — one
+    per (election, per-doc regroup, reassembly join side); no Python."""
+    from foglamp_filter_python35_spark.catalog.pipeline import q_span_dedup
+
+    df = q_span_dedup(spark, SF)
+    # min(struct) lowers to ObjectHashAggregate, which still runs in a
+    # partial+final pair — two nodes prove the map-side combine
+    assert E.node_count(df, "ObjectHashAggregate") >= 2
+    assert E.shuffle_count(df) <= 4, E.formatted_plan(df)
+    assert E.is_fully_jvm(df)
+
+
+def test_hll_registers_aggregate_partially(spark):
+    """G106: the register MAX agg is the mergeable-sketch core — it must
+    combine map-side (registers from different partitions merge by max),
+    and the exact-count comparator joins back as a broadcast."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_hll_distinct_audit,
+    )
+
+    df = q_hll_distinct_audit(spark, SF)
+    assert E.has_partial_aggregate(df)
+    assert "BroadcastHashJoin" in E.formatted_plan(df)
+    assert E.is_fully_jvm(df)
+
+
+def test_source_vocab_divergence_small_frames_broadcast(spark):
+    """G107: vocab / corpus-share / totals frames are all broadcasts;
+    the only corpus-sized shuffle is the (source, token) count."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_source_vocab_divergence,
+    )
+
+    df = q_source_vocab_divergence(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # total row rides a broadcast
+
+
+def test_ivf_recall_audit_truth_side_broadcasts_queries(spark):
+    """G104: both the exact side and the probe scoring broadcast the
+    query set — the corpus never shuffles on anything but cell/qid."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        q_ivf_recall_audit,
+    )
+
+    df = q_ivf_recall_audit(spark, SF)
+    plan = E.formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_spc_fences_broadcast_to_audit_window(spark):
+    """G105: train-window fences join the audit stream as a broadcast;
+    islands/run detection needs no extra corpus shuffle beyond the
+    asset-partitioned window."""
+    from foglamp_filter_python35_spark.catalog.signal import (
+        q_spc_control_chart,
+    )
+
+    df = q_spc_control_chart(spark, SF)
+    plan = E.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert E.is_fully_jvm(df)
