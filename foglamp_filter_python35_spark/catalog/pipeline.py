@@ -1743,8 +1743,253 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 
+# --- G108: Bloom-filter membership audit (join-pruning QA) ---------------
+# The runtime-filter building block, hand-rolled and audited: build a
+# fixed-size Bloom filter over the stored corpus' fingerprints, probe it
+# with an incoming batch, and measure the false-positive rate against
+# ground truth.  This is the pre-join filter that turns G50's
+# incremental-dedup ANTI join into a mostly-local operation at 100 TB:
+# the bit set is CONSTANT-SIZED (m = 2^16 here), so it broadcasts to
+# every executor no matter how large the corpus grows, and only probes
+# the filter cannot rule out touch the shuffle.  k = 4 positions come
+# from Kirsch-Mitzenmacher combinations of one md5 (the repo's standard
+# trick), so DuckDB rebuilds the identical filter bit-for-bit.  The
+# 80/20 doc_id split models stored-corpus vs incoming batch (G50's
+# convention).
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def _bloom_positions(h1, h2):
+    return F.array(
+        *[
+            (h1 + F.lit(j) * h2) % F.lit(_BLOOM_M)
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+    hashed = docs.select(
+        "doc_id",
+        "fp",
+        F.conv(F.substring(F.md5("fp"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("fp"), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    members = hashed.filter(F.col("doc_id") % 10 < 8)
+    probes = hashed.filter(F.col("doc_id") % 10 >= 8)
+    bits = (
+        members.select(
+            F.explode(_bloom_positions(F.col("h1"), F.col("h2"))).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = probes.select(
+        "doc_id",
+        "fp",
+        F.posexplode(_bloom_positions(F.col("h1"), F.col("h2"))).alias(
+            "j", "pos"
+        ),
+    )
+    matched = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("doc_id", "fp")
+    )
+    truth = probes.join(
+        members.select(F.col("fp").alias("fp")).distinct(), "fp", "left_semi"
+    ).select("doc_id")
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    stats = (
+        probes.select("doc_id")
+        .join(matched.select("doc_id", F.lit(1).alias("maybe")), "doc_id", "left")
+        .join(truth.select("doc_id", F.lit(1).alias("present")), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.coalesce(F.col("maybe"), F.lit(0))).alias("n_maybe"),
+            F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_present"),
+            F.sum(
+                F.coalesce(F.col("maybe"), F.lit(0))
+                * (F.lit(1) - F.coalesce(F.col("present"), F.lit(0)))
+            ).alias("n_false_pos"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(n_bits)).select(
+        "n_probes",
+        "n_maybe",
+        "n_present",
+        "n_false_pos",
+        "n_bits_set",
+        (
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probes") - F.col("n_present")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_pos_sql(h1: str, h2: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"({h1} + {j} * {h2}) % {_BLOOM_M}" for j in range(_BLOOM_K)
+        )
+        + "]"
+    )
+
+
+O_BLOOM_FILTER_AUDIT = f"""
+WITH fps AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+hashed AS (
+  SELECT doc_id, fp,
+         CAST('0x' || substring(md5(fp), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substring(md5(fp), 17, 15) AS BIGINT) AS h2
+  FROM fps),
+members AS (SELECT * FROM hashed WHERE doc_id % 10 < 8),
+probes AS (SELECT * FROM hashed WHERE doc_id % 10 >= 8),
+bits AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql('h1', 'h2')}) AS pos FROM members),
+probe_pos AS (
+  SELECT doc_id, fp, unnest({_bloom_pos_sql('h1', 'h2')}) AS pos
+  FROM probes),
+matched AS (
+  SELECT doc_id FROM (
+    SELECT p.doc_id, COUNT(*) AS n_hit
+    FROM probe_pos p JOIN bits b USING (pos)
+    GROUP BY p.doc_id) WHERE n_hit = {_BLOOM_K}),
+truth AS (
+  SELECT DISTINCT p.doc_id FROM probes p
+  JOIN (SELECT DISTINCT fp FROM members) m USING (fp)),
+flags AS (
+  SELECT p.doc_id,
+         CASE WHEN ma.doc_id IS NOT NULL THEN 1 ELSE 0 END AS maybe,
+         CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM probes p
+  LEFT JOIN matched ma ON ma.doc_id = p.doc_id
+  LEFT JOIN truth t ON t.doc_id = p.doc_id),
+n_bits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       CAST(SUM(present) AS BIGINT) AS n_present,
+       CAST(SUM(maybe * (1 - present)) AS BIGINT) AS n_false_pos,
+       (SELECT n_bits_set FROM n_bits) AS n_bits_set,
+       CAST(SUM(maybe * (1 - present)) AS DOUBLE)
+         / CAST(COUNT(*) - SUM(present) AS DOUBLE) AS fp_rate
+FROM flags
+"""
+
+
+# --- G109: A/B experiment readout (Welch z on per-user spend) ------------
+# The experimentation readout a product-analytics deployment runs per
+# flag: users deterministically bucketed by md5 parity (the same
+# hash-split family as G28 — assignment is reproducible across engines
+# and reruns), metric = per-user total purchase value, and the Welch
+# z-score on the group means.  A continuous metric, not a conversion
+# proportion: on this corpus every user converts, so a two-proportion z
+# degenerates (pooled p = 1, se = 0) — the continuous form never does.
+# Per-user sums are quantized-integer (association-order-free), group
+# moments are quantized sums of those exact values, and the z itself is
+# +,-,*,/ and one SQRT — all exactly rounded, so the statistic sits
+# under the bit-equality gate.  Scale: one user-grouped agg (map-side
+# partial), a 2-row group reduction, a 1-row join.
+
+
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value", "spend"))
+    )
+    grouped = (
+        per_user.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("grp"),
+            "spend",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("spend", "s1"),
+            dsum(F.col("spend") * F.col("spend"), "s2", scale=3),
+        )
+    )
+    a = grouped.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = grouped.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.crossJoin(b)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("s1_a") / na
+    mean_b = F.col("s1_b") / nb
+    var_a = F.col("s2_a") / na - mean_a * mean_a
+    var_b = F.col("s2_b") / nb - mean_b * mean_b
+    se = F.sqrt(var_a / na + var_b / nb)
+    return j.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_b - mean_a).alias("lift"),
+        ((mean_b - mean_a) / se).alias("zscore"),
+    )
+
+
+O_AB_TEST_READOUT = f"""
+WITH per_user AS (
+  SELECT user_id, {o_dsum('value', 'spend')}
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+grouped AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              AS BIGINT) % 2 AS grp,
+         COUNT(*) AS n,
+         {o_dsum('spend', 's1')},
+         {o_dsum('spend * spend', 's2', scale=3)}
+  FROM per_user GROUP BY 1),
+a AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM grouped WHERE grp = 0),
+b AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM grouped WHERE grp = 1)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       s1_a / CAST(n_a AS DOUBLE) AS mean_a,
+       s1_b / CAST(n_b AS DOUBLE) AS mean_b,
+       s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE) AS lift,
+       (s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE))
+       / SQRT((s2_a / CAST(n_a AS DOUBLE)
+               - (s1_a / CAST(n_a AS DOUBLE)) * (s1_a / CAST(n_a AS DOUBLE)))
+              / CAST(n_a AS DOUBLE)
+              + (s2_b / CAST(n_b AS DOUBLE)
+                 - (s1_b / CAST(n_b AS DOUBLE)) * (s1_b / CAST(n_b AS DOUBLE)))
+                / CAST(n_b AS DOUBLE)) AS zscore
+FROM a CROSS JOIN b
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup", q_span_dedup, O_SPAN_DEDUP),
+    QuerySpec(
+        "bloom_filter_audit", q_bloom_filter_audit, O_BLOOM_FILTER_AUDIT
+    ),
+    QuerySpec("ab_test_readout", q_ab_test_readout, O_AB_TEST_READOUT),
     QuerySpec(
         "hll_distinct_audit", q_hll_distinct_audit, O_HLL_DISTINCT_AUDIT
     ),
