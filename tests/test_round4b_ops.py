@@ -175,3 +175,52 @@ def test_ivf_recall_audit_bounds_and_self_hit(spark, sf_smoke):
         # query's own cell is probe #1, so its own vector always hits
         assert 1 <= r.n_hits <= 10
         assert r.recall_at_k == r.n_hits / 10.0
+
+
+def test_bloom_filter_never_false_negative(spark, sf_smoke):
+    """G108: the defining Bloom property — every probe whose fingerprint
+    IS in the member set must test maybe-present (n_maybe >= n_present),
+    and the FP rate is a valid proportion."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_bloom_filter_audit,
+    )
+
+    r = q_bloom_filter_audit(spark, sf_smoke).collect()[0]
+    assert r.n_probes > 0
+    assert r.n_maybe >= r.n_present  # no false negatives, ever
+    assert 0.0 <= r.fp_rate <= 1.0
+    assert r.n_false_pos == r.n_maybe - r.n_present
+
+
+def test_ab_readout_detects_constructed_lift(spark, tmp_path):
+    """G109: two md5-parity groups with a constructed spend gap — the
+    readout must report the gap and a positive z when B spends more."""
+    import hashlib
+
+    rows = []
+    eid = 0
+    for uid in range(1, 401):
+        grp = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+        # group B (grp 1) spends 10 + jitter, group A spends 5 + jitter
+        base = 10.0 if grp == 1 else 5.0
+        rows.append(
+            (
+                eid,
+                _T0 + dt.timedelta(minutes=uid),
+                uid,
+                "purchase",
+                base + (uid % 7) * 0.25,
+                "{}",
+            )
+        )
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_ab_test_readout,
+    )
+
+    r = q_ab_test_readout(spark, sf).collect()[0]
+    assert r.n_a + r.n_b == 400
+    assert 4.5 < r.mean_a < 6.5 and 9.5 < r.mean_b < 11.5
+    assert r.lift == r.mean_b - r.mean_a
+    assert r.zscore > 10.0  # unmistakable separation
