@@ -84,6 +84,19 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.csv(path, header=True, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC with mandatory explicit schema — the other columnar format a
+    lakehouse ingests (Hive-era warehouses emit it); built into Spark,
+    same predicate-pushdown + column-pruning story as parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC writer (zstd by default — best ratio/speed of the built-in
+    codecs for both columnar formats)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 

@@ -241,3 +241,28 @@ def test_stream_readings_jsonl_good_and_bad_streams(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC read/write round-trips the readings schema and pushes filters
+    down to the scan like parquet (built-in columnar source)."""
+    from pyspark.sql import functions as F
+
+    from foglamp_filter_python35_spark.plans import explain as E
+    from foglamp_filter_python35_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, asset_code string, value double",
+    )
+    path = str(tmp_path / "readings_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    filtered = back.filter(F.col("asset_code") == "a")
+    assert E.pushed_filters(filtered), "ORC scan must receive pushdown"
+    assert sorted(r.id for r in filtered.collect()) == [1, 3]
