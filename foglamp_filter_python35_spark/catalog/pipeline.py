@@ -1350,14 +1350,21 @@ def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("ref"),
-            F.least(
-                F.lit(b - 1),
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    / (F.col("vmax") - F.col("vmin"))
-                    * F.lit(float(b))
-                ).cast("int"),
-            ).alias("bin"),
+            # constant-valued type (vmax == vmin) degenerates to one bin
+            # instead of a divide-by-zero under ANSI mode
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.least(
+                    F.lit(b - 1),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        / (F.col("vmax") - F.col("vmin"))
+                        * F.lit(float(b))
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bin"),
         )
         .groupBy("event_type", "bin")
         .agg(
@@ -1401,9 +1408,12 @@ binned AS (
            AS n_b
   FROM events e JOIN fences f USING (event_type)
   GROUP BY e.event_type,
-           LEAST({_DRIFT_BINS - 1},
-                 CAST(FLOOR((e.value - f.vmin) / (f.vmax - f.vmin)
-                            * {_DRIFT_BINS}.0) AS INT))),
+           CASE WHEN f.vmax > f.vmin
+                THEN LEAST({_DRIFT_BINS - 1},
+                           CAST(FLOOR((e.value - f.vmin)
+                                      / (f.vmax - f.vmin)
+                                      * {_DRIFT_BINS}.0) AS INT))
+                ELSE 0 END),
 totals AS (
   SELECT event_type, SUM(n_a) AS tot_a, SUM(n_b) AS tot_b
   FROM binned GROUP BY event_type),
@@ -1830,9 +1840,12 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_present",
         "n_false_pos",
         "n_bits_set",
-        (
+        # all-probes-present corpora have no negatives to false-positive
+        # on; report NULL instead of an ANSI divide-by-zero
+        F.when(
+            F.col("n_probes") > F.col("n_present"),
             F.col("n_false_pos").cast("double")
-            / (F.col("n_probes") - F.col("n_present")).cast("double")
+            / (F.col("n_probes") - F.col("n_present")).cast("double"),
         ).alias("fp_rate"),
     )
 
@@ -1883,8 +1896,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
        CAST(SUM(present) AS BIGINT) AS n_present,
        CAST(SUM(maybe * (1 - present)) AS BIGINT) AS n_false_pos,
        (SELECT n_bits_set FROM n_bits) AS n_bits_set,
-       CAST(SUM(maybe * (1 - present)) AS DOUBLE)
-         / CAST(COUNT(*) - SUM(present) AS DOUBLE) AS fp_rate
+       CASE WHEN COUNT(*) > SUM(present)
+            THEN CAST(SUM(maybe * (1 - present)) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(present) AS DOUBLE)
+            ELSE NULL END AS fp_rate
 FROM flags
 """
 
@@ -1952,7 +1967,9 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_a.alias("mean_a"),
         mean_b.alias("mean_b"),
         (mean_b - mean_a).alias("lift"),
-        ((mean_b - mean_a) / se).alias("zscore"),
+        # degenerate zero-variance groups report NULL instead of a
+        # divide-by-zero under ANSI mode
+        F.when(se > 0, (mean_b - mean_a) / se).alias("zscore"),
     )
 
 
@@ -1973,13 +1990,24 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        s1_a / CAST(n_a AS DOUBLE) AS mean_a,
        s1_b / CAST(n_b AS DOUBLE) AS mean_b,
        s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE) AS lift,
-       (s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE))
-       / SQRT((s2_a / CAST(n_a AS DOUBLE)
-               - (s1_a / CAST(n_a AS DOUBLE)) * (s1_a / CAST(n_a AS DOUBLE)))
-              / CAST(n_a AS DOUBLE)
-              + (s2_b / CAST(n_b AS DOUBLE)
-                 - (s1_b / CAST(n_b AS DOUBLE)) * (s1_b / CAST(n_b AS DOUBLE)))
-                / CAST(n_b AS DOUBLE)) AS zscore
+       CASE WHEN SQRT((s2_a / CAST(n_a AS DOUBLE)
+                       - (s1_a / CAST(n_a AS DOUBLE))
+                         * (s1_a / CAST(n_a AS DOUBLE)))
+                      / CAST(n_a AS DOUBLE)
+                      + (s2_b / CAST(n_b AS DOUBLE)
+                         - (s1_b / CAST(n_b AS DOUBLE))
+                           * (s1_b / CAST(n_b AS DOUBLE)))
+                        / CAST(n_b AS DOUBLE)) > 0
+            THEN (s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE))
+                 / SQRT((s2_a / CAST(n_a AS DOUBLE)
+                         - (s1_a / CAST(n_a AS DOUBLE))
+                           * (s1_a / CAST(n_a AS DOUBLE)))
+                        / CAST(n_a AS DOUBLE)
+                        + (s2_b / CAST(n_b AS DOUBLE)
+                           - (s1_b / CAST(n_b AS DOUBLE))
+                             * (s1_b / CAST(n_b AS DOUBLE)))
+                          / CAST(n_b AS DOUBLE))
+            ELSE NULL END AS zscore
 FROM a CROSS JOIN b
 """
 

@@ -224,3 +224,31 @@ def test_ab_readout_detects_constructed_lift(spark, tmp_path):
     assert 4.5 < r.mean_a < 6.5 and 9.5 < r.mean_b < 11.5
     assert r.lift == r.mean_b - r.mean_a
     assert r.zscore > 10.0  # unmistakable separation
+
+
+def test_value_drift_constant_type_degrades_to_one_bin(spark, tmp_path):
+    """A constant-valued event type (vmax == vmin) must produce chi2 = 0
+    in one bin, not an ANSI divide-by-zero."""
+    rows = [
+        (i, _T0 + dt.timedelta(days=i), 1, "flat", 7.0, "{}")
+        for i in range(20)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_value_drift_chi2(spark, sf).collect()
+    assert len(out) == 1 and out[0].chi2 == 0.0
+
+
+def test_ab_readout_zero_variance_reports_null_z(spark, tmp_path):
+    """Identical spend everywhere -> se = 0 -> zscore NULL, no crash."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_ab_test_readout,
+    )
+
+    rows = [
+        (i, _T0 + dt.timedelta(minutes=i), i, "purchase", 5.0, "{}")
+        for i in range(1, 101)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = q_ab_test_readout(spark, sf).collect()[0]
+    assert r.lift == 0.0
+    assert r.zscore is None
