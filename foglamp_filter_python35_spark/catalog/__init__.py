@@ -213,7 +213,7 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 # pipeline 18 + relational 6 + signal 3); the 10 never-sampled text
 # queries follow at positions 51-60 (their family already has r1 driver
 # evidence) and rotate into the window next round, together with the
-# round-4 additions (G88-G98), which append after the block in module
+# round-4 additions (G88-G109), which append after the block in module
 # order and have local + vanilla-session evidence only.  Queries not
 # listed keep module order after the prioritized block.  Round 5:
 # once CORRECTNESS_r04 greens this window, run tools/rotate_window.py

@@ -410,3 +410,42 @@ def test_dsum_is_tie_safe_cross_engine(spark, tmp_path):
         "they now agree, the engines changed their rounding and this "
         "test should be revisited"
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_dedup_keeps_each_distinct_span_exactly_once(
+    spark, tmp_path_factory, token_lists
+):
+    """G99 conservation law on arbitrary corpora (tiny alphabet forces
+    heavy span collisions): kept spans == distinct spans, and the cut
+    count is exactly the duplicate surplus."""
+    import math as _m
+
+    from foglamp_filter_python35_spark.catalog.pipeline import q_span_dedup
+
+    tmp = tmp_path_factory.mktemp("span_prop")
+    texts = [" ".join(toks) for toks in token_lists]
+    spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = q_span_dedup(spark, str(tmp)).collect()
+
+    spans = set()
+    total = 0
+    for toks in token_lists:
+        n = _m.ceil(len(toks) / 8)
+        total += n
+        for i in range(n):
+            spans.add(" ".join(toks[i * 8 : i * 8 + 8]))
+    assert sum(r.n_kept for r in out) == len(spans)
+    assert sum(r.n_spans for r in out) == total
