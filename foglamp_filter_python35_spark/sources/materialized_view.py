@@ -1,0 +1,159 @@
+"""Incremental materialized-view maintenance over the snapshot table's
+change feed.
+
+The capability that makes a 100 TB lakehouse usable interactively: a
+grouped aggregate (per-key row count + sum) kept current by applying the
+CDF DELTA between two base-table versions, instead of rescanning the
+base.  Count and sum are self-maintainable aggregates — each change row
+contributes a signed unit: ``insert``/``update_postimage`` add, ``delete``/
+``update_preimage`` subtract — so the refresh cost is O(changed rows +
+touched groups), independent of base-table size.  This is the classic
+incremental view maintenance (IVM) algorithm (counting algorithm for
+distributive aggregates), the same machinery behind Delta Live Tables /
+Materialize-style view upkeep.
+
+Determinism: the view stores the sum as a QUANTIZED INTEGER
+(``floor(v * 1e6 + 0.5)`` summed as BIGINT — the catalog's ``dsum``
+policy), so delta application is exact integer arithmetic and an
+incrementally maintained view is BIT-IDENTICAL to a full recompute, in
+any refresh order.  The maintained base version rides the view table's
+idempotent-commit marker (``txn = "ivm@{base_version}"``), which makes
+``refresh`` itself exactly-once: a crashed-and-replayed refresh of the
+same base version is a no-op.
+
+Reference framing: the reference buffers readings across calls for
+aggregation (plugin.cpp:113-116); this is that contract at table scale —
+the aggregate survives restarts and advances by deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.sources import snapshot_table as st
+
+_Q = 1_000_000  # sum quantization: exact for |sum| < 2^63 / 1e6
+
+
+def _qsum(col: str):
+    return F.sum(
+        F.floor(F.col(col) * F.lit(float(_Q)) + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _signed(change_col: str):
+    return F.when(
+        F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def maintained_base_version(view_path: str) -> int | None:
+    """The base-table version the view currently reflects (from the
+    newest ``ivm@N`` commit marker in the view's manifest log)."""
+    v = st.current_version(view_path)
+    if v is None:
+        return None
+    for i in range(v, -1, -1):
+        m = st._read_manifest(view_path, i)
+        txn = m.get("txn")
+        if txn and txn.startswith("ivm@"):
+            return int(txn.split("@", 1)[1])
+    return None
+
+
+def create_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+) -> int:
+    """Full initial build of the (keys -> n_rows, sum_q) view from the
+    base table's CURRENT snapshot; records which base version it
+    reflects.  Returns the view's committed version."""
+    base_v = st.current_version(base_path)
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {base_path!r}")
+    snap = st.read_snapshot(spark, base_path, version=base_v)
+    view = snap.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _qsum(value_col).alias("sum_q"),
+    )
+    return st.commit(
+        view, view_path, mode="overwrite", txn=f"ivm@{base_v}"
+    )
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    row_key: str | list[str],
+) -> int:
+    """Advance the view to the base table's current version by applying
+    the change feed since the last maintained version.
+
+    Reads only the manifest-diff files (``read_changes``), aggregates
+    signed per-group deltas, and full-outer merges them into the stored
+    view: groups whose count reaches zero drop out; untouched groups are
+    carried through unchanged.  Exactly-once per base version via the
+    ``ivm@N`` idempotent commit marker.  No-op (returns the current view
+    version) when the view is already current.
+    """
+    last = maintained_base_version(view_path)
+    if last is None:
+        raise FileNotFoundError(
+            f"{view_path!r} is not an ivm view (no ivm@N marker)"
+        )
+    cur = st.current_version(base_path)
+    if cur == last:
+        return st.current_version(view_path)
+
+    changes = st.read_changes(spark, base_path, last, cur, key=row_key)
+    deltas = (
+        changes.withColumn("_sign", _signed("_change_type"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("_sign").cast("bigint").alias("d_rows"),
+            F.sum(
+                F.col("_sign")
+                * F.floor(
+                    F.col(value_col) * F.lit(float(_Q)) + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("d_sum_q"),
+        )
+    )
+    old = st.read_snapshot(spark, view_path)
+    merged = (
+        old.join(deltas, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_rows"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_q"), F.lit(0))
+                + F.coalesce(F.col("d_sum_q"), F.lit(0))
+            ).alias("sum_q"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return st.commit(
+        merged, view_path, mode="overwrite", txn=f"ivm@{cur}"
+    )
+
+
+def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The view with the quantized sum decoded back to a double (one
+    deterministic division)."""
+    df = st.read_snapshot(spark, view_path)
+    return df.withColumn(
+        "value_sum", F.col("sum_q").cast("double") / F.lit(float(_Q))
+    )

@@ -1,0 +1,90 @@
+"""Incremental view maintenance == full recompute, across arbitrary
+commit sequences (the IVM counting-algorithm contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.sources import materialized_view as mv
+from foglamp_filter_python35_spark.sources import snapshot_table as st
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "rk int, grp string, v double")
+
+
+def _recompute(spark, base):
+    snap = st.read_snapshot(spark, base)
+    return {
+        (r.grp): (r.n_rows, r.sum_q)
+        for r in snap.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_q"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, view):
+    return {
+        (r.grp): (r.n_rows, r.sum_q)
+        for r in st.read_snapshot(spark, view).collect()
+    }
+
+
+def test_ivm_tracks_appends_updates_deletes_and_compaction(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0)]), base
+    )
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    assert _view(spark, view) == _recompute(spark, base)
+
+    # two commits, one refresh spanning both: append + upsert
+    st.commit(_kv(spark, [(4, "c", 7.0)]), base, mode="append")
+    st.merge_upsert(
+        _kv(spark, [(2, "a", 20.0), (5, "b", 1.0)]), base, key="rk"
+    )
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _view(spark, view) == _recompute(spark, base)
+
+    # delete an entire group -> it must drop out of the view
+    snap = st.read_snapshot(spark, base).filter("grp <> 'c'")
+    st.commit(snap, base, mode="overwrite")
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _view(spark, view)
+    assert got == _recompute(spark, base)
+    assert "c" not in got
+
+    # compaction-only commit: refresh advances the marker, changes nothing
+    st.compact(spark, base, target_files=1)
+    before = got
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _view(spark, view) == before
+    assert mv.maintained_base_version(view) == st.current_version(base)
+
+
+def test_ivm_refresh_is_idempotent_per_base_version(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(2, "a", 2.0)]), base, mode="append")
+    v1 = mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    # replaying the same refresh (crash recovery) must be a no-op commit
+    v2 = mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert v1 == v2
+    assert _view(spark, view) == _recompute(spark, base)
+
+
+def test_ivm_noop_when_current(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    v_before = st.current_version(view)
+    assert (
+        mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+        == v_before
+    )
