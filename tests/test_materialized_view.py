@@ -3,10 +3,20 @@ commit sequences (the IVM counting-algorithm contract)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from foglamp_filter_python35_spark.sources import materialized_view as mv
 from foglamp_filter_python35_spark.sources import snapshot_table as st
+from foglamp_filter_python35_spark.sources.snapshot_source import (
+    SnapshotTableDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SnapshotTableDataSource)
 
 
 def _kv(spark, rows):
@@ -88,3 +98,73 @@ def test_ivm_noop_when_current(spark, tmp_path):
         mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
         == v_before
     )
+
+
+def test_streaming_fed_base_keeps_view_consistent_across_replay(
+    spark, tmp_path
+):
+    """Streaming loop + IVM: a snapshot-table stream feeds the base via
+    the exactly-once sink; the view refreshes after each drain.  Replayed
+    epochs and replayed refreshes are both absorbed (idempotent sink +
+    ivm@N markers), so view == recompute at every observation point."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "base")
+    ck = str(tmp_path / "ck")
+    view = str(tmp_path / "view")
+
+    def srows(lo, hi):
+        return spark.createDataFrame(
+            [(k, f"g{k % 3}", k * 1.0) for k in range(lo, hi)],
+            "rk long, grp string, v double",
+        )
+
+    st.commit(srows(0, 20), src)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(st.snapshot_sink(base, query_name="ivm"))
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    assert _view_g(spark, view) == _recompute_g(spark, base)
+
+    st.commit(srows(20, 31), src, mode="append")
+    drain()
+    drain()  # replayed drain: idempotent sink absorbs it
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _view_g(spark, view) == _recompute_g(spark, base)
+    n = st.read_snapshot(spark, base).count()
+    assert n == 31  # exactly once end to end
+
+
+def _recompute_g(spark, base):
+    snap = st.read_snapshot(spark, base)
+    return {
+        r.grp: (r.n_rows, r.sum_q)
+        for r in snap.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_q"),
+        )
+        .collect()
+    }
+
+
+def _view_g(spark, view):
+    return {
+        r.grp: (r.n_rows, r.sum_q)
+        for r in st.read_snapshot(spark, view).collect()
+    }
