@@ -1658,15 +1658,15 @@ _VOCAB_DIV_V = 200
 
 
 def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window  # noqa: PLC0415
-
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(T.tokens("text")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    wv = Window.orderBy(F.col("n_tok").desc(), "tok")
+    # top-V via TakeOrdered (per-partition partial top-K), NOT a global
+    # row_number window — a single-task sort over the whole vocabulary
+    # is the classic billion-token scale hazard
     vocab = (
-        counts.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= _VOCAB_DIV_V)
+        counts.orderBy(F.col("n_tok").desc(), "tok")
+        .limit(_VOCAB_DIV_V)
         .select("tok")
     )
     cells = (
