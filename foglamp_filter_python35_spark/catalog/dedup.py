@@ -148,7 +148,12 @@ common AS (
 
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    ds = D.minhash_doc_sets(docs, num_hashes=_NUM_HASHES)
+    # the doc-set frame feeds THREE consumers here (banding + both audit
+    # sides), so persist it — lazily, no job at plan build — emulating
+    # the stored doc-set table the 100 TB pipeline reads (see
+    # minhash_lsh_near_dups docstring); without it the md5 pipeline
+    # would run once per consumer
+    ds = D.minhash_doc_sets(docs, num_hashes=_NUM_HASHES).persist()
     sigs = ds.select("doc_id", *[f"s{i}" for i in range(_NUM_HASHES)])
     bands = D.lsh_bands(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     cands = D.candidate_pairs(bands, "doc_id")
