@@ -1379,11 +1379,17 @@ def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-rounded for integer exponents; *,/ are (IEEE 754)
     pa = F.col("n_a") / F.col("tot_a")
     pb = F.col("n_b") / F.col("tot_b")
+    # one-sided types (all events in one window, tot = 0) have undefined
+    # drift: the guard yields NULL terms -> chi2 NULL, instead of an
+    # ANSI 0/0 error (or, non-ANSI, NaN quantizing to a silent 0.0)
     terms = binned.join(F.broadcast(totals), "event_type").select(
         "event_type",
         "tot_a",
         "tot_b",
-        ((pa - pb) * (pa - pb) / (pa + pb)).alias("term"),
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
+            (pa - pb) * (pa - pb) / (pa + pb),
+        ).alias("term"),
     )
     return (
         terms.groupBy("event_type")
@@ -1419,9 +1425,11 @@ totals AS (
   FROM binned GROUP BY event_type),
 terms AS (
   SELECT b.event_type, t.tot_a, t.tot_b,
-         (b.n_a / t.tot_a - b.n_b / t.tot_b)
-           * (b.n_a / t.tot_a - b.n_b / t.tot_b)
-           / (b.n_a / t.tot_a + b.n_b / t.tot_b) AS term
+         CASE WHEN t.tot_a > 0 AND t.tot_b > 0
+              THEN (b.n_a / t.tot_a - b.n_b / t.tot_b)
+                   * (b.n_a / t.tot_a - b.n_b / t.tot_b)
+                   / (b.n_a / t.tot_a + b.n_b / t.tot_b)
+              ELSE NULL END AS term
   FROM binned b JOIN totals t USING (event_type))
 SELECT event_type,
        CAST(MAX(tot_a) AS BIGINT) AS n_ref,
@@ -1659,7 +1667,11 @@ _VOCAB_DIV_V = 200
 
 def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+    # tokenization feeds both the vocab election and the cell counts —
+    # persist (lazy) so the corpus explodes once, not per branch
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("tok")
+    ).persist()
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     # top-V via TakeOrdered (per-partition partial top-K), NOT a global
     # row_number window — a single-task sort over the whole vocabulary
@@ -1784,6 +1796,9 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp")
     )
+    # five consumers (bits, probe positions, both truth sides, the probe
+    # census) hang off this frame — persist it (lazily; no job at plan
+    # build) so the fingerprint + md5 pipeline runs once, not per subtree
     hashed = docs.select(
         "doc_id",
         "fp",
@@ -1793,7 +1808,7 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("fp"), 17, 15), 16, 10)
         .cast("long")
         .alias("h2"),
-    )
+    ).persist()
     members = hashed.filter(F.col("doc_id") % 10 < 8)
     probes = hashed.filter(F.col("doc_id") % 10 >= 8)
     bits = (
@@ -1926,42 +1941,77 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(dsum("value", "spend"))
     )
-    grouped = (
-        per_user.select(
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-            ).alias("grp"),
-            "spend",
-        )
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dsum("spend", "s1"),
-            dsum(F.col("spend") * F.col("spend"), "s2", scale=3),
-        )
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+        ).cast("long")
+        % 2
     )
-    a = grouped.filter(F.col("grp") == 0).select(
-        F.col("n").alias("n_a"), F.col("s1").alias("s1_a"),
-        F.col("s2").alias("s2_a"),
+    q1 = F.floor(F.col("spend") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    q2 = F.floor(
+        F.col("spend") * F.col("spend") * F.lit(1e3) + F.lit(0.5)
+    ).cast("bigint")
+    # ONE pass: conditional (pivoted) aggregation — the two-filter +
+    # crossJoin form scanned events twice and silently vanished when a
+    # tiny corpus hashed every user to one parity
+    stats = per_user.select(grp.alias("grp"), "spend").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        (
+            F.sum(F.when(F.col("grp") == 0, q1).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias("s1_a"),
+        (
+            F.sum(F.when(F.col("grp") == 1, q1).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias("s1_b"),
+        (
+            F.sum(F.when(F.col("grp") == 0, q2).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(1e3)
+        ).alias("s2_a"),
+        (
+            F.sum(F.when(F.col("grp") == 1, q2).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(1e3)
+        ).alias("s2_b"),
     )
-    b = grouped.filter(F.col("grp") == 1).select(
-        F.col("n").alias("n_b"), F.col("s1").alias("s1_b"),
-        F.col("s2").alias("s2_b"),
-    )
-    j = a.crossJoin(b)
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    mean_a = F.col("s1_a") / na
-    mean_b = F.col("s1_b") / nb
-    var_a = F.col("s2_a") / na - mean_a * mean_a
-    var_b = F.col("s2_b") / nb - mean_b * mean_b
-    se = F.sqrt(var_a / na + var_b / nb)
-    return j.select(
+    # every division sits under its group's n > 0 guard (an empty
+    # parity bucket on a tiny corpus must report NULLs, not an ANSI
+    # divide-by-zero); GREATEST(.., 0) clamps the E[x^2]-mean^2
+    # cancellation, which can go slightly negative on near-constant
+    # spends — Spark sqrt(neg) is NaN but DuckDB ERRORS
+    mean_a = F.when(F.col("n_a") > 0, F.col("s1_a") / na)
+    mean_b = F.when(F.col("n_b") > 0, F.col("s1_b") / nb)
+    var_a = F.when(
+        F.col("n_a") > 0,
+        F.greatest(
+            F.col("s2_a") / na
+            - (F.col("s1_a") / na) * (F.col("s1_a") / na),
+            F.lit(0.0),
+        ),
+    )
+    var_b = F.when(
+        F.col("n_b") > 0,
+        F.greatest(
+            F.col("s2_b") / nb
+            - (F.col("s1_b") / nb) * (F.col("s1_b") / nb),
+            F.lit(0.0),
+        ),
+    )
+    se = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(var_a / na + var_b / nb),
+    )
+    return stats.select(
         "n_a",
         "n_b",
         mean_a.alias("mean_a"),
@@ -1973,42 +2023,59 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_AB_TEST_READOUT = f"""
+O_AB_TEST_READOUT = """
 WITH per_user AS (
-  SELECT user_id, {o_dsum('value', 'spend')}
+  SELECT user_id,
+         (CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e6) AS spend
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-grouped AS (
+tagged AS (
   SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
               AS BIGINT) % 2 AS grp,
-         COUNT(*) AS n,
-         {o_dsum('spend', 's1')},
-         {o_dsum('spend * spend', 's2', scale=3)}
-  FROM per_user GROUP BY 1),
-a AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM grouped WHERE grp = 0),
-b AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM grouped WHERE grp = 1)
-SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       s1_a / CAST(n_a AS DOUBLE) AS mean_a,
-       s1_b / CAST(n_b AS DOUBLE) AS mean_b,
-       s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE) AS lift,
-       CASE WHEN SQRT((s2_a / CAST(n_a AS DOUBLE)
-                       - (s1_a / CAST(n_a AS DOUBLE))
-                         * (s1_a / CAST(n_a AS DOUBLE)))
-                      / CAST(n_a AS DOUBLE)
-                      + (s2_b / CAST(n_b AS DOUBLE)
-                         - (s1_b / CAST(n_b AS DOUBLE))
-                           * (s1_b / CAST(n_b AS DOUBLE)))
-                        / CAST(n_b AS DOUBLE)) > 0
-            THEN (s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE))
-                 / SQRT((s2_a / CAST(n_a AS DOUBLE)
-                         - (s1_a / CAST(n_a AS DOUBLE))
-                           * (s1_a / CAST(n_a AS DOUBLE)))
-                        / CAST(n_a AS DOUBLE)
-                        + (s2_b / CAST(n_b AS DOUBLE)
-                           - (s1_b / CAST(n_b AS DOUBLE))
-                             * (s1_b / CAST(n_b AS DOUBLE)))
-                          / CAST(n_b AS DOUBLE))
-            ELSE NULL END AS zscore
-FROM a CROSS JOIN b
+         spend
+  FROM per_user),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN grp = 0
+                       THEN CAST(FLOOR(spend * 1e6 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 1e6 AS s1_a,
+         CAST(SUM(CASE WHEN grp = 1
+                       THEN CAST(FLOOR(spend * 1e6 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 1e6 AS s1_b,
+         CAST(SUM(CASE WHEN grp = 0
+                       THEN CAST(FLOOR(spend * spend * 1e3 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 1e3 AS s2_a,
+         CAST(SUM(CASE WHEN grp = 1
+                       THEN CAST(FLOOR(spend * spend * 1e3 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 1e3 AS s2_b
+  FROM tagged),
+derived AS (
+  SELECT n_a, n_b,
+         CASE WHEN n_a > 0 THEN s1_a / CAST(n_a AS DOUBLE) END AS mean_a,
+         CASE WHEN n_b > 0 THEN s1_b / CAST(n_b AS DOUBLE) END AS mean_b,
+         CASE WHEN n_a > 0
+              THEN GREATEST(s2_a / CAST(n_a AS DOUBLE)
+                            - (s1_a / CAST(n_a AS DOUBLE))
+                              * (s1_a / CAST(n_a AS DOUBLE)), 0.0)
+              END AS var_a,
+         CASE WHEN n_b > 0
+              THEN GREATEST(s2_b / CAST(n_b AS DOUBLE)
+                            - (s1_b / CAST(n_b AS DOUBLE))
+                              * (s1_b / CAST(n_b AS DOUBLE)), 0.0)
+              END AS var_b
+  FROM stats),
+with_se AS (
+  SELECT n_a, n_b, mean_a, mean_b,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN SQRT(var_a / CAST(n_a AS DOUBLE)
+                        + var_b / CAST(n_b AS DOUBLE))
+              END AS se
+  FROM derived)
+SELECT n_a, n_b, mean_a, mean_b,
+       mean_b - mean_a AS lift,
+       CASE WHEN se > 0 THEN (mean_b - mean_a) / se END AS zscore
+FROM with_se
 """
 
 

@@ -103,50 +103,67 @@ def refresh_agg_view(
     signed per-group deltas, and full-outer merges them into the stored
     view: groups whose count reaches zero drop out; untouched groups are
     carried through unchanged.  Exactly-once per base version via the
-    ``ivm@N`` idempotent commit marker.  No-op (returns the current view
-    version) when the view is already current.
+    ``ivm@N`` idempotent commit marker, and SERIALIZABLE against
+    concurrent refreshes: the merge commit pins ``require_parent`` to
+    the view version it read, so an overlapping refresh that landed in
+    between forces a re-read + re-merge instead of double-applying the
+    shared delta prefix (the ``merge_upsert`` protocol applied to view
+    upkeep).  No-op (returns the current view version) when the view is
+    already current.
     """
-    last = maintained_base_version(view_path)
-    if last is None:
-        raise FileNotFoundError(
-            f"{view_path!r} is not an ivm view (no ivm@N marker)"
-        )
-    cur = st.current_version(base_path)
-    if cur == last:
-        return st.current_version(view_path)
+    for _ in range(5):
+        last = maintained_base_version(view_path)
+        if last is None:
+            raise FileNotFoundError(
+                f"{view_path!r} is not an ivm view (no ivm@N marker)"
+            )
+        cur = st.current_version(base_path)
+        if cur == last:
+            return st.current_version(view_path)
 
-    changes = st.read_changes(spark, base_path, last, cur, key=row_key)
-    deltas = (
-        changes.withColumn("_sign", _signed("_change_type"))
-        .groupBy(*keys)
-        .agg(
-            F.sum("_sign").cast("bigint").alias("d_rows"),
-            F.sum(
-                F.col("_sign")
-                * F.floor(
-                    F.col(value_col) * F.lit(float(_Q)) + F.lit(0.5)
-                ).cast("bigint")
-            ).alias("d_sum_q"),
+        changes = st.read_changes(spark, base_path, last, cur, key=row_key)
+        deltas = (
+            changes.withColumn("_sign", _signed("_change_type"))
+            .groupBy(*keys)
+            .agg(
+                F.sum("_sign").cast("bigint").alias("d_rows"),
+                F.sum(
+                    F.col("_sign")
+                    * F.floor(
+                        F.col(value_col) * F.lit(float(_Q)) + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("d_sum_q"),
+            )
         )
-    )
-    old = st.read_snapshot(spark, view_path)
-    merged = (
-        old.join(deltas, keys, "full_outer")
-        .select(
-            *keys,
-            (
-                F.coalesce(F.col("n_rows"), F.lit(0))
-                + F.coalesce(F.col("d_rows"), F.lit(0))
-            ).alias("n_rows"),
-            (
-                F.coalesce(F.col("sum_q"), F.lit(0))
-                + F.coalesce(F.col("d_sum_q"), F.lit(0))
-            ).alias("sum_q"),
+        view_v = st.current_version(view_path)
+        old = st.read_snapshot(spark, view_path, version=view_v)
+        merged = (
+            old.join(deltas, keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d_rows"), F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_q"), F.lit(0))
+                    + F.coalesce(F.col("d_sum_q"), F.lit(0))
+                ).alias("sum_q"),
+            )
+            .filter(F.col("n_rows") > 0)
         )
-        .filter(F.col("n_rows") > 0)
-    )
-    return st.commit(
-        merged, view_path, mode="overwrite", txn=f"ivm@{cur}"
+        try:
+            return st.commit(
+                merged,
+                view_path,
+                mode="overwrite",
+                txn=f"ivm@{cur}",
+                require_parent=view_v,
+            )
+        except st.CommitConflict:
+            continue  # a concurrent refresh landed; re-read and re-merge
+    raise st.CommitConflict(
+        f"view refresh lost the serializable race 5 times on {view_path!r}"
     )
 
 

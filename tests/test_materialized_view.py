@@ -107,8 +107,6 @@ def test_streaming_fed_base_keeps_view_consistent_across_replay(
     the exactly-once sink; the view refreshes after each drain.  Replayed
     epochs and replayed refreshes are both absorbed (idempotent sink +
     ivm@N markers), so view == recompute at every observation point."""
-    from pyspark.sql import functions as F
-
     src = str(tmp_path / "src")
     base = str(tmp_path / "base")
     ck = str(tmp_path / "ck")
@@ -136,35 +134,13 @@ def test_streaming_fed_base_keeps_view_consistent_across_replay(
 
     drain()
     mv.create_agg_view(spark, base, view, ["grp"], "v")
-    assert _view_g(spark, view) == _recompute_g(spark, base)
+    assert _view(spark, view) == _recompute(spark, base)
 
     st.commit(srows(20, 31), src, mode="append")
     drain()
     drain()  # replayed drain: idempotent sink absorbs it
     mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
     mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
-    assert _view_g(spark, view) == _recompute_g(spark, base)
+    assert _view(spark, view) == _recompute(spark, base)
     n = st.read_snapshot(spark, base).count()
     assert n == 31  # exactly once end to end
-
-
-def _recompute_g(spark, base):
-    snap = st.read_snapshot(spark, base)
-    return {
-        r.grp: (r.n_rows, r.sum_q)
-        for r in snap.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-            ).alias("sum_q"),
-        )
-        .collect()
-    }
-
-
-def _view_g(spark, view):
-    return {
-        r.grp: (r.n_rows, r.sum_q)
-        for r in st.read_snapshot(spark, view).collect()
-    }

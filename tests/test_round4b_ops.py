@@ -252,3 +252,38 @@ def test_ab_readout_zero_variance_reports_null_z(spark, tmp_path):
     r = q_ab_test_readout(spark, sf).collect()[0]
     assert r.lift == 0.0
     assert r.zscore is None
+
+
+def test_value_drift_one_sided_type_reports_null(spark, tmp_path):
+    """A type whose events all fall AFTER the split (tot_ref = 0) has
+    undefined drift: chi2 NULL, not a 0/0 crash or a silent 0.0."""
+    rows = [
+        (i, dt.datetime(2024, 1, 20) + dt.timedelta(minutes=i), 1,
+         "newtype", float(i % 5), "{}")
+        for i in range(20)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_value_drift_chi2(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_ref == 0 and out[0].n_cur == 20
+    assert out[0].chi2 is None
+
+
+def test_ab_readout_near_constant_spend_clamps_variance(spark, tmp_path):
+    """Spends 0.1 / 0.1004 make the E[x^2]-mean^2 form cancel negative
+    at the s2 quantization scale; the clamp must yield se=0 -> NULL z
+    (DuckDB would otherwise ERROR on sqrt(negative))."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_ab_test_readout,
+    )
+
+    rows = [
+        (i, _T0 + dt.timedelta(minutes=i), i, "purchase",
+         0.1 if i % 2 else 0.1004, "{}")
+        for i in range(1, 201)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = q_ab_test_readout(spark, sf).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.mean_a is not None and r.mean_b is not None
+    assert r.zscore is None  # clamped variance -> se == 0 -> NULL
