@@ -4,13 +4,16 @@
     python -m foglamp_filter_python35_spark run pricing_summary
     python -m foglamp_filter_python35_spark run span_dedup --explain
     python -m foglamp_filter_python35_spark oracle pricing_summary
+    python -m foglamp_filter_python35_spark check span_dedup
 
 ``run`` executes the named query against ``--sf-dir`` (default
 ``$SPARK_GRAFT_SF_DIR`` or ``/root/testdata/sf0.01``) and prints up to
 ``--limit`` rows; ``--explain`` prints the formatted physical plan
 instead.  ``oracle`` prints the query's DuckDB oracle SQL (the portable
-ANSI statement of its semantics).  ``list`` prints every query name with
-its family module.
+ANSI statement of its semantics).  ``check`` runs the query on Spark AND
+its oracle on DuckDB and compares row count + sorted columns +
+stringified values — the driver's correctness gate, on demand.  ``list``
+prints every query name with its family module.
 """
 
 from __future__ import annotations
@@ -35,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     po = sub.add_parser("oracle", help="print a query's oracle SQL")
     po.add_argument("name")
+    pc = sub.add_parser("check", help="compare a query against its oracle")
+    pc.add_argument("name")
+    pc.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    pc.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     args = p.parse_args(argv)
 
     from foglamp_filter_python35_spark.catalog import all_queries
@@ -55,11 +65,41 @@ def main(argv: list[str] | None = None) -> int:
     from foglamp_filter_python35_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"run-{args.name}",
+        app_name=f"{args.cmd}-{args.name}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=int(args.cpus),
     )
     df = specs[args.name].fn(spark, args.sf_dir)
+    if args.cmd == "check":
+        sql = specs[args.name].oracle
+        if not sql:
+            print("no SQL oracle (rows-only query)")
+            return 0
+        import duckdb  # noqa: PLC0415
+
+        cols = sorted(df.columns)
+        got = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+        con = duckdb.connect()
+        tables = (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(args.sf_dir, t)}.parquet')"
+            )
+        odf = con.execute(sql).df()
+        want = sorted(
+            tuple(str(odf[c][i]) for c in sorted(odf.columns))
+            for i in range(len(odf))
+        )
+        ok = list(cols) == sorted(odf.columns) and got == want
+        print(
+            f"{'MATCH' if ok else 'MISMATCH'}: spark {len(got)} rows, "
+            f"oracle {len(want)} rows, columns {cols}"
+        )
+        return 0 if ok else 1
     if args.explain:
         df.explain("formatted")
     else:
