@@ -2079,8 +2079,177 @@ FROM with_se
 """
 
 
+# --- G110: count-based trigram LM (top continuations per context) --------
+# The n-gram language model as a catalog operator: conditional
+# next-token distributions P(w3 | w1 w2) from corpus counts — the
+# KenLM-style artifact data teams still build for contamination scans,
+# boilerplate detection, and cheap generation QA.  Rational
+# probabilities (count ratios, module no-``ln`` policy).  Scale: one
+# trigram count shuffle keyed by (context, next) — vocabulary-bounded;
+# context election is TakeOrdered; continuations rank inside
+# |top contexts| * |continuations| rows after a broadcast semi-join.
+
+_LM_TOP_CONTEXTS = 20
+_LM_TOP_NEXT = 3
+
+
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(T.tokens("text").alias("toks"))
+        # sequence(0, size-3) DESCENDS for size < 3 and would index out
+        # of range (an ANSI error); the oracle guards len >= 3 too
+        .filter(F.size("toks") >= 3)
+    )
+    tri = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> struct(concat(toks[i], ' ', toks[i+1]) as ctx,"
+                "             toks[i+2] as nxt))"
+            )
+        ).alias("t")
+    ).select("t.ctx", "t.nxt")
+    tri_counts = tri.groupBy("ctx", "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ctx_counts = tri_counts.groupBy("ctx").agg(
+        F.sum("n").alias("n_ctx")
+    )
+    top_ctx = (
+        ctx_counts.orderBy(F.col("n_ctx").desc(), "ctx")
+        .limit(_LM_TOP_CONTEXTS)
+    )
+    wr = Window.partitionBy("ctx").orderBy(F.col("n").desc(), "nxt")
+    return (
+        tri_counts.join(F.broadcast(top_ctx), "ctx")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _LM_TOP_NEXT)
+        .select(
+            "ctx",
+            "n_ctx",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("n_ctx").cast("double")).alias(
+                "prob"
+            ),
+            "rank",
+        )
+        .orderBy("ctx", "rank")
+    )
+
+
+O_TRIGRAM_LM = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> {{'ctx': t[i] || ' ' || t[i+1], 'nxt': t[i+2]}})) AS s
+  FROM toks WHERE len(t) >= 3),
+tc AS (
+  SELECT s.ctx AS ctx, s.nxt AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri GROUP BY 1, 2),
+cc AS (SELECT ctx, CAST(SUM(n) AS BIGINT) AS n_ctx FROM tc GROUP BY ctx),
+top_ctx AS (
+  SELECT ctx, n_ctx FROM cc ORDER BY n_ctx DESC, ctx
+  LIMIT {_LM_TOP_CONTEXTS}),
+ranked AS (
+  SELECT t.ctx, k.n_ctx, t.nxt, t.n,
+         CAST(t.n AS DOUBLE) / CAST(k.n_ctx AS DOUBLE) AS prob,
+         ROW_NUMBER() OVER (PARTITION BY t.ctx
+                            ORDER BY t.n DESC, t.nxt) AS rank
+  FROM tc t JOIN top_ctx k USING (ctx))
+SELECT ctx, n_ctx, nxt, n, prob, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_LM_TOP_NEXT}
+ORDER BY ctx, rank
+"""
+
+
+# --- G112: event-time disorder audit (watermark sizing) ------------------
+# THE number a streaming deployment needs before choosing
+# ``withWatermark``: how out-of-order is this stream, per type?  An
+# event is late if its event time precedes the running maximum of
+# earlier arrivals (arrival order = event_id, the ingest sequence); the
+# max disorder in seconds is the watermark delay that would have
+# captured every late event.  Pure window + integer-second arithmetic.
+# Scale: one user-partitioned window pass, then a |types|-row agg.
+
+
+def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("prev_max"),
+    ).select(
+        "event_type",
+        (F.col("ts") < F.col("prev_max")).alias("late"),
+        (
+            F.unix_timestamp("prev_max") - F.unix_timestamp("ts")
+        ).alias("disorder_s"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+            F.coalesce(
+                F.max(F.when(F.col("late"), F.col("disorder_s"))),
+                F.lit(0).cast("bigint"),
+            ).alias("max_disorder_s"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            (
+                F.col("n_late").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("late_rate"),
+            "max_disorder_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+O_EVENT_DISORDER_AUDIT = """
+WITH flagged AS (
+  SELECT event_type,
+         ts < MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS late,
+         date_diff('second', ts,
+                   MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)) AS disorder_s
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS late_rate,
+       COALESCE(MAX(CASE WHEN late THEN disorder_s END),
+                CAST(0 AS BIGINT)) AS max_disorder_s
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup", q_span_dedup, O_SPAN_DEDUP),
+    QuerySpec("trigram_lm", q_trigram_lm, O_TRIGRAM_LM),
+    QuerySpec(
+        "event_disorder_audit",
+        q_event_disorder_audit,
+        O_EVENT_DISORDER_AUDIT,
+    ),
     QuerySpec(
         "bloom_filter_audit", q_bloom_filter_audit, O_BLOOM_FILTER_AUDIT
     ),
