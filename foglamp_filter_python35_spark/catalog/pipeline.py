@@ -2166,7 +2166,7 @@ ORDER BY ctx, rank
 """
 
 
-# --- G112: event-time disorder audit (watermark sizing) ------------------
+# --- G111: event-time disorder audit (watermark sizing) ------------------
 # THE number a streaming deployment needs before choosing
 # ``withWatermark``: how out-of-order is this stream, per type?  An
 # event is late if its event time precedes the running maximum of
