@@ -287,3 +287,35 @@ def test_ab_readout_near_constant_spend_clamps_variance(spark, tmp_path):
     assert r.n_a > 0 and r.n_b > 0
     assert r.mean_a is not None and r.mean_b is not None
     assert r.zscore is None  # clamped variance -> se == 0 -> NULL
+
+
+def test_trigram_lm_conditional_probabilities(spark, tmp_path):
+    """G110: constructed corpus pins the conditional table: after 'a b',
+    c appears twice and d once -> P = 2/3, 1/3 with deterministic ranks."""
+    from foglamp_filter_python35_spark.catalog.pipeline import q_trigram_lm
+
+    sf = _write_docs(spark, tmp_path, ["a b c", "a b c", "a b d", "x y"])
+    rows = q_trigram_lm(spark, sf).collect()
+    got = {(r.ctx, r.nxt): (r.n_ctx, r.n, r.prob, r.rank) for r in rows}
+    assert got[("a b", "c")] == (3, 2, 2.0 / 3.0, 1)
+    assert got[("a b", "d")] == (3, 1, 1.0 / 3.0, 2)
+    assert all(ctx != "x y" for ctx, _ in got)  # 2-token doc contributes none
+
+
+def test_event_disorder_audit_finds_late_events(spark, tmp_path):
+    """G111: one event 90s behind the running max -> late_rate 1/4 and
+    max_disorder_s = 90 (the watermark that would have caught it)."""
+    from foglamp_filter_python35_spark.catalog.pipeline import (
+        q_event_disorder_audit,
+    )
+
+    rows = [
+        (1, _T0 + dt.timedelta(seconds=0), 1, "m", 0.0, "{}"),
+        (2, _T0 + dt.timedelta(seconds=120), 1, "m", 0.0, "{}"),
+        (3, _T0 + dt.timedelta(seconds=30), 1, "m", 0.0, "{}"),  # 90s late
+        (4, _T0 + dt.timedelta(seconds=180), 1, "m", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = q_event_disorder_audit(spark, sf).collect()[0]
+    assert (r.n_events, r.n_late, r.max_disorder_s) == (4, 1, 90)
+    assert r.late_rate == 0.25
