@@ -2172,7 +2172,10 @@ ORDER BY ctx, rank
 # event is late if its event time precedes the running maximum of
 # earlier arrivals (arrival order = event_id, the ingest sequence); the
 # max disorder in seconds is the watermark delay that would have
-# captured every late event.  Pure window + integer-second arithmetic.
+# captured every late event — computed as a CEILING on exact
+# microsecond arithmetic (truncation would understate a 90.9 s
+# straggler as 90, and a 90-second watermark then drops exactly the
+# event the audit was sized to capture).  Pure window + integer math.
 # Scale: one user-partitioned window pass, then a |types|-row agg.
 
 
@@ -2192,8 +2195,10 @@ def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         (F.col("ts") < F.col("prev_max")).alias("late"),
-        (
-            F.unix_timestamp("prev_max") - F.unix_timestamp("ts")
+        # ceil(micros / 1e6) via integer div — exact in both engines
+        F.expr(
+            "(unix_micros(prev_max) - unix_micros(ts) + 999999)"
+            " div 1000000"
         ).alias("disorder_s"),
     )
     return (
@@ -2226,10 +2231,10 @@ WITH flagged AS (
          ts < MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING) AS late,
-         date_diff('second', ts,
-                   MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+         (epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING)) AS disorder_s
+                                 AND 1 PRECEDING))
+          - epoch_us(ts) + 999999) // 1000000 AS disorder_s
   FROM events)
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

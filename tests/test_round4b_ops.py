@@ -1,6 +1,6 @@
-"""Semantic invariants for G99–G105 beyond the oracle gate: exactness on
-constructed inputs and distribution properties the hash check can't
-express."""
+"""Semantic invariants for the round-4b operators (G99–G111) beyond the
+oracle gate: exactness on constructed inputs and distribution properties
+the hash check can't express."""
 
 from __future__ import annotations
 
@@ -303,19 +303,52 @@ def test_trigram_lm_conditional_probabilities(spark, tmp_path):
 
 
 def test_event_disorder_audit_finds_late_events(spark, tmp_path):
-    """G111: one event 90s behind the running max -> late_rate 1/4 and
-    max_disorder_s = 90 (the watermark that would have caught it)."""
+    """G111: an event 90.9s behind the running max must size the
+    watermark as CEIL -> 91s (a 90s watermark would drop it); the late
+    branch is also cross-checked against the DuckDB oracle here because
+    the shipped fixtures are perfectly ordered (n_late = 0 corpus-wide),
+    which would leave this branch oracle-unexercised."""
     from foglamp_filter_python35_spark.catalog.pipeline import (
+        O_EVENT_DISORDER_AUDIT,
         q_event_disorder_audit,
     )
+    from tests.oracle_utils import compare_spark_vs_oracle
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     rows = [
         (1, _T0 + dt.timedelta(seconds=0), 1, "m", 0.0, "{}"),
-        (2, _T0 + dt.timedelta(seconds=120), 1, "m", 0.0, "{}"),
-        (3, _T0 + dt.timedelta(seconds=30), 1, "m", 0.0, "{}"),  # 90s late
+        (2, _T0 + dt.timedelta(seconds=120, microseconds=900000), 1, "m",
+         0.0, "{}"),
+        (3, _T0 + dt.timedelta(seconds=30), 1, "m", 0.0, "{}"),  # 90.9s late
         (4, _T0 + dt.timedelta(seconds=180), 1, "m", 0.0, "{}"),
     ]
-    sf = _write_events(spark, tmp_path, rows)
+    # single-FILE parquet (driver testdata layout) so the DuckDB oracle
+    # can read the same path the Spark side loads
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema),
+        str(tmp_path / "events.parquet"),
+    )
+    sf = str(tmp_path)
     r = q_event_disorder_audit(spark, sf).collect()[0]
-    assert (r.n_events, r.n_late, r.max_disorder_s) == (4, 1, 90)
+    assert (r.n_events, r.n_late, r.max_disorder_s) == (4, 1, 91)
     assert r.late_rate == 0.25
+    compare_spark_vs_oracle(
+        spark, q_event_disorder_audit, O_EVENT_DISORDER_AUDIT, sf
+    )
