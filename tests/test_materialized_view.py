@@ -144,3 +144,58 @@ def test_streaming_fed_base_keeps_view_consistent_across_replay(
     assert _view(spark, view) == _recompute(spark, base)
     n = st.read_snapshot(spark, base).count()
     assert n == 31  # exactly once end to end
+
+
+def test_ivm_random_commit_sequences_match_recompute(spark, tmp_path):
+    """Model-based: random append/upsert/delete/compact sequences with a
+    refresh after EVERY op — the incrementally maintained view must be
+    bit-identical to a full recompute at each step (the IVM counting
+    algorithm has no order-sensitive state)."""
+    import random
+
+    rng = random.Random(20240814)
+    for seq in range(3):
+        base = str(tmp_path / f"b{seq}")
+        view = str(tmp_path / f"v{seq}")
+        next_rk = [0]
+
+        def fresh(n, grps=("a", "b", "c")):
+            rows = [
+                (next_rk[0] + i, rng.choice(grps), round(rng.uniform(0, 9), 3))
+                for i in range(n)
+            ]
+            next_rk[0] += n
+            return _kv(spark, rows)
+
+        st.commit(fresh(6), base)
+        mv.create_agg_view(spark, base, view, ["grp"], "v")
+        for _ in range(4):
+            op = rng.choice(["append", "upsert", "delete", "compact"])
+            if op == "append":
+                st.commit(fresh(3), base, mode="append")
+            elif op == "upsert":
+                existing = [
+                    r.rk for r in st.read_snapshot(spark, base).collect()
+                ]
+                upd = [
+                    (rk, rng.choice(("a", "b", "c")),
+                     round(rng.uniform(0, 9), 3))
+                    for rk in rng.sample(existing, min(2, len(existing)))
+                ]
+                st.merge_upsert(_kv(spark, upd), base, key="rk")
+            elif op == "delete":
+                snap = st.read_snapshot(spark, base)
+                keep = [r.rk for r in snap.collect()]
+                if len(keep) > 2:
+                    drop = set(rng.sample(keep, 2))
+                    st.commit(
+                        snap.filter(~F.col("rk").isin(*drop)),
+                        base,
+                        mode="overwrite",
+                    )
+            else:
+                st.compact(spark, base, target_files=1)
+            mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+            assert _view(spark, view) == _recompute(spark, base), (
+                f"seq {seq} diverged after {op}"
+            )
