@@ -199,3 +199,40 @@ def test_ivm_random_commit_sequences_match_recompute(spark, tmp_path):
             assert _view(spark, view) == _recompute(spark, base), (
                 f"seq {seq} diverged after {op}"
             )
+
+
+def test_ivm_refresh_survives_concurrent_refresh(spark, tmp_path, monkeypatch):
+    """A competing refresh landing between our view read and our commit
+    must NOT double-apply the shared delta prefix: require_parent forces
+    a re-read, which then sees the base already maintained and no-ops."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(3, "a", 5.0)]), base, mode="append")  # base v1
+
+    real_read = st.read_snapshot
+    raced = {"done": False}
+
+    def read_and_race(spark_, path_, version=None, **kw):
+        out = real_read(spark_, path_, version, **kw)
+        if path_ == view and not raced["done"]:
+            raced["done"] = True
+            # competing refresh publishes the CORRECT post-delta view
+            correct = real_read(spark_, base).groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+                ).alias("sum_q"),
+            )
+            st.commit(
+                correct, view, mode="overwrite",
+                txn=f"ivm@{st.current_version(base)}",
+            )
+        return out
+
+    monkeypatch.setattr(st, "read_snapshot", read_and_race)
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    monkeypatch.setattr(st, "read_snapshot", real_read)
+    # group a must count 2 rows summing 6.0 — NOT the double-applied 3/11
+    assert _view(spark, view) == _recompute(spark, base)
+    assert _view(spark, view)["a"] == (2, 6_000_000)
