@@ -44,8 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first releases the PREVIOUS query's registered cached
+    intermediates (functions.cache) — releasing is always safe (an
+    unpersisted shared subtree just recomputes per consumer), and it
+    bounds executor storage to one query's caches however many catalog
+    queries one session runs."""
+    from foglamp_filter_python35_spark.functions import cache
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            cache.release(blocking=False)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -26,6 +26,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from foglamp_filter_python35_spark.catalog import all_queries  # noqa: E402
+from foglamp_filter_python35_spark.functions import cache  # noqa: E402
 from foglamp_filter_python35_spark.session import get_spark  # noqa: E402
 
 
@@ -193,6 +194,10 @@ def main() -> None:
                 runs = 2
             all_times[spec.name] = round(best, 3)
             all_runs[spec.name] = runs
+            # outside the timed window: free this query's registered
+            # cached intermediates so the sweep's storage footprint is
+            # one query's caches, not the whole catalog's
+            cache.release(blocking=False)
         except Exception as exc:  # noqa: BLE001
             # one failing query must not discard the other timings or the
             # JSON line the harness consumes

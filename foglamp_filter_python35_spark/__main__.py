@@ -19,6 +19,7 @@ prints every query name with its family module.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 
@@ -77,8 +78,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         import duckdb  # noqa: PLC0415
 
+        def _cell(v) -> str:
+            # SQL NULL arrives as None from Spark Rows but as float NaN
+            # through pandas columns on the DuckDB side; normalize both
+            # to one sentinel so NULL-producing queries compare equal.
+            if v is None:
+                return "<null>"
+            if isinstance(v, float) and math.isnan(v):
+                return "<null>"
+            return str(v)
+
         cols = sorted(df.columns)
-        got = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+        got = sorted(tuple(_cell(r[c]) for c in cols) for r in df.collect())
         con = duckdb.connect()
         tables = (
             "region nation customer supplier part orders lineitem "
@@ -91,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         odf = con.execute(sql).df()
         want = sorted(
-            tuple(str(odf[c][i]) for c in sorted(odf.columns))
+            tuple(_cell(odf[c][i]) for c in sorted(odf.columns))
             for i in range(len(odf))
         )
         ok = list(cols) == sorted(odf.columns) and got == want

@@ -204,79 +204,18 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Rounds 1-3 sampled the events/relational
-# prefix exhaustively (69 distinct queries driver-green across rounds)
-# while the vector / multimodal / dedup / pipeline families — locally
-# green under the identical rows+schema+hash oracle check — never
-# received a driver row.  This list pins the round-4 window to exactly
-# those 50 never-sampled queries (vector 12 + multimodal 5 + dedup 6 +
-# pipeline 18 + relational 6 + signal 3); the 10 never-sampled text
-# queries follow at positions 51-60 (their family already has r1 driver
-# evidence) and rotate into the window next round, together with the
-# round-4 additions (G88-G109), which append after the block in module
-# order and have local + vanilla-session evidence only.  Queries not
-# listed keep module order after the prioritized block.  Round 5:
-# once CORRECTNESS_r04 greens this window, run tools/rotate_window.py
-# and replace this list with its suggestion (text block + G88-G98 +
-# any r4 failures first).
+# ``queries()`` each round.  Rounds 1-4 accumulated 119 distinct
+# driver-green queries; this round-5 window (tools/rotate_window.py
+# output) pins the 34 queries that have NEVER received a driver row —
+# the text family (r1-era additions that kept losing the prefix
+# lottery) plus the round-4 additions (G88-G111) — so every catalog
+# query in the repo gets driver evidence.  34 < 50, so the window is
+# backfilled with the LEAST-RECENTLY-verified greens (r1 signal/text
+# block) as re-confirmation.  Queries not listed keep module order
+# after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    # vector (X3, G17-G20, G31, G43, G68, G72, G75, G85, G87)
-    "embedding_topk",
-    "embedding_ivf_topk",
-    "embedding_knn_join",
-    "embedding_lsh_dup",
-    "embedding_cosine_dup",
-    "embedding_centroids",
-    "embedding_quantize",
-    "embedding_norm_outliers",
-    "embedding_dim_stats",
-    "semantic_dedup",
-    "knn_label_purity",
-    "ivf_cell_histogram",
-    # multimodal (X5, G18, G67)
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_dedup",
-    # dedup (X2 variants, G33, G48, G56, G86)
-    "ngram_jaccard_pairs",
-    "doc_containment",
-    "simhash_dedup",
-    "dedup_clusters",
-    "dedup_apply",
-    "dedup_ensemble",
-    # pipeline (G49-G66, G73, G79)
-    "domain_quota_sample",
-    "incremental_dedup",
-    "sliding_window_rate",
-    "sliding_unique_users",
-    "bm25_retrieval",
-    "token_pmi",
-    "text_normalize",
-    "conversion_latency",
-    "error_burst_join",
-    "weighted_sample",
-    "lang_mix_gini",
-    "dup_rate_by_source",
-    "split_leakage",
-    "vocab_coverage",
-    "ngram_novelty",
-    "corpus_pipeline_e2e",
-    "click_view_reconciliation",
-    "sequence_packing",
-    # relational never-sampled (G11, G70, G76, G77, G80, G84)
-    "salted_enrich_rollup",
-    "dominant_part_suppliers",
-    "parts_supplier_counts",
-    "column_profile",
-    "snapshot_diff",
-    "weekday_hour_heatmap",
-    # signal never-sampled (G26, G74, G81)
-    "deadband_chunked",
-    "median_filter",
-    "ema_smooth",
-    # --- 50-entry window boundary; text family below has r1 evidence ---
+    # --- never driver-sampled: text family (G28-G30, G40-G42, G46,
+    # G47, G71, G82) ---
     "train_test_split",
     "doc_chunking",
     "lang_mismatch",
@@ -287,6 +226,48 @@ _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     "doc_repetition",
     "top_bigram_fraction",
     "pretokenize_counts",
+    # --- never driver-sampled: round-4 additions (G88-G111) ---
+    "spc_control_chart",
+    "interp_gap_fill",
+    "winsorize_clip",
+    "asset_correlation",
+    "mad_outliers",
+    "token_fertility",
+    "doc_length_histogram",
+    "minhash_accuracy",
+    "dedup_cluster_histogram",
+    "ivf_recall_audit",
+    "embedding_label_margin",
+    "ivf_train_kmeans",
+    "embedding_pca_power",
+    "span_dedup",
+    "trigram_lm",
+    "event_disorder_audit",
+    "bloom_filter_audit",
+    "ab_test_readout",
+    "hll_distinct_audit",
+    "source_vocab_divergence",
+    "value_drift_chi2",
+    "top_session_paths",
+    "corpus_rebalance",
+    "event_path_transitions",
+    # --- backfill: stalest greens (r1) for re-confirmation ---
+    "value_delta",
+    "change_detect",
+    "threshold_alarm",
+    "zscore_anomaly",
+    "downsample_1h",
+    "locf_gap_fill",
+    "session_rollup",
+    "percentile_summary",
+    "deadband_suppress",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "token_count_total",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "bigram_topk",
 )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from foglamp_filter_python35_spark.catalog import QuerySpec, load
+from foglamp_filter_python35_spark.functions import cache
 from foglamp_filter_python35_spark.functions import dedup as D
 
 # --- X1: exact dedup by content fingerprint (hash-groupBy, one shuffle) ---
@@ -152,8 +153,9 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides), so persist it — lazily, no job at plan build — emulating
     # the stored doc-set table the 100 TB pipeline reads (see
     # minhash_lsh_near_dups docstring); without it the md5 pipeline
-    # would run once per consumer
-    ds = D.minhash_doc_sets(docs, num_hashes=_NUM_HASHES).persist()
+    # would run once per consumer.  Registered for spec-level release
+    # (functions.cache) so long sessions don't accumulate storage.
+    ds = cache.register(D.minhash_doc_sets(docs, num_hashes=_NUM_HASHES))
     sigs = ds.select("doc_id", *[f"s{i}" for i in range(_NUM_HASHES)])
     bands = D.lsh_bands(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
     cands = D.candidate_pairs(bands, "doc_id")
@@ -384,24 +386,32 @@ ORDER BY id_a, id_b
 # single-signal false positives before an expensive human/LLM review
 # queue.  Each signal emits a pair at most once (their candidate sets
 # are DISTINCT), so the vote count is exact; the oracle nests the three
-# signals' full SQL as independent CTE scopes and re-aggregates.  At
-# 100 TB the three signals would share one shingle scan (cached or
-# computed in one pass) instead of three self-contained lineages.
+# signals' full SQL as independent CTE scopes and re-aggregates.  The
+# three signals share ONE tokenize+shingle scan: the (id, sset) frame is
+# persisted (registered for spec-level release) and MinHash folds over
+# it while SimHash/containment explode it — exactly the stored shingle
+# table a 100 TB pipeline computes once and reads per signal.
 
 _ENSEMBLE_MIN_VOTES = 2
 
 
 def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    mh = D.minhash_lsh_near_dups(
-        docs,
-        num_hashes=_NUM_HASHES,
-        rows_per_band=_ROWS_PER_BAND,
-        threshold=_THRESHOLD,
-    ).select("id_a", "id_b")
-    sim = D.simhash_near_dups(docs).select("id_a", "id_b")
-    cont = D.ngram_containment_pairs(
-        docs, threshold=_CONTAIN_THRESHOLD
+    sets = cache.register(D.doc_shingle_sets(docs))
+    sh = sets.select("doc_id", F.explode("sset").alias("shingle"))
+
+    ds = D.minhash_sets_signatures(sets, num_hashes=_NUM_HASHES)
+    sigs = ds.select("doc_id", *[f"s{i}" for i in range(_NUM_HASHES)])
+    bands = D.lsh_bands(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    cands = D.candidate_pairs(bands, "doc_id")
+    mh = (
+        D.pair_jaccard_from_sets(cands, sets, "doc_id")
+        .filter(F.col("jaccard") >= _THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    sim = D.simhash_from_shingles(sh).select("id_a", "id_b")
+    cont = D.containment_from_shingles(
+        sh, sets, threshold=_CONTAIN_THRESHOLD
     ).select("id_a", "id_b")
     votes = (
         mh.withColumn("src", F.lit("minhash"))

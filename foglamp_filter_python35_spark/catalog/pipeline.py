@@ -28,6 +28,7 @@ from foglamp_filter_python35_spark.catalog import (
     o_ordstat_quantile,
     ordstat_quantile,
 )
+from foglamp_filter_python35_spark.functions import cache
 from foglamp_filter_python35_spark.functions import text as T
 
 # DuckDB twin of functions.text.fingerprint — kept in ONE place here so the
@@ -329,7 +330,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = pairs.agg(
         F.count(F.lit(1)).cast("double").alias("t_b")
     ).crossJoin(
-        uni.agg(F.sum("c_u").cast("double").alias("t_u"))
+        F.broadcast(uni.agg(F.sum("c_u").cast("double").alias("t_u")))
     )
     u1 = uni.select(
         F.col("token").alias("w1"), F.col("c_u").alias("c_a")
@@ -689,7 +690,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_VOCAB_K)
     covered = topk.agg(F.sum("c").alias("cov"))
     total = counts.agg(F.sum("c").alias("tot"))
-    return covered.crossJoin(total).select(
+    return covered.crossJoin(F.broadcast(total)).select(
         F.lit(_VOCAB_K).cast("bigint").alias("k"),
         F.col("cov").cast("bigint").alias("covered_occurrences"),
         F.col("tot").cast("bigint").alias("total_occurrences"),
@@ -1244,8 +1245,14 @@ _SPAN_TOKENS = 8
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", T.tokens("text").alias("toks")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens("text").alias("toks"))
+        # sequence(0, ceil(0/k)-1) = sequence(0, -1) DESCENDS and would
+        # emit two phantom md5('') spans for an empty token array; the
+        # whitespace tokenizer never yields one today (split('',' ') is
+        # ['']) but a regex tokenizer does — guard like trigram_lm
+        .filter(F.size("toks") >= 1)
     )
     k = _SPAN_TOKENS
     occ = docs.select(
@@ -1668,10 +1675,11 @@ _VOCAB_DIV_V = 200
 def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # tokenization feeds both the vocab election and the cell counts —
-    # persist (lazy) so the corpus explodes once, not per branch
-    toks = docs.select(
-        "source", F.explode(T.tokens("text")).alias("tok")
-    ).persist()
+    # persist (lazy, registered for spec-level release) so the corpus
+    # explodes once, not per branch
+    toks = cache.register(
+        docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+    )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     # top-V via TakeOrdered (per-partition partial top-K), NOT a global
     # row_number window — a single-task sort over the whole vocabulary
@@ -1798,17 +1806,20 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # five consumers (bits, probe positions, both truth sides, the probe
     # census) hang off this frame — persist it (lazily; no job at plan
-    # build) so the fingerprint + md5 pipeline runs once, not per subtree
-    hashed = docs.select(
-        "doc_id",
-        "fp",
-        F.conv(F.substring(F.md5("fp"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h1"),
-        F.conv(F.substring(F.md5("fp"), 17, 15), 16, 10)
-        .cast("long")
-        .alias("h2"),
-    ).persist()
+    # build; registered for spec-level release) so the fingerprint + md5
+    # pipeline runs once, not per subtree
+    hashed = cache.register(
+        docs.select(
+            "doc_id",
+            "fp",
+            F.conv(F.substring(F.md5("fp"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("fp"), 17, 15), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
     members = hashed.filter(F.col("doc_id") % 10 < 8)
     probes = hashed.filter(F.col("doc_id") % 10 >= 8)
     bits = (

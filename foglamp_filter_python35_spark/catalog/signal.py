@@ -674,10 +674,16 @@ def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (F.col("s1") / F.col("n_train")).alias("center"),
+            # greatest(..., 0): dsum quantization can push the E[x^2] -
+            # E[x]^2 cancellation slightly negative on near-constant
+            # training values (NaN here, hard error in DuckDB's SQRT).
             F.sqrt(
-                F.col("s2") / F.col("n_train")
-                - (F.col("s1") / F.col("n_train"))
-                * (F.col("s1") / F.col("n_train"))
+                F.greatest(
+                    F.col("s2") / F.col("n_train")
+                    - (F.col("s1") / F.col("n_train"))
+                    * (F.col("s1") / F.col("n_train")),
+                    F.lit(0.0),
+                )
             ).alias("sigma"),
         )
     )
@@ -752,7 +758,8 @@ WITH fences AS (
 f2 AS (
   SELECT event_type,
          s1 / n_train AS center,
-         SQRT(s2 / n_train - (s1 / n_train) * (s1 / n_train)) AS sigma
+         SQRT(GREATEST(s2 / n_train - (s1 / n_train) * (s1 / n_train),
+                       0.0)) AS sigma
   FROM fences),
 audit AS (
   SELECT e.event_type, e.ts, e.event_id, f.center, f.sigma,

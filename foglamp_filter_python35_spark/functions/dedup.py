@@ -77,33 +77,36 @@ def shingles(
 MINHASH_PRIME = 1_000_000_007  # < 2^30, so h1 + 63*h2 never overflows
 
 
-def minhash_doc_sets(
+def doc_shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    ngram: int = 3,
-    num_hashes: int = 12,
+    n: int = 3,
     repartition: bool = True,
 ) -> DataFrame:
-    """(id, sset, s0..s{k-1}) in ONE map-only pass — zero shuffles.
-
-    The per-doc shingle SET is just the distinct n-gram array, so both
-    the signatures (array_min over Kirsch-Mitzenmacher combinations of
-    one md5 per shingle) and the exact-verify sets come from array
-    higher-order functions, never an explode + groupBy.  Signature
-    values are bit-identical to the exploded ``minhash_signatures``
-    path (asserted in tests).  Each transform stage is projected to a
-    real column first — Spark does not CSE inside lambda bodies, so an
-    inlined md5 would re-hash per derived value."""
-    p = F.lit(MINHASH_PRIME)
+    """(id, sset): per-doc DISTINCT n-gram shingle ARRAY in one map-only
+    pass — the shared upstream of every shingle-based dedup signal
+    (MinHash signatures fold over it, SimHash/containment explode it).
+    Persist THIS frame (via functions.cache) to feed several signals
+    from one tokenize+shingle scan; at 100 TB it is the stored shingle
+    table every dedup pass reads."""
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ts"))
-    base = base.filter(F.size("_ts") >= ngram)
+    base = base.filter(F.size("_ts") >= n)
     if repartition:
         target = df.sparkSession.sparkContext.defaultParallelism
         base = base.repartition(target)
-    sets = base.select(
-        F.col(id_col), word_ngrams(F.col("_ts"), ngram).alias("sset")
+    return base.select(
+        F.col(id_col), word_ngrams(F.col("_ts"), n).alias("sset")
     )
+
+
+def minhash_sets_signatures(
+    sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """(id, sset, s0..s{k-1}) from a precomputed (id, sset) frame — the
+    signature fold of ``minhash_doc_sets`` split out so callers holding
+    a shared shingle-set frame (``doc_shingle_sets``) don't re-scan."""
+    p = F.lit(MINHASH_PRIME)
     hashed = sets.select(
         F.col(id_col),
         "sset",
@@ -132,6 +135,28 @@ def minhash_doc_sets(
         for i in range(num_hashes)
     ]
     return hashed.select(F.col(id_col), "sset", *sig_cols)
+
+
+def minhash_doc_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    repartition: bool = True,
+) -> DataFrame:
+    """(id, sset, s0..s{k-1}) in ONE map-only pass — zero shuffles.
+
+    The per-doc shingle SET is just the distinct n-gram array, so both
+    the signatures (array_min over Kirsch-Mitzenmacher combinations of
+    one md5 per shingle) and the exact-verify sets come from array
+    higher-order functions, never an explode + groupBy.  Signature
+    values are bit-identical to the exploded ``minhash_signatures``
+    path (asserted in tests).  Each transform stage is projected to a
+    real column first — Spark does not CSE inside lambda bodies, so an
+    inlined md5 would re-hash per derived value."""
+    sets = doc_shingle_sets(df, id_col, text_col, ngram, repartition)
+    return minhash_sets_signatures(sets, id_col, num_hashes)
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -442,6 +467,19 @@ def ngram_containment_pairs(
     prefilters candidates, and only survivors touch the wide set arrays.
     """
     sh = shingles(df, id_col, text_col, ngram)
+    sets = doc_shingle_sets(df, id_col, text_col, ngram, repartition=False)
+    return containment_from_shingles(sh, sets, id_col, threshold, max_df)
+
+
+def containment_from_shingles(
+    sh: DataFrame,
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """``ngram_containment_pairs`` from precomputed (id, shingle) and
+    (id, sset) frames, for callers sharing one shingle scan."""
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     rare = dfc.filter(F.col("_df") <= max_df).select("shingle")
     pruned = sh.join(rare, "shingle")
@@ -486,12 +524,6 @@ def ngram_containment_pairs(
         .select("id_a", "id_b")
     )
 
-    base = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_ts")
-    ).filter(F.size("_ts") >= ngram)
-    sets = base.select(
-        F.col(id_col), word_ngrams(F.col("_ts"), ngram).alias("sset")
-    )
     s_a = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     s_b = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
     n_shared = F.size(F.array_intersect("set_a", "set_b"))
@@ -545,6 +577,14 @@ def simhash_near_dups(
     pair within hamming distance <= 3 of each other must agree on at
     least one band (pigeonhole), so banding has perfect recall here."""
     sh = shingles(df, id_col, text_col, ngram)
+    return simhash_from_shingles(sh, id_col, max_hamming)
+
+
+def simhash_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """``simhash_near_dups`` from a precomputed (id, shingle) frame, for
+    callers sharing one shingle scan across several dedup signals."""
     sigs = simhash_signatures(sh, id_col)
     bits_per_band = SIMHASH_BITS // _SIMHASH_BANDS
     band_structs = F.array(

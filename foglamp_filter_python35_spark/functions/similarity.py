@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from foglamp_filter_python35_spark.functions import cache
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product (bit-compatible with DuckDB).
@@ -349,8 +351,10 @@ def ivf_topk(
     ``ivf_topk_multiprobe`` for the recall/latency dial."""
     # assign feeds two consumers (cell join + query-cell lookup); persist
     # or the corpus x centroids quantization runs twice.  At 100 TB the
-    # assignment is a precomputed stored column, not a per-query job.
-    assign = ivf_assign(emb, centroids, id_col, vec_col).persist()
+    # assignment is a precomputed stored column, not a per-query job —
+    # the registry gives interactive sessions an explicit release hook
+    # (cache.release()) so repeated ivf_topk calls don't accumulate.
+    assign = cache.register(ivf_assign(emb, centroids, id_col, vec_col))
     emb_cells = emb.join(assign, id_col)
     query_cell = assign.filter(F.col(id_col) == query_id).select("cid")
     query_vec = emb.filter(F.col(id_col) == query_id).select(
@@ -382,8 +386,9 @@ def ivf_topk_multiprobe(
 
     # single consumer chains below, but the probe scoring and the final
     # brute force both hang off query_vec/assign — persist the assignment
-    # (precomputed stored column at scale, see ivf_topk)
-    assign = ivf_assign(emb, centroids, id_col, vec_col).persist()
+    # (precomputed stored column at scale, see ivf_topk; released via
+    # cache.release())
+    assign = cache.register(ivf_assign(emb, centroids, id_col, vec_col))
     query_vec = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv")
     )

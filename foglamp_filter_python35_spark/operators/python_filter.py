@@ -71,6 +71,27 @@ class BatchReject(Exception):
     """Raised when a returned batch violates the type/shape contract."""
 
 
+# Skip the pre-mapInPandas spreading shuffle below this optimizer size
+# estimate (~a few 10k-row Arrow batches of reading rows): for small
+# inputs the shuffle's fixed cost exceeds the serial-processing cost it
+# would save (the reference processes one batch per call on one thread,
+# plugin.cpp:284-287 — small batches are its home turf).
+_REPARTITION_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """The Catalyst optimizer's sizeInBytes estimate for ``df`` — free
+    (no job): parquet footer totals for scans, accurate materialized
+    sizes for cached frames, 8 EiB when unknown (which routes unknown
+    sizes to the repartition path, the safe default at scale)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62  # probe failed: treat as large, keep old behavior
+
+
 class FilterSetupError(ValueError):
     """Stage CONSTRUCTION failure (set_filter_config rejected/raised) —
     the analog of plugin_init returning NULL (plugin.cpp:213-214).
@@ -101,8 +122,12 @@ def run_python_filter(
     # a narrow batch source (one parquet split) would serialize the whole
     # stream through one Python worker — spread it across the cluster.
     # Streaming plans cannot be probed via .rdd (and their partitioning is
-    # the source's concern), so the probe is batch-only.
-    if not df.isStreaming:
+    # the source's concern), so the probe is batch-only.  The repartition
+    # is a FULL SHUFFLE whose fixed cost is only amortized at volume, so
+    # it is gated on the optimizer's size estimate: below a few Arrow
+    # batches (`maxRecordsPerBatch` = 10k rows) the serial path wins and
+    # the shuffle (and even the .rdd partition probe) is skipped.
+    if not df.isStreaming and _estimated_bytes(df) >= _REPARTITION_MIN_BYTES:
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)

@@ -51,18 +51,29 @@ def _signed(change_col: str):
     ).otherwise(F.lit(-1))
 
 
+def _maintained_base_at(view_path: str, view_version: int) -> int | None:
+    """The base-table version the view reflected AS OF ``view_version``
+    (newest ``ivm@N`` commit marker at or below that version).  Taking
+    the view version as an explicit argument lets the refresh derive the
+    delta window from the same snapshot it pins with ``require_parent``
+    — reading "current version" twice would race a concurrent refresh
+    committing in between (the delta window would then start before the
+    snapshot's maintained base and double-apply the shared prefix)."""
+    for i in range(view_version, -1, -1):
+        m = st._read_manifest(view_path, i)
+        txn = m.get("txn")
+        if txn and txn.startswith("ivm@"):
+            return int(txn.split("@", 1)[1])
+    return None
+
+
 def maintained_base_version(view_path: str) -> int | None:
     """The base-table version the view currently reflects (from the
     newest ``ivm@N`` commit marker in the view's manifest log)."""
     v = st.current_version(view_path)
     if v is None:
         return None
-    for i in range(v, -1, -1):
-        m = st._read_manifest(view_path, i)
-        txn = m.get("txn")
-        if txn and txn.startswith("ivm@"):
-            return int(txn.split("@", 1)[1])
-    return None
+    return _maintained_base_at(view_path, v)
 
 
 def create_agg_view(
@@ -112,14 +123,25 @@ def refresh_agg_view(
     already current.
     """
     for _ in range(5):
-        last = maintained_base_version(view_path)
+        # Pin the view version FIRST, then derive the maintained base
+        # version from that same version's manifest chain.  The delta
+        # window (last..cur) and the require_parent guard below thus
+        # describe the same view snapshot; a concurrent refresh that
+        # commits after this read makes the commit raise CommitConflict
+        # (and we retry) instead of silently double-applying deltas.
+        view_v = st.current_version(view_path)
+        if view_v is None:
+            raise FileNotFoundError(
+                f"{view_path!r} is not an ivm view (no committed version)"
+            )
+        last = _maintained_base_at(view_path, view_v)
         if last is None:
             raise FileNotFoundError(
                 f"{view_path!r} is not an ivm view (no ivm@N marker)"
             )
         cur = st.current_version(base_path)
         if cur == last:
-            return st.current_version(view_path)
+            return view_v
 
         changes = st.read_changes(spark, base_path, last, cur, key=row_key)
         deltas = (
@@ -135,7 +157,6 @@ def refresh_agg_view(
                 ).alias("d_sum_q"),
             )
         )
-        view_v = st.current_version(view_path)
         old = st.read_snapshot(spark, view_path, version=view_v)
         merged = (
             old.join(deltas, keys, "full_outer")
@@ -173,4 +194,177 @@ def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
     df = st.read_snapshot(spark, view_path)
     return df.withColumn(
         "value_sum", F.col("sum_q").cast("double") / F.lit(float(_Q))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-aggregate view: count + sum + MIN + MAX in one refresh.
+#
+# Count and sum are self-maintainable (every change row contributes a
+# signed unit).  MIN/MAX are NOT: an insert only ever tightens them
+# (min' = least(min, inserted min) — monotonic, delta-only), but a
+# retraction (delete / update_preimage) may remove the current extreme,
+# and the view alone cannot know the runner-up.  The classic fallback:
+# groups touched by a retraction are RECOMPUTED from the base snapshot
+# — cost O(rows of retract-touched groups), not O(base).  At 100 TB the
+# base is partitioned/clustered by the group keys, so the recompute scan
+# partition-prunes to exactly those groups.  MIN/MAX over doubles are
+# order-independent selections (no quantization needed), so the
+# maintained view stays BIT-IDENTICAL to a full recompute in any
+# refresh order — the same exactly-once (txn ivm@N) + serializable
+# (require_parent) protocol as the count/sum view.
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ("n_rows", "sum_q", "min_v", "max_v")
+
+
+def _stats_agg(value_col: str) -> list:
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        _qsum(value_col).alias("sum_q"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+
+
+def create_stats_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+) -> int:
+    """Full initial build of the (keys -> n_rows, sum_q, min_v, max_v)
+    view from the base table's current snapshot."""
+    base_v = st.current_version(base_path)
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {base_path!r}")
+    snap = st.read_snapshot(spark, base_path, version=base_v)
+    view = snap.groupBy(*keys).agg(*_stats_agg(value_col))
+    return st.commit(view, view_path, mode="overwrite", txn=f"ivm@{base_v}")
+
+
+def refresh_stats_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    row_key: str | list[str],
+) -> int:
+    """Advance the multi-aggregate view by the change feed since the
+    maintained base version.
+
+    * count/sum: signed-delta merge (identical to ``refresh_agg_view``);
+    * min/max: inserts merge monotonically (``least``/``greatest`` with
+      the stored extreme); any group touched by a retraction is
+      recomputed from the base's CURRENT snapshot, semi-joined down to
+      exactly the touched groups.
+
+    Same pinned-version serializable protocol as ``refresh_agg_view``:
+    the view version is read ONCE, the maintained base version is
+    derived from that same version's manifest chain, and the commit pins
+    ``require_parent`` to it — a concurrent refresh forces a retry, never
+    a silent double-apply.
+    """
+    for _ in range(5):
+        view_v = st.current_version(view_path)
+        if view_v is None:
+            raise FileNotFoundError(
+                f"{view_path!r} is not an ivm view (no committed version)"
+            )
+        last = _maintained_base_at(view_path, view_v)
+        if last is None:
+            raise FileNotFoundError(
+                f"{view_path!r} is not an ivm view (no ivm@N marker)"
+            )
+        cur = st.current_version(base_path)
+        if cur == last:
+            return view_v
+
+        changes = st.read_changes(spark, base_path, last, cur, key=row_key)
+        is_add = F.col("_change_type").isin("insert", "update_postimage")
+        deltas = (
+            changes.withColumn("_sign", _signed("_change_type"))
+            .groupBy(*keys)
+            .agg(
+                F.sum("_sign").cast("bigint").alias("d_rows"),
+                F.sum(
+                    F.col("_sign")
+                    * F.floor(
+                        F.col(value_col) * F.lit(float(_Q)) + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("d_sum_q"),
+                F.min(F.when(is_add, F.col(value_col))).alias("ins_min"),
+                F.max(F.when(is_add, F.col(value_col))).alias("ins_max"),
+                F.max(F.when(~is_add, F.lit(1)).otherwise(F.lit(0)))
+                .cast("boolean")
+                .alias("retracted"),
+            )
+        )
+        old = st.read_snapshot(spark, view_path, version=view_v)
+        merged = (
+            old.join(deltas, keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d_rows"), F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_q"), F.lit(0))
+                    + F.coalesce(F.col("d_sum_q"), F.lit(0))
+                ).alias("sum_q"),
+                # monotonic merge; only valid when the group saw no
+                # retraction (patched below otherwise)
+                F.least(
+                    F.coalesce(F.col("min_v"), F.col("ins_min")),
+                    F.coalesce(F.col("ins_min"), F.col("min_v")),
+                ).alias("min_v"),
+                F.greatest(
+                    F.coalesce(F.col("max_v"), F.col("ins_max")),
+                    F.coalesce(F.col("ins_max"), F.col("max_v")),
+                ).alias("max_v"),
+                F.coalesce(F.col("retracted"), F.lit(False)).alias(
+                    "_retracted"
+                ),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        touched = deltas.filter(F.col("retracted")).select(*keys)
+        recomputed = (
+            st.read_snapshot(spark, base_path, version=cur)
+            .join(touched, keys, "left_semi")
+            .groupBy(*keys)
+            .agg(
+                F.min(value_col).alias("r_min"),
+                F.max(value_col).alias("r_max"),
+            )
+        )
+        final = (
+            merged.join(recomputed, keys, "left")
+            .select(
+                *keys,
+                "n_rows",
+                "sum_q",
+                F.when(F.col("_retracted"), F.col("r_min"))
+                .otherwise(F.col("min_v"))
+                .alias("min_v"),
+                F.when(F.col("_retracted"), F.col("r_max"))
+                .otherwise(F.col("max_v"))
+                .alias("max_v"),
+            )
+        )
+        try:
+            return st.commit(
+                final,
+                view_path,
+                mode="overwrite",
+                txn=f"ivm@{cur}",
+                require_parent=view_v,
+            )
+        except st.CommitConflict:
+            continue  # a concurrent refresh landed; re-read and re-merge
+    raise st.CommitConflict(
+        f"view refresh lost the serializable race 5 times on {view_path!r}"
     )

@@ -251,6 +251,31 @@ def stream_rate_readings(
     )
 
 
+def stream_socket_readings(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """TCP socket source carrying one JSON reading per line — the LIVE
+    end-to-end analog of the gated Kafka reader (same wire shape and
+    the same PERMISSIVE ``from_json`` parse, malformed lines dropped).
+
+    Delivery contract: socket offsets are not replayable, so the SOURCE
+    is at-most-once across restarts; the snapshot sink's epoch-keyed
+    commits still make the sink side idempotent.  Kafka
+    (``stream_kafka_readings``) is the production form with replayable
+    offsets; this is the jar-free variant the container can execute
+    end-to-end (tests/test_external_stream_e2e.py drives it against a
+    real localhost server through the full registered-filter pipeline).
+    """
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    good, _bad = _split_reading_lines(lines)
+    return good
+
+
 def stream_kafka_readings(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -1,0 +1,65 @@
+"""Registered cached intermediates are released, not accumulated.
+
+Round-4 advice: `ivf_topk*`, `minhash_accuracy`, `source_vocab_divergence`
+and `bloom_filter_audit` persist a shared intermediate and never
+unpersisted it, so a long interactive session accumulated executor
+storage until LRU eviction.  Every persist now routes through
+``functions.cache.register`` and ``cache.release()`` frees them all —
+asserted here via the JVM cache manager across repeated calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.functions import cache
+from foglamp_filter_python35_spark.functions import similarity as S
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+
+
+def _emb(spark):
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(4)]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _centroids(spark):
+    rows = [(c, [float(c + d) for d in range(4)]) for c in range(3)]
+    return spark.createDataFrame(rows, "cid long, cv array<double>")
+
+
+def test_repeated_ivf_calls_do_not_accumulate_cached_rdds(spark):
+    cache.release()
+    base = _n_cached(spark)
+    emb, cents = _emb(spark), _centroids(spark)
+    for qid in (0, 1, 2):
+        S.ivf_topk(emb, cents, query_id=qid, k=3).collect()
+        S.ivf_topk_multiprobe(emb, cents, query_id=qid, k=3, nprobe=2).collect()
+        n = cache.release()
+        assert n >= 2  # both calls registered their assignment frames
+        assert _n_cached(spark) == base, (
+            "cache manager grew across released ivf calls"
+        )
+
+
+def test_release_before_action_is_correctness_safe(spark):
+    """Unpersisting a registered frame BEFORE its plan's action runs must
+    not change results — the shared subtree just recomputes."""
+    emb, cents = _emb(spark), _centroids(spark)
+    plan = S.ivf_topk(emb, cents, query_id=5, k=3)
+    cache.release()  # released before the action
+    eager = S.ivf_topk(emb, cents, query_id=5, k=3).collect()
+    cache.release()
+    assert plan.collect() == eager
+
+
+def test_register_returns_same_frame_and_release_counts(spark):
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    out = cache.register(df)
+    assert out is df
+    assert df.storageLevel.useMemory
+    assert cache.release() == 1
+    assert not df.storageLevel.useMemory
+    assert cache.release() == 0  # registry cleared

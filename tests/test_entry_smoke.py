@@ -34,9 +34,9 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries(); the
-    catalog pins that window to the families without prior driver-green
-    rows (vector/multimodal/dedup/pipeline + stragglers).  Guard the
-    ordering so an innocent module reshuffle can't silently evict them."""
+    round-5 window pins the 34 queries that never received a driver row
+    (text family + the round-4 additions G88-G111).  Guard the ordering
+    so an innocent module reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -46,10 +46,12 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "vector": ("embedding_topk", "semantic_dedup", "ivf_cell_histogram"),
-        "multimodal": ("multimodal_meta", "multimodal_dedup"),
-        "dedup": ("dedup_clusters", "dedup_ensemble"),
-        "pipeline": ("corpus_pipeline_e2e", "sequence_packing"),
+        "text": ("train_test_split", "pii_redact", "pretokenize_counts"),
+        "signal-r4": ("spc_control_chart", "winsorize_clip", "mad_outliers"),
+        "audit-r4": ("minhash_accuracy", "ivf_recall_audit",
+                     "hll_distinct_audit", "bloom_filter_audit"),
+        "pipeline-r4": ("span_dedup", "trigram_lm", "corpus_rebalance",
+                        "event_disorder_audit"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"

@@ -236,3 +236,182 @@ def test_ivm_refresh_survives_concurrent_refresh(spark, tmp_path, monkeypatch):
     # group a must count 2 rows summing 6.0 — NOT the double-applied 3/11
     assert _view(spark, view) == _recompute(spark, base)
     assert _view(spark, view)["a"] == (2, 6_000_000)
+
+
+def test_ivm_refresh_toctou_competitor_right_after_version_read(
+    spark, tmp_path, monkeypatch
+):
+    """Regression for the r4 TOCTOU finding: refresh used to read the
+    maintained base version and the view's current version SEPARATELY,
+    so a competitor committing between the two reads was silently
+    absorbed — require_parent equalled the post-competitor version and
+    the shared delta prefix was double-applied.  The fix derives both
+    from ONE ``current_version`` read; a competitor landing immediately
+    after that read must now hit CommitConflict and retry into a no-op.
+    This test fires the competitor from inside the version read itself,
+    the tightest interleaving the protocol admits."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(3, "a", 5.0)]), base, mode="append")  # base v1
+
+    real_cv = st.current_version
+    raced = {"done": False}
+
+    def version_read_then_race(path_):
+        out = real_cv(path_)
+        if path_ == view and not raced["done"]:
+            raced["done"] = True
+            # the competitor applies the SAME deltas and publishes the
+            # correct post-delta view before our commit lands
+            correct = (
+                st.read_snapshot(spark, base)
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+                    ).alias("sum_q"),
+                )
+            )
+            st.commit(
+                correct, view, mode="overwrite",
+                txn=f"ivm@{real_cv(base)}",
+            )
+        return out
+
+    monkeypatch.setattr(st, "current_version", version_read_then_race)
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    monkeypatch.setattr(st, "current_version", real_cv)
+    # the old double-read code double-applied rk=3: a -> (3, 11.0)
+    assert _view(spark, view) == _recompute(spark, base)
+    assert _view(spark, view)["a"] == (2, 6_000_000)
+    assert mv.maintained_base_version(view) == st.current_version(base)
+
+
+# --- multi-aggregate (count+sum+min+max) stats view -----------------------
+
+
+def _recompute_stats(spark, base):
+    snap = st.read_snapshot(spark, base)
+    return {
+        (r.grp): (r.n_rows, r.sum_q, r.min_v, r.max_v)
+        for r in snap.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_q"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+
+
+def _stats_view(spark, view):
+    return {
+        (r.grp): (r.n_rows, r.sum_q, r.min_v, r.max_v)
+        for r in st.read_snapshot(spark, view).collect()
+    }
+
+
+def test_stats_view_min_max_survive_retraction_of_the_extreme(spark, tmp_path):
+    """Deleting the current MIN/MAX row must trigger the documented
+    recompute-touched-groups fallback and surface the runner-up."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "b", 2.0)]),
+        base,
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+    # delete a's min AND max in one commit -> runner-up 5.0 both sides
+    snap = st.read_snapshot(spark, base).filter(~F.col("rk").isin(1, 3))
+    st.commit(snap, base, mode="overwrite")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (1, 5_000_000, 5.0, 5.0)
+    # b untouched by the retraction: merged monotonically, not recomputed
+    assert got["b"] == (1, 2_000_000, 2.0, 2.0)
+
+
+def test_stats_view_insert_only_refresh_merges_monotonically(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 3.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(2, "a", 1.0), (3, "b", 7.0)]), base, mode="append")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (2, 4_000_000, 1.0, 3.0)
+    assert got["b"] == (1, 7_000_000, 7.0, 7.0)  # brand-new group
+
+
+def test_stats_view_idempotent_and_noop(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(2, "a", 2.0)]), base, mode="append")
+    v1 = mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    v2 = mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert v1 == v2
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+
+def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
+    """Model-based twin of the count/sum test, now over all four
+    aggregates: random append/upsert/delete/compact sequences with a
+    refresh after every op must stay bit-identical to a recompute —
+    including upserts, which retract the preimage (possibly the extreme)
+    and insert the postimage in one delta window."""
+    import random
+
+    rng = random.Random(20250814)
+    for seq in range(3):
+        base = str(tmp_path / f"b{seq}")
+        view = str(tmp_path / f"v{seq}")
+        next_rk = [0]
+
+        def fresh(n, grps=("a", "b", "c")):
+            rows = [
+                (next_rk[0] + i, rng.choice(grps), round(rng.uniform(0, 9), 3))
+                for i in range(n)
+            ]
+            next_rk[0] += n
+            return _kv(spark, rows)
+
+        st.commit(fresh(6), base)
+        mv.create_stats_view(spark, base, view, ["grp"], "v")
+        for _ in range(4):
+            op = rng.choice(["append", "upsert", "delete", "compact"])
+            if op == "append":
+                st.commit(fresh(3), base, mode="append")
+            elif op == "upsert":
+                existing = [
+                    r.rk for r in st.read_snapshot(spark, base).collect()
+                ]
+                upd = [
+                    (rk, rng.choice(("a", "b", "c")),
+                     round(rng.uniform(0, 9), 3))
+                    for rk in rng.sample(existing, min(2, len(existing)))
+                ]
+                st.merge_upsert(_kv(spark, upd), base, key="rk")
+            elif op == "delete":
+                snap = st.read_snapshot(spark, base)
+                keep = [r.rk for r in snap.collect()]
+                if len(keep) > 2:
+                    drop = set(rng.sample(keep, 2))
+                    st.commit(
+                        snap.filter(~F.col("rk").isin(*drop)),
+                        base,
+                        mode="overwrite",
+                    )
+            else:
+                st.compact(spark, base, target_files=1)
+            mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+            assert _stats_view(spark, view) == _recompute_stats(spark, base), (
+                f"seq {seq} diverged after {op}"
+            )

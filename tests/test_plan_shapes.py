@@ -661,3 +661,21 @@ def test_spc_fences_broadcast_to_audit_window(spark):
     plan = E.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert E.is_fully_jvm(df)
+
+
+def test_no_catalog_query_plans_a_cartesian_product(spark):
+    """Catalog-wide sweep: every cross join in every catalog query must
+    be an explicit broadcast of a tiny (<=1-row aggregate / centroid)
+    side — a CartesianProduct node anywhere is a 100 TB scale-killer,
+    and relying on AQE to rescue a bare crossJoin leaves the hazard in
+    the committed plan.  Plan-build only; no jobs run."""
+    from foglamp_filter_python35_spark.catalog import all_queries
+    from foglamp_filter_python35_spark.functions import cache
+
+    offenders = []
+    for name, spec in all_queries().items():
+        df = spec.fn(spark, SF)
+        if "CartesianProduct" in E.formatted_plan(df):
+            offenders.append(name)
+    cache.release()
+    assert offenders == []

@@ -279,3 +279,40 @@ def test_default_timestamp_is_utc_regardless_of_host_tz():
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_small_input_skips_spreading_shuffle(spark, monkeypatch, tmp_path):
+    """The pre-mapInPandas repartition is gated on the optimizer's size
+    estimate: below a few Arrow batches the shuffle's fixed cost exceeds
+    what it saves (the r4 driver bench measured the 100k-row probe
+    regressing under load), so a small input must keep its partitioning.
+    A parquet-backed frame carries footer-derived stats; a LocalRelation
+    without stats reports Long.Max and keeps the old always-repartition
+    behavior (the safe default), asserted at the end."""
+    from foglamp_filter_python35_spark.operators import python_filter as pf
+
+    path = str(tmp_path / "readings")
+    make_readings(spark, base_rows()).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert pf._estimated_bytes(df) < pf._REPARTITION_MIN_BYTES
+    out = run_python_filter(df, scale_filter, FilterConfig(enable=True))
+    assert out.rdd.getNumPartitions() == 1
+
+    # force the "large input" decision on the same frame: the spreading
+    # repartition must reappear
+    monkeypatch.setattr(pf, "_REPARTITION_MIN_BYTES", 0)
+    out_big = run_python_filter(df, scale_filter, FilterConfig(enable=True))
+    target = spark.sparkContext.defaultParallelism
+    assert out_big.rdd.getNumPartitions() == target
+    # both plans produce identical rows — the gate is perf-only
+    key = lambda r: (r["id"] or 0)
+    assert sorted(out.collect(), key=key) == sorted(
+        out_big.collect(), key=key
+    )
+    # stats-less plans (LocalRelation) estimate Long.Max -> repartition,
+    # the pre-gate behavior, so unknown sizes never lose parallelism
+    monkeypatch.undo()
+    local = make_readings(spark, base_rows()).coalesce(1)
+    assert pf._estimated_bytes(local) >= pf._REPARTITION_MIN_BYTES
+    out_local = run_python_filter(local, scale_filter, FilterConfig(enable=True))
+    assert out_local.rdd.getNumPartitions() == target
