@@ -1548,11 +1548,18 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = li.join(
         orders, li.l_orderkey == orders.o_orderkey
     ).select("l_orderkey", "l_suppkey", late.alias("_late"))
-    per_order = tagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    # two-level aggregation instead of two COUNT(DISTINCT)s in one agg:
+    # multiple distincts make Spark Expand the input x3 (one replica per
+    # distinct group) BEFORE the shuffle — on the fact table that
+    # triples the largest exchange in the query.  Collapsing to
+    # (order, supplier) grain first needs only plain partial+final hash
+    # aggs; the second agg's input is already distinct by construction.
+    per_os = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("n_late"),
         F.min(F.when(F.col("_late"), F.col("l_suppkey"))).alias("the_late"),
     )
     qual = per_order.filter(

@@ -415,3 +415,48 @@ def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
             assert _stats_view(spark, view) == _recompute_stats(spark, base), (
                 f"seq {seq} diverged after {op}"
             )
+
+
+def test_stats_view_refresh_survives_concurrent_refresh(
+    spark, tmp_path, monkeypatch
+):
+    """The stats view uses the same pinned-version protocol as the agg
+    view: a competitor landing right after our single view-version read
+    must force CommitConflict -> retry -> no-op, never a double-apply
+    (which would corrupt count/sum AND leave stale min/max)."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "a", 9.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.commit(_kv(spark, [(3, "a", 5.0)]), base, mode="append")
+
+    real_cv = st.current_version
+    raced = {"done": False}
+
+    def version_read_then_race(path_):
+        out = real_cv(path_)
+        if path_ == view and not raced["done"]:
+            raced["done"] = True
+            correct = (
+                st.read_snapshot(spark, base)
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+                    ).alias("sum_q"),
+                    F.min("v").alias("min_v"),
+                    F.max("v").alias("max_v"),
+                )
+            )
+            st.commit(
+                correct, view, mode="overwrite",
+                txn=f"ivm@{real_cv(base)}",
+            )
+        return out
+
+    monkeypatch.setattr(st, "current_version", version_read_then_race)
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    monkeypatch.setattr(st, "current_version", real_cv)
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (3, 15_000_000, 1.0, 9.0)
