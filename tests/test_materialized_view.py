@@ -460,3 +460,70 @@ def test_stats_view_refresh_survives_concurrent_refresh(
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
     assert got["a"] == (3, 15_000_000, 1.0, 9.0)
+
+
+def test_stats_view_retracting_one_of_a_duplicated_extreme(spark, tmp_path):
+    """Two rows share the group minimum; deleting ONE of them must keep
+    the min (the recompute fallback sees the surviving duplicate —
+    a delta-only min-merge would have no way to know one remains)."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 8.0)]), base
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    snap = st.read_snapshot(spark, base).filter("rk <> 1")
+    st.commit(snap, base, mode="overwrite")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (2, 9_000_000, 1.0, 8.0)  # min survives
+
+
+def test_stats_view_upsert_moves_extreme_between_groups(spark, tmp_path):
+    """An upsert whose preimage was group a's max and whose postimage
+    becomes group b's min touches BOTH groups in one delta window:
+    a retracts (recompute fallback), b inserts (monotonic merge)."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", 2.0), (2, "a", 9.0), (3, "b", 5.0)]), base
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.merge_upsert(_kv(spark, [(2, "b", 1.0)]), base, key="rk")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (1, 2_000_000, 2.0, 2.0)  # max 9.0 left the group
+    assert got["b"] == (2, 6_000_000, 1.0, 5.0)  # new min arrived
+
+
+def test_stats_view_refresh_plan_semi_joins_touched_groups(
+    spark, tmp_path, monkeypatch
+):
+    """The retraction fallback must reach the base through a LeftSemi
+    join on the touched group keys (partition-prunable at scale) and the
+    refresh plan must contain no cartesian product."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(30)]), base
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    snap = st.read_snapshot(spark, base).filter("rk <> 0")
+    st.commit(snap, base, mode="overwrite")
+
+    real_commit = st.commit
+    captured = {}
+
+    def spy_commit(df, path, **kw):
+        if path == view and "require_parent" in kw:
+            captured["plan"] = (
+                df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            )
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(st, "commit", spy_commit)
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    monkeypatch.setattr(st, "commit", real_commit)
+    plan = captured["plan"]
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
