@@ -679,3 +679,40 @@ def test_no_catalog_query_plans_a_cartesian_product(spark):
             offenders.append(name)
     cache.release()
     assert offenders == []
+
+
+def test_python_nodes_only_in_documented_arrow_surfaces(spark):
+    """Catalog-wide sweep: row-at-a-time Python (BatchEvalPython) never
+    appears anywhere, and Arrow-batched Python nodes appear ONLY in the
+    seven queries whose semantics require Python (the T9 filter runner,
+    the stateful deadband/EMA kernels, the multimodal decode kernels).
+    Any new query silently routing through a Python UDF fails here."""
+    from foglamp_filter_python35_spark.catalog import all_queries
+    from foglamp_filter_python35_spark.functions import cache
+
+    arrow_allowed = {
+        "python_filter_scale35": {"MapInPandas"},
+        "deadband_suppress": {"FlatMapGroupsInPandas"},
+        "deadband_chunked": {"FlatMapGroupsInPandas"},
+        "ema_smooth": {"FlatMapGroupsInPandas"},
+        "multimodal_features": {"MapInPandas"},
+        "multimodal_resize": {"MapInPandas"},
+        "multimodal_frames": {"MapInPandas"},
+    }
+    arrow_nodes = (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "PythonMapInArrow",
+    )
+    offenders = {}
+    for name, spec in all_queries().items():
+        plan = E.formatted_plan(spec.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in plan"
+        )
+        found = {n for n in arrow_nodes if n in plan}
+        if found and found != arrow_allowed.get(name, set()):
+            offenders[name] = found
+    cache.release()
+    assert offenders == {}
