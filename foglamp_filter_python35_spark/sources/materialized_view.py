@@ -24,6 +24,13 @@ same base version is a no-op.
 Reference framing: the reference buffers readings across calls for
 aggregation (plugin.cpp:113-116); this is that contract at table scale —
 the aggregate survives restarts and advances by deltas.
+
+Constraint: ``value_col`` is treated as NON-NULL.  SQL's "sum of zero
+values is NULL" convention is not representable in the signed-delta
+merge (a group whose values are all NULL would surface sum 0, not
+NULL, after a refresh); a deployment with nullable measures filters
+nulls at the base or adds an explicit non-null-count column.  Group
+keys and counts are unaffected.
 """
 
 from __future__ import annotations
