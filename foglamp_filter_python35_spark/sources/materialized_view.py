@@ -375,3 +375,13 @@ def refresh_stats_view(
     raise st.CommitConflict(
         f"view refresh lost the serializable race 5 times on {view_path!r}"
     )
+
+
+def read_stats_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The stats view with the quantized sum decoded back to a double
+    (min/max are stored raw — order-independent selections need no
+    quantization)."""
+    df = st.read_snapshot(spark, view_path)
+    return df.withColumn(
+        "value_sum", F.col("sum_q").cast("double") / F.lit(float(_Q))
+    )

@@ -527,3 +527,12 @@ def test_stats_view_refresh_plan_semi_joins_touched_groups(
     assert "LeftSemi" in plan
     assert "Cartesian" not in plan
     assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+
+def test_read_stats_view_decodes_sum(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.25), (2, "a", 2.25)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    row = mv.read_stats_view(spark, view).collect()[0]
+    assert row["value_sum"] == 3.5
+    assert (row["min_v"], row["max_v"]) == (1.25, 2.25)
