@@ -536,3 +536,123 @@ def test_read_stats_view_decodes_sum(spark, tmp_path):
     row = mv.read_stats_view(spark, view).collect()[0]
     assert row["value_sum"] == 3.5
     assert (row["min_v"], row["max_v"]) == (1.25, 2.25)
+
+
+def test_stats_view_hypothesis_sequences_match_recompute(spark, tmp_path):
+    """Hypothesis-driven twin of the model-based stats test: generated
+    op sequences (append / upsert / delete-by-index / compact) with
+    values drawn to collide (few distinct values -> duplicated extremes
+    are common) must keep the 4-aggregate view bit-identical to a
+    recompute after every refresh.  Examples capped low — each op costs
+    a Spark round-trip."""
+    from hypothesis import given, settings, strategies as hst
+
+    counter = [0]
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        ops=hst.lists(
+            hst.tuples(
+                hst.sampled_from(["append", "upsert", "delete", "compact"]),
+                hst.lists(
+                    hst.tuples(
+                        hst.sampled_from(["a", "b"]),
+                        # tiny value domain: extremes collide on purpose
+                        hst.sampled_from([0.0, 1.0, 1.0, 2.5, -3.0]),
+                    ),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def run(ops):
+        counter[0] += 1
+        base = str(tmp_path / f"hb{counter[0]}")
+        view = str(tmp_path / f"hv{counter[0]}")
+        next_rk = [0]
+
+        def mk(rows):
+            out = [(next_rk[0] + i, g, v) for i, (g, v) in enumerate(rows)]
+            next_rk[0] += len(rows)
+            return _kv(spark, out)
+
+        st.commit(mk([("a", 1.0), ("a", 1.0), ("b", -3.0)]), base)
+        mv.create_stats_view(spark, base, view, ["grp"], "v")
+        for op, rows in ops:
+            if op == "append":
+                st.commit(mk(rows), base, mode="append")
+            elif op == "upsert":
+                existing = [
+                    r.rk for r in st.read_snapshot(spark, base).collect()
+                ]
+                upd = [
+                    (existing[i % len(existing)], g, v)
+                    for i, (g, v) in enumerate(rows)
+                ]
+                # keys must be unique within one upsert batch
+                upd = list({rk: (rk, g, v) for rk, g, v in upd}.values())
+                st.merge_upsert(_kv(spark, upd), base, key="rk")
+            elif op == "delete":
+                snap = st.read_snapshot(spark, base)
+                keep = sorted(r.rk for r in snap.collect())
+                if len(keep) > 1:
+                    drop = {keep[i % len(keep)] for i, _ in enumerate(rows)}
+                    if len(drop) < len(keep):  # never empty the table
+                        st.commit(
+                            snap.filter(~F.col("rk").isin(*drop)),
+                            base,
+                            mode="overwrite",
+                        )
+            else:
+                st.compact(spark, base, target_files=1)
+            mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+            assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+    run()
+
+
+def test_streaming_fed_base_keeps_stats_view_consistent(spark, tmp_path):
+    """Streaming loop + the 4-aggregate view: snapshot-table stream ->
+    exactly-once sink -> refresh_stats_view after each drain; replayed
+    drains and replayed refreshes are absorbed and view == recompute."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "base")
+    ck = str(tmp_path / "ck")
+    view = str(tmp_path / "view")
+
+    def srows(lo, hi):
+        return spark.createDataFrame(
+            [(k, f"g{k % 3}", float(k % 7) - 3.0) for k in range(lo, hi)],
+            "rk long, grp string, v double",
+        )
+
+    st.commit(srows(0, 15), src)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(
+                st.snapshot_sink(base, query_name="ivm-stats")
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+    st.commit(srows(15, 26), src, mode="append")
+    drain()
+    drain()  # replayed drain absorbed by the idempotent sink
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+    assert st.read_snapshot(spark, base).count() == 26
