@@ -373,3 +373,49 @@ def test_read_changes_append_only_fast_path(spark, tmp_path):
         (2, "insert"),
         (3, "insert"),
     }
+
+
+def test_commit_under_real_thread_contention_loses_nothing(spark, tmp_path):
+    """Optimistic concurrency under GENUINE contention (prior coverage
+    staged conflicts via monkeypatch): four driver threads race 3
+    appends each against one table.  The atomic create-if-absent
+    publish must serialize all 12 commits — every row lands exactly
+    once, the version chain is gap-free, and each thread's rows survive
+    whichever parent won each race."""
+    import threading
+
+    from foglamp_filter_python35_spark.sources import snapshot_table as stab
+
+    path = str(tmp_path / "contended")
+    stab.commit(
+        spark.createDataFrame([(-1, "seed")], "rk int, who string"), path
+    )
+    errors = []
+
+    def worker(tid: int) -> None:
+        try:
+            for j in range(3):
+                rows = [(100 * tid + 10 * j + k, f"t{tid}") for k in range(5)]
+                stab.commit(
+                    spark.createDataFrame(rows, "rk int, who string"),
+                    path,
+                    mode="append",
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append((tid, repr(exc)))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    snap = stab.read_snapshot(spark, path)
+    assert snap.count() == 1 + 4 * 3 * 5
+    assert snap.select("rk").distinct().count() == 61  # no duplicated rows
+    assert stab.current_version(path) == 12  # gap-free version chain
+    per_thread = {
+        r["who"]: r["n"]
+        for r in snap.groupBy("who").count().withColumnRenamed("count", "n").collect()
+    }
+    assert all(per_thread[f"t{t}"] == 15 for t in range(4))
