@@ -656,3 +656,46 @@ def test_streaming_fed_base_keeps_stats_view_consistent(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     assert _stats_view(spark, view) == _recompute_stats(spark, base)
     assert st.read_snapshot(spark, base).count() == 26
+
+
+def test_refresh_under_real_thread_contention(spark, tmp_path):
+    """Two driver threads refresh the SAME view concurrently, repeatedly,
+    while a third appends to the base between waves — no monkeypatch,
+    the genuine interleavings the pinned-version protocol must survive.
+    After every wave the view equals a recompute (double-apply would
+    inflate counts; lost updates would lag the maintained version)."""
+    import threading
+
+    base, view = str(tmp_path / "cbase"), str(tmp_path / "cview")
+    st.commit(_kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    next_rk = [9]
+
+    for wave in range(3):
+        rows = [
+            (next_rk[0] + i, f"g{(next_rk[0] + i) % 3}", float(i) - 1.5)
+            for i in range(4)
+        ]
+        next_rk[0] += 4
+        st.commit(_kv(spark, rows), base, mode="append")
+
+        errors = []
+
+        def refresher():
+            try:
+                mv.refresh_stats_view(
+                    spark, base, view, ["grp"], "v", row_key="rk"
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+        ts = [threading.Thread(target=refresher) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errors == [], f"wave {wave}: {errors}"
+        assert _stats_view(spark, view) == _recompute_stats(spark, base), (
+            f"wave {wave} diverged"
+        )
+        assert mv.maintained_base_version(view) == st.current_version(base)
