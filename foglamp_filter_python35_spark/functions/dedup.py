@@ -727,7 +727,12 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        # eager=False: the first fingerprint action materializes the
+        # checkpoint in the SAME job instead of paying a separate one —
+        # one job per round, not two.  Fault profile is identical to
+        # eager (both are executor-local); a real cluster swaps this for
+        # reliable checkpoint() either way (see docstring).
+        .localCheckpoint(eager=False)
     )
     # lazy on purpose: only read once at the end, over the checkpointed
     # initial edge set — a checkpoint here would cost one more job
@@ -776,7 +781,7 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(smin.select(F.col("a"), F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by _fingerprint
         )
         e = e2
         cur = _fingerprint(e)
