@@ -419,3 +419,32 @@ def test_commit_under_real_thread_contention_loses_nothing(spark, tmp_path):
         for r in snap.groupBy("who").count().withColumnRenamed("count", "n").collect()
     }
     assert all(per_thread[f"t{t}"] == 15 for t in range(4))
+
+
+def test_open_snapshot_of_retained_version_survives_vacuum(spark, tmp_path):
+    """A DataFrame opened over a RETAINED version keeps reading after a
+    concurrent vacuum (its frozen file list is still live); a reader of
+    an EXPIRED version fails loudly instead of silently returning
+    partial data — the documented retention contract."""
+    import pytest as _pytest
+
+    from foglamp_filter_python35_spark.sources import snapshot_table as stab
+
+    t = str(tmp_path / "vac")
+    stab.commit(
+        spark.createDataFrame([(i,) for i in range(5)], "rk int"), t
+    )  # v0
+    stab.commit(
+        spark.createDataFrame([(i,) for i in range(100, 103)], "rk int"),
+        t,
+        mode="overwrite",
+    )  # v1: v0's files now only visible to the expired version
+    reader_v1 = stab.read_snapshot(spark, t)  # frozen file list, retained
+    reader_v0 = stab.read_snapshot(spark, t, version=0)  # will expire
+
+    deleted = stab.vacuum(t, keep_versions=1)
+    assert deleted  # v0's files were reclaimed
+
+    assert reader_v1.count() == 3  # unaffected mid-flight
+    with _pytest.raises(Exception):  # noqa: B017 — loud, not partial
+        reader_v0.count()
