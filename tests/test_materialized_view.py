@@ -699,3 +699,23 @@ def test_refresh_under_real_thread_contention(spark, tmp_path):
             f"wave {wave} diverged"
         )
         assert mv.maintained_base_version(view) == st.current_version(base)
+
+
+def test_refresh_spans_additive_base_schema_evolution(spark, tmp_path):
+    """An append that ADDS a column to the base must not break a view
+    keyed on the original columns: the change feed spans the evolution
+    and the view keeps matching a recompute (new column ignored)."""
+    from pyspark.sql import functions as F2
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.commit(
+        _kv(spark, [(3, "a", 7.0)]).withColumn("note", F2.lit("x")),
+        base,
+        mode="append",
+    )
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (2, 8_000_000, 1.0, 7.0)
