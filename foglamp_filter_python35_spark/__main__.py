@@ -24,6 +24,29 @@ import os
 import sys
 
 
+def _spark_cell(v) -> str:
+    """Normalize a Spark result cell for comparison.  SQL NULL arrives
+    as None from Spark Rows.  A genuine float NaN is kept as a DISTINCT
+    sentinel: a query that wrongly yields NaN must not silently match an
+    oracle NULL (NaN-vs-NULL divergence stays visible)."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<nan>"
+    return str(v)
+
+
+def _oracle_cell(v) -> str:
+    """Normalize a DuckDB result cell.  DuckDB results arrive through
+    pandas, where SQL NULL is irrecoverably float NaN — only here is
+    NaN→NULL coercion sound."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<null>"
+    return str(v)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="foglamp_filter_python35_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -78,18 +101,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         import duckdb  # noqa: PLC0415
 
-        def _cell(v) -> str:
-            # SQL NULL arrives as None from Spark Rows but as float NaN
-            # through pandas columns on the DuckDB side; normalize both
-            # to one sentinel so NULL-producing queries compare equal.
-            if v is None:
-                return "<null>"
-            if isinstance(v, float) and math.isnan(v):
-                return "<null>"
-            return str(v)
-
         cols = sorted(df.columns)
-        got = sorted(tuple(_cell(r[c]) for c in cols) for r in df.collect())
+        got = sorted(
+            tuple(_spark_cell(r[c]) for c in cols) for r in df.collect()
+        )
         con = duckdb.connect()
         tables = (
             "region nation customer supplier part orders lineitem "
@@ -102,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         odf = con.execute(sql).df()
         want = sorted(
-            tuple(_cell(odf[c][i]) for c in sorted(odf.columns))
+            tuple(_oracle_cell(odf[c][i]) for c in sorted(odf.columns))
             for i in range(len(odf))
         )
         ok = list(cols) == sorted(odf.columns) and got == want

@@ -21,15 +21,19 @@ interactive-session analog of that storage lifecycle (see SCALE.md).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _ACTIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def register(df: DataFrame) -> DataFrame:
     """Persist ``df`` (lazily) and track it for spec-level cleanup."""
     df.persist()
-    _ACTIVE.append(df)
+    with _LOCK:
+        _ACTIVE.append(df)
     return df
 
 
@@ -38,12 +42,18 @@ def release(blocking: bool = True) -> int:
 
     ``blocking=True`` waits for block removal so tests can assert the
     cache manager is empty immediately after the call.
+
+    The registry swap happens under a lock so a ``register()`` racing
+    with ``release()`` is either drained by this call or left for the
+    next one — never dropped without unpersist — and two concurrent
+    ``release()`` calls cannot double-unpersist the same frame.
     """
-    n = len(_ACTIVE)
-    for df in _ACTIVE:
+    with _LOCK:
+        frames = _ACTIVE[:]
+        _ACTIVE.clear()
+    for df in frames:
         try:
             df.unpersist(blocking)
         except Exception:  # session already stopped — nothing to free
             pass
-    _ACTIVE.clear()
-    return n
+    return len(frames)

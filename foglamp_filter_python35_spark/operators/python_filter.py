@@ -83,12 +83,24 @@ def _estimated_bytes(df: DataFrame) -> int:
     """The Catalyst optimizer's sizeInBytes estimate for ``df`` — free
     (no job): parquet footer totals for scans, accurate materialized
     sizes for cached frames, 8 EiB when unknown (which routes unknown
-    sizes to the repartition path, the safe default at scale)."""
+    sizes to the repartition path, the safe default at scale).
+
+    The probe reaches through private JVM internals (``_jdf`` →
+    ``queryExecution``), so the fallback is scoped to exactly the two
+    failure shapes a Spark-version drift can produce — a missing
+    attribute on the Python wrapper (AttributeError) or a Py4J-level
+    gateway/call failure — and nothing else: a genuine AnalysisException
+    (a plan worth surfacing) propagates to the caller instead of being
+    silently re-routed into the 8 EiB fallback."""
+    try:
+        from py4j.protocol import Py4JError  # noqa: PLC0415
+    except ImportError:  # pragma: no cover — py4j ships with pyspark
+        Py4JError = ()  # type: ignore[assignment]
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:
+    except (AttributeError, Py4JError):
         return 1 << 62  # probe failed: treat as large, keep old behavior
 
 

@@ -65,9 +65,25 @@ def _maintained_base_at(view_path: str, view_version: int) -> int | None:
     delta window from the same snapshot it pins with ``require_parent``
     — reading "current version" twice would race a concurrent refresh
     committing in between (the delta window would then start before the
-    snapshot's maintained base and double-apply the shared prefix)."""
+    snapshot's maintained base and double-apply the shared prefix).
+
+    Every ivm commit stamps its OWN manifest with ``ivm@N``, so on a
+    view maintained only through this module the scan hits at
+    ``i == view_version`` immediately; it only walks deeper when non-ivm
+    commits were interleaved on the view path.  A manifest missing below
+    ``view_version`` is the log-retention floor (``vacuum`` dropped it):
+    the scan stops there with a clear error instead of propagating a
+    bare FileNotFoundError partway down the chain."""
     for i in range(view_version, -1, -1):
-        m = st._read_manifest(view_path, i)
+        try:
+            m = st._read_manifest(view_path, i)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{view_path!r}: no ivm@N marker between the retention "
+                f"floor (manifest v{i} vacuumed) and view version "
+                f"{view_version}; the view's maintenance history was "
+                "expired — rebuild it with create_agg_view()"
+            ) from None
         txn = m.get("txn")
         if txn and txn.startswith("ivm@"):
             return int(txn.split("@", 1)[1])

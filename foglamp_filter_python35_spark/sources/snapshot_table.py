@@ -125,13 +125,21 @@ def _file_stats(file_path: str, cols: list[str]) -> dict:
 
 def _txn_version(path: str, txn: str) -> int | None:
     """Version already committed under ``txn``, or None.  Scans newest
-    to oldest — a replayed transaction is usually the most recent."""
+    to oldest — a replayed transaction is usually the most recent.
+
+    A missing manifest below the current version is the log-retention
+    floor (``vacuum`` dropped it): the scan stops there and reports the
+    txn as unseen, the same retention caveat as Delta's setTransaction
+    — idempotency markers older than the retained log are forgotten."""
     v = current_version(path)
     if v is None:
         return None
     for i in range(v, -1, -1):
-        if _read_manifest(path, i).get("txn") == txn:
-            return i
+        try:
+            if _read_manifest(path, i).get("txn") == txn:
+                return i
+        except FileNotFoundError:
+            return None
     return None
 
 

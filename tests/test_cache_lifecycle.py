@@ -63,3 +63,44 @@ def test_register_returns_same_frame_and_release_counts(spark):
     assert cache.release() == 1
     assert not df.storageLevel.useMemory
     assert cache.release() == 0  # registry cleared
+
+
+def test_concurrent_register_release_drops_nothing(spark):
+    """Round-5 advice: a register() landing between release()'s iterate
+    and clear() was dropped without unpersist, and two concurrent
+    release() calls could double-unpersist.  The registry now swaps the
+    list under a lock: with REAL threads hammering register and release
+    concurrently, every registered frame is eventually unpersisted
+    (releases are exhaustive) and the total released count equals the
+    total registered count (no frame freed twice or lost)."""
+    import threading
+
+    cache.release()
+    base = _n_cached(spark)
+    n_threads, per_thread = 4, 8
+    released = []
+    barrier = threading.Barrier(n_threads * 2)
+
+    def registrar(t: int) -> None:
+        barrier.wait()
+        for i in range(per_thread):
+            cache.register(
+                spark.range(5 + t * per_thread + i).selectExpr("id * 2 AS x")
+            )
+
+    def releaser() -> None:
+        barrier.wait()
+        for _ in range(per_thread):
+            released.append(cache.release())
+
+    threads = [
+        threading.Thread(target=registrar, args=(t,)) for t in range(n_threads)
+    ] + [threading.Thread(target=releaser) for _ in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    released.append(cache.release())  # drain anything the racers left
+
+    assert sum(released) == n_threads * per_thread
+    assert _n_cached(spark) == base, "a registered frame leaked unpersisted"

@@ -719,3 +719,37 @@ def test_refresh_spans_additive_base_schema_evolution(spark, tmp_path):
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
     assert got["a"] == (2, 8_000_000, 1.0, 7.0)
+
+
+def test_vacuumed_maintenance_history_fails_loudly(spark, tmp_path):
+    """Round-5 advice: `_maintained_base_at` scanned manifests linearly
+    and a vacuumed manifest partway down raised a bare FileNotFoundError
+    mid-scan.  The scan now stops at the log-retention floor with a
+    clear, actionable error naming the rebuild path."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")  # view v0: ivm@0
+
+    # interleave non-ivm commits on the view path (a user writing to the
+    # view directly), then vacuum past the ivm@0 marker
+    snap = st.read_snapshot(spark, view)
+    st.commit(snap, view, mode="overwrite")  # v1, no ivm marker
+    st.commit(snap, view, mode="overwrite")  # v2, no ivm marker
+    st.vacuum(view, keep_versions=1)  # drops manifests v0 (ivm@0) and v1
+
+    st.commit(_kv(spark, [(3, "c", 3.0)]), base, mode="append")
+    with pytest.raises(FileNotFoundError, match="create_agg_view"):
+        mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+
+
+def test_txn_marker_forgotten_past_retention_floor(spark, tmp_path):
+    """`_txn_version` stops at the retention floor instead of raising:
+    idempotency markers older than the retained log are forgotten (the
+    Delta setTransaction retention caveat), never a mid-scan crash."""
+    base = str(tmp_path / "base")
+    st.commit(_kv(spark, [(1, "a", 1.0)]), base, txn="job@1")  # v0
+    st.commit(_kv(spark, [(2, "b", 2.0)]), base, mode="append")  # v1
+    st.commit(_kv(spark, [(3, "c", 3.0)]), base, mode="append")  # v2
+    assert st._txn_version(base, "job@1") == 0
+    st.vacuum(base, keep_versions=1)  # manifests v0, v1 expired
+    assert st._txn_version(base, "job@1") is None

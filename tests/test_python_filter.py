@@ -316,3 +316,35 @@ def test_small_input_skips_spreading_shuffle(spark, monkeypatch, tmp_path):
     assert pf._estimated_bytes(local) >= pf._REPARTITION_MIN_BYTES
     out_local = run_python_filter(local, scale_filter, FilterConfig(enable=True))
     assert out_local.rdd.getNumPartitions() == target
+
+
+def test_estimated_bytes_fallback_is_narrow():
+    """Round-5 advice: the size probe reaches private JVM internals, so
+    its fallback must cover exactly the Spark-version-drift failure
+    shapes (AttributeError on the wrapper chain, Py4J gateway errors) —
+    an unrelated exception (e.g. an analysis failure worth surfacing)
+    must PROPAGATE, not be swallowed into the 8 EiB fallback."""
+    import pytest
+    from py4j.protocol import Py4JError
+
+    from foglamp_filter_python35_spark.operators import python_filter as pf
+
+    class _NoJdf:
+        @property
+        def _jdf(self):
+            raise AttributeError("no _jdf on this Spark version")
+
+    class _GatewayDown:
+        @property
+        def _jdf(self):
+            raise Py4JError("gateway connection dropped")
+
+    class _AnalysisBoom:
+        @property
+        def _jdf(self):
+            raise ValueError("analysis failure that must surface")
+
+    assert pf._estimated_bytes(_NoJdf()) == 1 << 62
+    assert pf._estimated_bytes(_GatewayDown()) == 1 << 62
+    with pytest.raises(ValueError, match="must surface"):
+        pf._estimated_bytes(_AnalysisBoom())
