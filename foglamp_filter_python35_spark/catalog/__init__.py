@@ -204,70 +204,63 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Rounds 1-4 accumulated 119 distinct
-# driver-green queries; this round-5 window (tools/rotate_window.py
-# output) pins the 34 queries that have NEVER received a driver row —
-# the text family (r1-era additions that kept losing the prefix
-# lottery) plus the round-4 additions (G88-G111) — so every catalog
-# query in the repo gets driver evidence.  34 < 50, so the window is
-# backfilled with the LEAST-RECENTLY-verified greens (r1 signal/text
-# block) as re-confirmation.  Queries not listed keep module order
-# after the prioritized block.
+# ``queries()`` each round.  After round 5 every one of the 153 catalog
+# queries has at least one driver-green row (r1-r5 cumulative), so the
+# round-6 window (tools/rotate_window.py output) re-confirms the
+# LEAST-RECENTLY-verified greens: the r1/r2 dedup + smoothing rows and
+# the r3 relational block whose evidence is now three rounds old.
+# Queries not listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    # --- never driver-sampled: text family (G28-G30, G40-G42, G46,
-    # G47, G71, G82) ---
-    "train_test_split",
-    "doc_chunking",
-    "lang_mismatch",
-    "corpus_prefilter",
-    "stratified_sample",
-    "pii_redact",
-    "benchmark_contamination",
-    "doc_repetition",
-    "top_bigram_fraction",
-    "pretokenize_counts",
-    # --- never driver-sampled: round-4 additions (G88-G111) ---
-    "spc_control_chart",
-    "interp_gap_fill",
-    "winsorize_clip",
-    "asset_correlation",
-    "mad_outliers",
-    "token_fertility",
-    "doc_length_histogram",
-    "minhash_accuracy",
-    "dedup_cluster_histogram",
-    "ivf_recall_audit",
-    "embedding_label_margin",
-    "ivf_train_kmeans",
-    "embedding_pca_power",
-    "span_dedup",
-    "trigram_lm",
-    "event_disorder_audit",
-    "bloom_filter_audit",
-    "ab_test_readout",
-    "hll_distinct_audit",
-    "source_vocab_divergence",
-    "value_drift_chi2",
-    "top_session_paths",
-    "corpus_rebalance",
-    "event_path_transitions",
-    # --- backfill: stalest greens (r1) for re-confirmation ---
-    "value_delta",
-    "change_detect",
-    "threshold_alarm",
-    "zscore_anomaly",
-    "downsample_1h",
-    "locf_gap_fill",
-    "session_rollup",
-    "percentile_summary",
-    "deadband_suppress",
-    "text_stats",
-    "quality_score",
-    "language_id",
-    "token_count_total",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "bigram_topk",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "moving_average",
+    "scale35",
+    "python_filter_scale35",
+    "readings35_add100",
+    "asset_filter",
+    "payload_projection",
+    "empty_payload_drop",
+    "metadata_carry",
+    "type_coercion",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "order_priority_semijoin",
+    "sessionization",
+    "hourly_event_rollup",
+    "rollup_revenue",
+    "set_ops_users",
+    "distinct_users",
+    "event_type_pivot",
+    "top_parts_by_revenue",
+    "asof_last_signup",
+    "value_band_join",
+    "customers_without_orders",
+    "cube_revenue",
+    "orders_above_cust_avg",
+    "skewed_asset_rollup",
+    "shipping_priority",
+    "forecast_revenue",
+    "event_funnel",
+    "top_suppliers",
+    "returned_items",
+    "priority_by_linestatus",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "custdist",
+    "promo_revenue",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_filter",
+    "sales_opportunity",
+    "props_json_stats",
+    "revenue_deciles",
+    "name_fuzzy_match",
+    "grouping_sets_revenue",
+    "value_histogram",
+    "retention_cohorts",
 )
 
 

@@ -33,10 +33,11 @@ def test_queries_and_oracles_aligned(spark):
 
 
 def test_driver_window_order_is_pinned():
-    """The driver verifies only the first 50 entries of queries(); the
-    round-5 window pins the 34 queries that never received a driver row
-    (text family + the round-4 additions G88-G111).  Guard the ordering
-    so an innocent module reshuffle can't silently evict them."""
+    """The driver verifies only the first 50 entries of queries().
+    After round 5 every catalog query has at least one driver-green row,
+    so the round-6 window re-confirms the LEAST-recently-verified greens
+    (r1 dedup/smoothing rows + the r3 relational block).  Guard the
+    ordering so an innocent module reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -46,12 +47,13 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "text": ("train_test_split", "pii_redact", "pretokenize_counts"),
-        "signal-r4": ("spc_control_chart", "winsorize_clip", "mad_outliers"),
-        "audit-r4": ("minhash_accuracy", "ivf_recall_audit",
-                     "hll_distinct_audit", "bloom_filter_audit"),
-        "pipeline-r4": ("span_dedup", "trigram_lm", "corpus_rebalance",
-                        "event_disorder_audit"),
+        "stale-r1": ("dedup_exact", "minhash_lsh_dedup", "moving_average"),
+        "events-r3": ("scale35", "python_filter_scale35", "sessionization",
+                      "hourly_event_rollup"),
+        "tpch-r3": ("pricing_summary", "revenue_by_nation", "market_share",
+                    "promo_revenue", "shipping_priority"),
+        "shape-r3": ("cube_revenue", "grouping_sets_revenue",
+                     "retention_cohorts", "revenue_deciles"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
