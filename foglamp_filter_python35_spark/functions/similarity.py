@@ -326,15 +326,18 @@ def ivf_assign(
         F.col("cid"),
         cosine(F.col(vec_col), F.col("cv")).alias("cscore"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cid")
+    # argmax as a hash aggregate, not a window: max_by over
+    # (cscore, -cid) picks the max-cosine centroid with ties broken on
+    # the LOWEST cid — bit-identical to ordering by (cscore DESC, cid)
+    # and taking row 1, but partial-aggregatable: map-side combine
+    # collapses the n x k scored rows to n rows BEFORE the shuffle,
+    # where the window form shuffle-sorts all n x k rows.  At n=200k,
+    # k=1600 (the scale-probe's cells-proportional-to-n point) this is
+    # the difference between shuffling 320M rows and 200k.
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("cscore"), -F.col("cid"))
+        ).alias("cid")
     )
 
 

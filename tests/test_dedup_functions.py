@@ -353,3 +353,33 @@ def test_star_cc_empty_and_single_pair(spark):
     one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
     got = {r.node: r.comp for r in D.connected_components_star(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_ivf_assign_argmax_ties_pick_lowest_cid(spark):
+    """Round-6 rewrite: the assignment argmax became a partial-
+    aggregatable ``max_by(cid, struct(cscore, -cid))`` hash aggregate
+    (map-side combine collapses the n x k scored rows to n before the
+    shuffle) instead of a window row_number over all n x k rows.  The
+    semantics must be unchanged: max cosine wins, exact ties break to
+    the LOWEST centroid id — pinned here with two duplicate centroids
+    whose cosines tie bit-identically."""
+    from foglamp_filter_python35_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # cids 5 and 2 are the SAME vector -> every cosine ties exactly;
+    # cid 9 is orthogonal to vec 10
+    cents = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "cid long, cv array<float>",
+    )
+    got = {r.vec_id: r.cid for r in ivf_assign(emb, cents).collect()}
+    assert got[10] == 2  # tie between 5 and 2 -> lowest cid
+    assert got[11] == 9  # clear max-cosine winner
+    assert got[12] == 2  # 45 degrees to both axes: three-way tie -> 2
+    # every vector is assigned exactly once
+    assert sorted(got) == [10, 11, 12]
