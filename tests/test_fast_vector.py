@@ -1,0 +1,132 @@
+"""Fast vector mode: Arrow-batched numpy dot vs the exact left-fold.
+
+The exact path (Catalyst higher-order functions) is bit-compatible with
+DuckDB and stays the default; fast mode is the 100 TB hot path (the
+round-6 scale probe measured interpreted folds dominating the tuned
+pair-verify).  These tests pin (a) value agreement to float tolerance,
+(b) identical pair/top-k SETS away from razor-edge thresholds, (c) the
+exact path's NULL semantics for ragged/NULL rows, (d) toggle hygiene.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from foglamp_filter_python35_spark.catalog import load
+from foglamp_filter_python35_spark.functions import similarity as S
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_exact_is_the_default():
+    assert S.fast_vector_enabled() is False
+
+
+def test_dot_values_agree_to_float_tolerance(spark):
+    emb = load(spark, _SF, "embeddings").limit(50)
+    pairs = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        S.dot(F.col("a.embedding"), F.col("b.embedding")).alias("d"),
+    )
+    exact = {(r.ia, r.ib): r.d for r in pairs.collect()}
+    with S.fast_vector_mode():
+        fast_pairs = emb.alias("a").crossJoin(emb.alias("b")).select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            S.dot(F.col("a.embedding"), F.col("b.embedding")).alias("d"),
+        )
+        fast = {(r.ia, r.ib): r.d for r in fast_pairs.collect()}
+    assert S.fast_vector_enabled() is False  # context restored
+    assert exact.keys() == fast.keys()
+    for k, v in exact.items():
+        assert fast[k] == pytest.approx(v, rel=1e-9, abs=1e-9)
+
+
+def test_ivf_cell_pairs_same_set_in_fast_mode(spark):
+    emb = load(spark, _SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.ivf_cell_pairs(emb, cents, 0.4).collect()
+    }
+    with S.fast_vector_mode():
+        fast = {
+            (r.id_a, r.id_b)
+            for r in S.ivf_cell_pairs(emb, cents, 0.4).collect()
+        }
+    # test corpus has no pair within 1e-9 of the 0.4 threshold, so the
+    # last-bit rounding difference cannot flip membership
+    assert exact == fast
+    assert exact  # non-vacuous
+
+
+def test_brute_force_topk_same_ids(spark):
+    emb = load(spark, _SF, "embeddings")
+    query = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [r.vec_id for r in S.brute_force_topk(emb, query, k=10).collect()]
+    with S.fast_vector_mode():
+        fast = [
+            r.vec_id for r in S.brute_force_topk(emb, query, k=10).collect()
+        ]
+    assert exact == fast
+
+
+def test_null_and_ragged_rows_propagate_null(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [3.0, 4.0]),  # 11.0
+            (2, None, [1.0, 1.0]),  # NULL side
+            (3, [1.0, 2.0, 3.0], [1.0, 1.0]),  # ragged dims
+        ],
+        "i long, a array<float>, b array<float>",
+    )
+    with S.fast_vector_mode():
+        got = {r.i: r.d for r in df.select("i", S.dot("a", "b").alias("d")).collect()}
+    assert got[1] == pytest.approx(11.0)
+    assert got[2] is None
+    assert got[3] is None
+    # exact path agrees on the NULL semantics
+    exact = {r.i: r.d for r in df.select("i", S.dot("a", "b").alias("d")).collect()}
+    assert exact[2] is None and exact[3] is None
+
+
+def test_fast_sketch_matches_exact_bands(spark):
+    emb = load(spark, _SF, "embeddings").limit(100)
+    planes = S.random_hyperplanes(16, 64)
+    exact_df = emb.select(
+        "vec_id", S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b")
+    )
+    exact = {r.vec_id: list(r.b) for r in exact_df.collect()}
+    with S.fast_vector_mode():
+        fast_df = emb.select(
+            "vec_id",
+            S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b"),
+        )
+        # same element type both modes (nullability differs: UDF columns
+        # are always nullable, Catalyst literals are not)
+        assert (
+            fast_df.schema.simpleString() == exact_df.schema.simpleString()
+        )
+        fast = {r.vec_id: list(r.b) for r in fast_df.collect()}
+    assert exact == fast
+
+
+def test_fast_lsh_near_dups_same_pairs(spark):
+    emb = load(spark, _SF, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.rp_lsh_near_dups(emb, 0.4, dim=64).collect()
+    }
+    with S.fast_vector_mode():
+        fast = {
+            (r.id_a, r.id_b)
+            for r in S.rp_lsh_near_dups(emb, 0.4, dim=64).collect()
+        }
+    assert exact == fast
+    assert exact  # non-vacuous
