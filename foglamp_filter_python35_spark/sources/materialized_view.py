@@ -25,12 +25,17 @@ Reference framing: the reference buffers readings across calls for
 aggregation (plugin.cpp:113-116); this is that contract at table scale —
 the aggregate survives restarts and advances by deltas.
 
-Constraint: ``value_col`` is treated as NON-NULL.  SQL's "sum of zero
-values is NULL" convention is not representable in the signed-delta
-merge (a group whose values are all NULL would surface sum 0, not
-NULL, after a refresh); a deployment with nullable measures filters
-nulls at the base or adds an explicit non-null-count column.  Group
-keys and counts are unaffected.
+NULL measures follow SQL semantics exactly.  The view carries a third
+self-maintainable aggregate, ``n_vals`` (count of NON-NULL values): a
+NULL measure contributes a signed unit to ``n_rows`` but zero to both
+``n_vals`` and the stored sum, and the readers decode ``value_sum`` as
+NULL precisely when ``n_vals = 0`` — SQL's "SUM over no values is
+NULL" convention, maintained incrementally (the stored ``sum_q`` is
+kept 0-based so delta application stays pure integer arithmetic).
+MIN/MAX in the stats view ignore NULLs natively on every path (initial
+build, monotonic insert merge, and the retraction recompute all use
+``F.min``/``F.max``, which skip NULLs), so an all-NULL group surfaces
+NULL extremes just as SQL would.
 """
 
 from __future__ import annotations
@@ -47,8 +52,26 @@ _Q = 1_000_000  # sum quantization: exact for |sum| < 2^63 / 1e6
 
 
 def _qsum(col: str):
-    return F.sum(
-        F.floor(F.col(col) * F.lit(float(_Q)) + F.lit(0.5)).cast("bigint")
+    # 0-based (not SQL-NULL) so signed-delta merges stay pure integer
+    # arithmetic; the NULL surface is reconstructed at read time from
+    # n_vals (see read_agg_view / read_stats_view).
+    return F.coalesce(
+        F.sum(
+            F.floor(F.col(col) * F.lit(float(_Q)) + F.lit(0.5)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+    )
+
+
+def _decode_sum(df: DataFrame) -> DataFrame:
+    """Decode the quantized sum, surfacing SQL NULL-sum semantics:
+    ``value_sum`` is NULL iff the group holds no non-NULL values."""
+    return df.withColumn(
+        "value_sum",
+        F.when(
+            F.col("n_vals") > 0,
+            F.col("sum_q").cast("double") / F.lit(float(_Q)),
+        ),
     )
 
 
@@ -115,6 +138,7 @@ def create_agg_view(
     snap = st.read_snapshot(spark, base_path, version=base_v)
     view = snap.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
         _qsum(value_col).alias("sum_q"),
     )
     return st.commit(
@@ -172,6 +196,13 @@ def refresh_agg_view(
             .groupBy(*keys)
             .agg(
                 F.sum("_sign").cast("bigint").alias("d_rows"),
+                # a NULL measure contributes sign*NULL = NULL, which SUM
+                # skips — exactly the "zero contribution" SQL assigns it
+                F.sum(
+                    F.when(F.col(value_col).isNotNull(), F.col("_sign"))
+                )
+                .cast("bigint")
+                .alias("d_vals"),
                 F.sum(
                     F.col("_sign")
                     * F.floor(
@@ -189,6 +220,10 @@ def refresh_agg_view(
                     F.coalesce(F.col("n_rows"), F.lit(0))
                     + F.coalesce(F.col("d_rows"), F.lit(0))
                 ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("n_vals"), F.lit(0))
+                    + F.coalesce(F.col("d_vals"), F.lit(0))
+                ).alias("n_vals"),
                 (
                     F.coalesce(F.col("sum_q"), F.lit(0))
                     + F.coalesce(F.col("d_sum_q"), F.lit(0))
@@ -213,11 +248,9 @@ def refresh_agg_view(
 
 def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The view with the quantized sum decoded back to a double (one
-    deterministic division)."""
-    df = st.read_snapshot(spark, view_path)
-    return df.withColumn(
-        "value_sum", F.col("sum_q").cast("double") / F.lit(float(_Q))
-    )
+    deterministic division); ``value_sum`` is NULL for groups whose
+    values are all NULL (SQL SUM semantics)."""
+    return _decode_sum(st.read_snapshot(spark, view_path))
 
 
 # ---------------------------------------------------------------------------
@@ -238,12 +271,13 @@ def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
 # (require_parent) protocol as the count/sum view.
 # ---------------------------------------------------------------------------
 
-_STATS_COLS = ("n_rows", "sum_q", "min_v", "max_v")
+_STATS_COLS = ("n_rows", "n_vals", "sum_q", "min_v", "max_v")
 
 
 def _stats_agg(value_col: str) -> list:
     return [
         F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
         _qsum(value_col).alias("sum_q"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
@@ -313,6 +347,11 @@ def refresh_stats_view(
             .agg(
                 F.sum("_sign").cast("bigint").alias("d_rows"),
                 F.sum(
+                    F.when(F.col(value_col).isNotNull(), F.col("_sign"))
+                )
+                .cast("bigint")
+                .alias("d_vals"),
+                F.sum(
                     F.col("_sign")
                     * F.floor(
                         F.col(value_col) * F.lit(float(_Q)) + F.lit(0.5)
@@ -320,7 +359,14 @@ def refresh_stats_view(
                 ).alias("d_sum_q"),
                 F.min(F.when(is_add, F.col(value_col))).alias("ins_min"),
                 F.max(F.when(is_add, F.col(value_col))).alias("ins_max"),
-                F.max(F.when(~is_add, F.lit(1)).otherwise(F.lit(0)))
+                # only a NON-NULL retraction can remove an extreme
+                # (MIN/MAX ignore NULLs), so NULL deletes skip the
+                # recompute fallback entirely
+                F.max(
+                    F.when(
+                        (~is_add) & F.col(value_col).isNotNull(), F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
                 .cast("boolean")
                 .alias("retracted"),
             )
@@ -334,6 +380,10 @@ def refresh_stats_view(
                     F.coalesce(F.col("n_rows"), F.lit(0))
                     + F.coalesce(F.col("d_rows"), F.lit(0))
                 ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("n_vals"), F.lit(0))
+                    + F.coalesce(F.col("d_vals"), F.lit(0))
+                ).alias("n_vals"),
                 (
                     F.coalesce(F.col("sum_q"), F.lit(0))
                     + F.coalesce(F.col("d_sum_q"), F.lit(0))
@@ -369,6 +419,7 @@ def refresh_stats_view(
             .select(
                 *keys,
                 "n_rows",
+                "n_vals",
                 "sum_q",
                 F.when(F.col("_retracted"), F.col("r_min"))
                 .otherwise(F.col("min_v"))
@@ -396,8 +447,6 @@ def refresh_stats_view(
 def read_stats_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The stats view with the quantized sum decoded back to a double
     (min/max are stored raw — order-independent selections need no
-    quantization)."""
-    df = st.read_snapshot(spark, view_path)
-    return df.withColumn(
-        "value_sum", F.col("sum_q").cast("double") / F.lit(float(_Q))
-    )
+    quantization); ``value_sum`` is NULL for all-NULL groups, matching
+    the NULL min/max those groups already carry."""
+    return _decode_sum(st.read_snapshot(spark, view_path))

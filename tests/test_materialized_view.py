@@ -23,24 +23,30 @@ def _kv(spark, rows):
     return spark.createDataFrame(rows, "rk int, grp string, v double")
 
 
+def _agg_cols():
+    """The stored agg-view columns, recomputed from scratch: row count,
+    non-NULL value count, and the 0-based quantized sum."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.coalesce(
+            F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_q"),
+    ]
+
+
 def _recompute(spark, base):
     snap = st.read_snapshot(spark, base)
     return {
-        (r.grp): (r.n_rows, r.sum_q)
-        for r in snap.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-            ).alias("sum_q"),
-        )
-        .collect()
+        (r.grp): (r.n_rows, r.n_vals, r.sum_q)
+        for r in snap.groupBy("grp").agg(*_agg_cols()).collect()
     }
 
 
 def _view(spark, view):
     return {
-        (r.grp): (r.n_rows, r.sum_q)
+        (r.grp): (r.n_rows, r.n_vals, r.sum_q)
         for r in st.read_snapshot(spark, view).collect()
     }
 
@@ -161,7 +167,13 @@ def test_ivm_random_commit_sequences_match_recompute(spark, tmp_path):
 
         def fresh(n, grps=("a", "b", "c")):
             rows = [
-                (next_rk[0] + i, rng.choice(grps), round(rng.uniform(0, 9), 3))
+                (
+                    next_rk[0] + i,
+                    rng.choice(grps),
+                    None
+                    if rng.random() < 0.25
+                    else round(rng.uniform(0, 9), 3),
+                )
                 for i in range(n)
             ]
             next_rk[0] += n
@@ -178,8 +190,13 @@ def test_ivm_random_commit_sequences_match_recompute(spark, tmp_path):
                     r.rk for r in st.read_snapshot(spark, base).collect()
                 ]
                 upd = [
-                    (rk, rng.choice(("a", "b", "c")),
-                     round(rng.uniform(0, 9), 3))
+                    (
+                        rk,
+                        rng.choice(("a", "b", "c")),
+                        None
+                        if rng.random() < 0.25
+                        else round(rng.uniform(0, 9), 3),
+                    )
                     for rk in rng.sample(existing, min(2, len(existing)))
                 ]
                 st.merge_upsert(_kv(spark, upd), base, key="rk")
@@ -218,12 +235,7 @@ def test_ivm_refresh_survives_concurrent_refresh(spark, tmp_path, monkeypatch):
         if path_ == view and not raced["done"]:
             raced["done"] = True
             # competing refresh publishes the CORRECT post-delta view
-            correct = real_read(spark_, base).groupBy("grp").agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-                ).alias("sum_q"),
-            )
+            correct = real_read(spark_, base).groupBy("grp").agg(*_agg_cols())
             st.commit(
                 correct, view, mode="overwrite",
                 txn=f"ivm@{st.current_version(base)}",
@@ -235,7 +247,7 @@ def test_ivm_refresh_survives_concurrent_refresh(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(st, "read_snapshot", real_read)
     # group a must count 2 rows summing 6.0 — NOT the double-applied 3/11
     assert _view(spark, view) == _recompute(spark, base)
-    assert _view(spark, view)["a"] == (2, 6_000_000)
+    assert _view(spark, view)["a"] == (2, 2, 6_000_000)
 
 
 def test_ivm_refresh_toctou_competitor_right_after_version_read(
@@ -265,14 +277,7 @@ def test_ivm_refresh_toctou_competitor_right_after_version_read(
             # the competitor applies the SAME deltas and publishes the
             # correct post-delta view before our commit lands
             correct = (
-                st.read_snapshot(spark, base)
-                .groupBy("grp")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(
-                        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-                    ).alias("sum_q"),
-                )
+                st.read_snapshot(spark, base).groupBy("grp").agg(*_agg_cols())
             )
             st.commit(
                 correct, view, mode="overwrite",
@@ -285,33 +290,31 @@ def test_ivm_refresh_toctou_competitor_right_after_version_read(
     monkeypatch.setattr(st, "current_version", real_cv)
     # the old double-read code double-applied rk=3: a -> (3, 11.0)
     assert _view(spark, view) == _recompute(spark, base)
-    assert _view(spark, view)["a"] == (2, 6_000_000)
+    assert _view(spark, view)["a"] == (2, 2, 6_000_000)
     assert mv.maintained_base_version(view) == st.current_version(base)
 
 
 # --- multi-aggregate (count+sum+min+max) stats view -----------------------
 
 
+def _stats_cols():
+    return _agg_cols() + [
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+
+
 def _recompute_stats(spark, base):
     snap = st.read_snapshot(spark, base)
     return {
-        (r.grp): (r.n_rows, r.sum_q, r.min_v, r.max_v)
-        for r in snap.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-            ).alias("sum_q"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-        )
-        .collect()
+        (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
+        for r in snap.groupBy("grp").agg(*_stats_cols()).collect()
     }
 
 
 def _stats_view(spark, view):
     return {
-        (r.grp): (r.n_rows, r.sum_q, r.min_v, r.max_v)
+        (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
         for r in st.read_snapshot(spark, view).collect()
     }
 
@@ -333,9 +336,9 @@ def test_stats_view_min_max_survive_retraction_of_the_extreme(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (1, 5_000_000, 5.0, 5.0)
+    assert got["a"] == (1, 1, 5_000_000, 5.0, 5.0)
     # b untouched by the retraction: merged monotonically, not recomputed
-    assert got["b"] == (1, 2_000_000, 2.0, 2.0)
+    assert got["b"] == (1, 1, 2_000_000, 2.0, 2.0)
 
 
 def test_stats_view_insert_only_refresh_merges_monotonically(spark, tmp_path):
@@ -346,8 +349,8 @@ def test_stats_view_insert_only_refresh_merges_monotonically(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (2, 4_000_000, 1.0, 3.0)
-    assert got["b"] == (1, 7_000_000, 7.0, 7.0)  # brand-new group
+    assert got["a"] == (2, 2, 4_000_000, 1.0, 3.0)
+    assert got["b"] == (1, 1, 7_000_000, 7.0, 7.0)  # brand-new group
 
 
 def test_stats_view_idempotent_and_noop(spark, tmp_path):
@@ -377,7 +380,13 @@ def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
 
         def fresh(n, grps=("a", "b", "c")):
             rows = [
-                (next_rk[0] + i, rng.choice(grps), round(rng.uniform(0, 9), 3))
+                (
+                    next_rk[0] + i,
+                    rng.choice(grps),
+                    None
+                    if rng.random() < 0.25
+                    else round(rng.uniform(0, 9), 3),
+                )
                 for i in range(n)
             ]
             next_rk[0] += n
@@ -394,8 +403,13 @@ def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
                     r.rk for r in st.read_snapshot(spark, base).collect()
                 ]
                 upd = [
-                    (rk, rng.choice(("a", "b", "c")),
-                     round(rng.uniform(0, 9), 3))
+                    (
+                        rk,
+                        rng.choice(("a", "b", "c")),
+                        None
+                        if rng.random() < 0.25
+                        else round(rng.uniform(0, 9), 3),
+                    )
                     for rk in rng.sample(existing, min(2, len(existing)))
                 ]
                 st.merge_upsert(_kv(spark, upd), base, key="rk")
@@ -439,14 +453,7 @@ def test_stats_view_refresh_survives_concurrent_refresh(
             correct = (
                 st.read_snapshot(spark, base)
                 .groupBy("grp")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(
-                        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
-                    ).alias("sum_q"),
-                    F.min("v").alias("min_v"),
-                    F.max("v").alias("max_v"),
-                )
+                .agg(*_stats_cols())
             )
             st.commit(
                 correct, view, mode="overwrite",
@@ -459,7 +466,7 @@ def test_stats_view_refresh_survives_concurrent_refresh(
     monkeypatch.setattr(st, "current_version", real_cv)
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (3, 15_000_000, 1.0, 9.0)
+    assert got["a"] == (3, 3, 15_000_000, 1.0, 9.0)
 
 
 def test_stats_view_retracting_one_of_a_duplicated_extreme(spark, tmp_path):
@@ -476,7 +483,7 @@ def test_stats_view_retracting_one_of_a_duplicated_extreme(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (2, 9_000_000, 1.0, 8.0)  # min survives
+    assert got["a"] == (2, 2, 9_000_000, 1.0, 8.0)  # min survives
 
 
 def test_stats_view_upsert_moves_extreme_between_groups(spark, tmp_path):
@@ -492,8 +499,8 @@ def test_stats_view_upsert_moves_extreme_between_groups(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (1, 2_000_000, 2.0, 2.0)  # max 9.0 left the group
-    assert got["b"] == (2, 6_000_000, 1.0, 5.0)  # new min arrived
+    assert got["a"] == (1, 1, 2_000_000, 2.0, 2.0)  # max 9.0 left the group
+    assert got["b"] == (2, 2, 6_000_000, 1.0, 5.0)  # new min arrived
 
 
 def test_stats_view_refresh_plan_semi_joins_touched_groups(
@@ -558,7 +565,7 @@ def test_stats_view_hypothesis_sequences_match_recompute(spark, tmp_path):
                     hst.tuples(
                         hst.sampled_from(["a", "b"]),
                         # tiny value domain: extremes collide on purpose
-                        hst.sampled_from([0.0, 1.0, 1.0, 2.5, -3.0]),
+                        hst.sampled_from([0.0, 1.0, 1.0, 2.5, -3.0, None]),
                     ),
                     min_size=1,
                     max_size=3,
@@ -718,7 +725,7 @@ def test_refresh_spans_additive_base_schema_evolution(spark, tmp_path):
     mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
-    assert got["a"] == (2, 8_000_000, 1.0, 7.0)
+    assert got["a"] == (2, 2, 8_000_000, 1.0, 7.0)
 
 
 def test_vacuumed_maintenance_history_fails_loudly(spark, tmp_path):
@@ -753,3 +760,78 @@ def test_txn_marker_forgotten_past_retention_floor(spark, tmp_path):
     assert st._txn_version(base, "job@1") == 0
     st.vacuum(base, keep_versions=1)  # manifests v0, v1 expired
     assert st._txn_version(base, "job@1") is None
+
+
+# --- SQL NULL-measure semantics (n_vals third aggregate) -------------------
+
+
+def test_agg_view_null_measures_follow_sql_sum(spark, tmp_path):
+    """SUM over a group whose values are all NULL must surface NULL —
+    incrementally: a group can be born all-NULL, gain a value (sum
+    appears), and lose it again (sum returns to NULL), with the stored
+    view bit-identical to a recompute at every step."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", None), (2, "a", None), (3, "b", 1.5),
+                    (4, "b", None)]),
+        base,
+    )
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    assert _view(spark, view) == _recompute(spark, base)
+    decoded = {
+        r.grp: (r.n_rows, r.n_vals, r.value_sum)
+        for r in mv.read_agg_view(spark, view).collect()
+    }
+    assert decoded["a"] == (2, 0, None)  # SQL: SUM of no values is NULL
+    assert decoded["b"] == (2, 1, 1.5)  # NULL contributed nothing
+
+    # the all-NULL group gains its first value -> sum appears
+    st.commit(_kv(spark, [(5, "a", 4.25)]), base, mode="append")
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _view(spark, view) == _recompute(spark, base)
+    decoded = {
+        r.grp: r.value_sum for r in mv.read_agg_view(spark, view).collect()
+    }
+    assert decoded["a"] == 4.25
+
+    # ...and loses it again -> sum reverts to NULL, rows remain
+    snap = st.read_snapshot(spark, base).filter("rk <> 5")
+    st.commit(snap, base, mode="overwrite")
+    mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _view(spark, view) == _recompute(spark, base)
+    decoded = {
+        r.grp: (r.n_rows, r.value_sum)
+        for r in mv.read_agg_view(spark, view).collect()
+    }
+    assert decoded["a"] == (2, None)
+
+
+def test_stats_view_all_null_group_has_null_extremes(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", None), (2, "b", 3.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (1, 0, 0, None, None)
+    row = {
+        r.grp: r.value_sum for r in mv.read_stats_view(spark, view).collect()
+    }
+    assert row["a"] is None and row["b"] == 3.0
+
+
+def test_stats_view_null_retraction_keeps_group_unretracted(spark, tmp_path):
+    """Deleting a NULL-valued row cannot dislodge MIN/MAX (they ignore
+    NULLs), so the refresh marks no group retracted — the recompute
+    fallback's touched-group set is empty at runtime — and the merged
+    view still matches a recompute exactly."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", None), (2, "a", 2.0), (3, "a", 8.0)]), base
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    snap = st.read_snapshot(spark, base).filter("rk <> 1")
+    st.commit(snap, base, mode="overwrite")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got == _recompute_stats(spark, base)
+    assert got["a"] == (2, 2, 10_000_000, 2.0, 8.0)
