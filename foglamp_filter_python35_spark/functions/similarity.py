@@ -195,23 +195,36 @@ def _np_bands_udf(planes: list[list[float]], bits_per_band: int) -> object:
     that wins.  Sign agreement with the exact fold differs only for
     dots within rounding error of 0 — measure-zero for real-valued
     random hyperplanes, and fast mode is tolerance-bearing by
-    contract."""
-    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, planes)
+    contract.
+
+    Degenerate rows mirror the exact fold EXACTLY: a NULL or
+    dimension-mismatched vector has NULL plane dots there, and
+    ``when(d >= 0, 1).otherwise(0)`` turns a NULL dot into bit 0 — so
+    such rows surface ALL-ZERO band values (bucketing with genuine
+    all-negative-dot rows), never a NULL array and never a task crash.
+    Remainder planes (``len(planes) % bits_per_band``) are dropped in
+    both modes."""
     n_bands = len(planes) // bits_per_band
+    plane_mat = np.asarray(
+        planes[: n_bands * bits_per_band], dtype=np.float64
+    ).T  # (dim, used planes)
     weights = 1 << np.arange(bits_per_band, dtype=np.int32)
+    zero_row = np.zeros(n_bands, dtype=np.int32)
 
     @F.pandas_udf("array<int>")
     def np_bands(vec: pd.Series) -> pd.Series:
         def row_fallback(x):
-            if x is None:
-                return None
+            if x is None or len(x) != plane_mat.shape[0]:
+                return zero_row  # exact path: NULL dots -> all bits 0
             d = np.asarray(x, dtype=np.float64) @ plane_mat
             bits = (d >= 0).astype(np.int32)
             return bits.reshape(n_bands, bits_per_band) @ weights
 
         try:
             v = np.stack(vec.to_numpy()).astype(np.float64)
-            if v.shape[1] != plane_mat.shape[0]:
+            # an all-NULL batch stacks to a 1-D object array — ndim
+            # check routes it to the row fallback like any ragged batch
+            if v.ndim != 2 or v.shape[1] != plane_mat.shape[0]:
                 raise ValueError
             bits = (v @ plane_mat >= 0).astype(np.int32)
             vals = bits.reshape(len(v), n_bands, bits_per_band) @ weights
@@ -370,10 +383,11 @@ def cosine_pairs(
 
 def ivf_cell_pairs(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with IVF coarse-quantizer pruning +
     exact cosine verify — the scale path for all-pairs similarity.
@@ -386,8 +400,18 @@ def ivf_cell_pairs(
     recall, bigger buckets).  At 100 TB the assignment is a precomputed
     stored column and the corpus is partitioned by cid, so the pair join
     is partition-local; a jumbo cell is handled by salting the verify or
-    splitting the centroid, not by widening the join."""
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    splitting the centroid, not by widening the join.
+
+    ``assign`` is that stored-column path made explicit: pass a
+    precomputed ``(id_col, cid)`` assignment (e.g. persisted at ingest)
+    and the coarse quantization is skipped entirely — ``centroids`` may
+    then be None.  The recurring dedup pass pays only the cell-local
+    pair join + exact verify (measured in SCALE.md's round-6 probe:
+    100x vectors in 22.8x wall)."""
+    if assign is None:
+        if centroids is None:
+            raise ValueError("ivf_cell_pairs needs centroids or assign")
+        assign = ivf_assign(emb, centroids, id_col, vec_col)
     # the cell join multiplies rows by cell volume — keep it ids-only and
     # fetch vectors + precomputed norms per side afterwards (one dot
     # product per pair instead of three; sqrt is IEEE-exact so the score

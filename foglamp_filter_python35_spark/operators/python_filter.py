@@ -95,7 +95,10 @@ def _estimated_bytes(df: DataFrame) -> int:
     try:
         from py4j.protocol import Py4JError  # noqa: PLC0415
     except ImportError:  # pragma: no cover — py4j ships with pyspark
-        Py4JError = ()  # type: ignore[assignment]
+        # a never-raised placeholder class: an empty tuple nested inside
+        # the except spec would itself raise TypeError at catch time
+        class Py4JError(Exception):  # type: ignore[no-redef]
+            pass
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

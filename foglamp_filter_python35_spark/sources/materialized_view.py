@@ -75,6 +75,21 @@ def _decode_sum(df: DataFrame) -> DataFrame:
     )
 
 
+def _require_ivm_schema(
+    df: DataFrame, view_path: str, rebuild: str
+) -> DataFrame:
+    """Catch stored views written by the pre-``n_vals`` version of this
+    module with an actionable error (the raw alternative is an
+    UNRESOLVED_COLUMN AnalysisException deep inside the merge plan)."""
+    if "n_vals" not in df.columns:
+        raise ValueError(
+            f"{view_path!r} predates NULL-sum maintenance (stored columns"
+            f" {df.columns} lack n_vals, the non-NULL value count) —"
+            f" rebuild it with {rebuild}()"
+        )
+    return df
+
+
 def _signed(change_col: str):
     return F.when(
         F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
@@ -211,7 +226,11 @@ def refresh_agg_view(
                 ).alias("d_sum_q"),
             )
         )
-        old = st.read_snapshot(spark, view_path, version=view_v)
+        old = _require_ivm_schema(
+            st.read_snapshot(spark, view_path, version=view_v),
+            view_path,
+            "create_agg_view",
+        )
         merged = (
             old.join(deltas, keys, "full_outer")
             .select(
@@ -250,7 +269,11 @@ def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The view with the quantized sum decoded back to a double (one
     deterministic division); ``value_sum`` is NULL for groups whose
     values are all NULL (SQL SUM semantics)."""
-    return _decode_sum(st.read_snapshot(spark, view_path))
+    return _decode_sum(
+        _require_ivm_schema(
+            st.read_snapshot(spark, view_path), view_path, "create_agg_view"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +394,11 @@ def refresh_stats_view(
                 .alias("retracted"),
             )
         )
-        old = st.read_snapshot(spark, view_path, version=view_v)
+        old = _require_ivm_schema(
+            st.read_snapshot(spark, view_path, version=view_v),
+            view_path,
+            "create_stats_view",
+        )
         merged = (
             old.join(deltas, keys, "full_outer")
             .select(
@@ -449,4 +476,8 @@ def read_stats_view(spark: SparkSession, view_path: str) -> DataFrame:
     (min/max are stored raw — order-independent selections need no
     quantization); ``value_sum`` is NULL for all-NULL groups, matching
     the NULL min/max those groups already carry."""
-    return _decode_sum(st.read_snapshot(spark, view_path))
+    return _decode_sum(
+        _require_ivm_schema(
+            st.read_snapshot(spark, view_path), view_path, "create_stats_view"
+        )
+    )

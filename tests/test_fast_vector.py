@@ -130,3 +130,63 @@ def test_fast_lsh_near_dups_same_pairs(spark):
         }
     assert exact == fast
     assert exact  # non-vacuous
+
+
+def test_fast_sketch_null_and_ragged_rows_match_exact(spark):
+    """Degenerate vectors (NULL, wrong dimensionality) must produce the
+    SAME band values in both modes: the exact fold turns their NULL
+    plane dots into bit 0 via when/otherwise, so fast mode must emit
+    all-zero bands too — not a NULL array, and never a task crash."""
+    planes = S.random_hyperplanes(8, 3)
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.2, 0.9]),
+            (2, None),  # NULL vector
+            (3, [1.0, 2.0]),  # too short
+            (4, [1.0, 2.0, 3.0, 4.0]),  # too long
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    exact_df = df.select(
+        "vec_id", S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b")
+    )
+    exact = {r.vec_id: list(r.b) for r in exact_df.collect()}
+    with S.fast_vector_mode():
+        fast = {
+            r.vec_id: list(r.b)
+            for r in df.select(
+                "vec_id",
+                S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b"),
+            ).collect()
+        }
+    assert exact == fast
+    assert exact[2] == [0, 0]  # NULL row: all-zero bands, both modes
+    assert exact[3] == [0, 0] and exact[4] == [0, 0]
+
+
+def test_fast_sketch_drops_remainder_planes_like_exact(spark):
+    """len(planes) % bits_per_band != 0: the exact loop silently uses
+    only the first n_bands*bits planes; the fast matmul must truncate
+    identically instead of dying in reshape."""
+    planes = S.random_hyperplanes(10, 3)  # 10 planes, bits=4 -> 2 bands
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.9]), (2, [-1.0, 0.3, 0.1])],
+        "vec_id int, embedding array<double>",
+    )
+    exact = {
+        r.vec_id: list(r.b)
+        for r in df.select(
+            "vec_id",
+            S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b"),
+        ).collect()
+    }
+    with S.fast_vector_mode():
+        fast = {
+            r.vec_id: list(r.b)
+            for r in df.select(
+                "vec_id",
+                S.rp_lsh_sketch(F.col("embedding"), planes, 4).alias("b"),
+            ).collect()
+        }
+    assert exact == fast
+    assert all(len(v) == 2 for v in exact.values())

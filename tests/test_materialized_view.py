@@ -835,3 +835,31 @@ def test_stats_view_null_retraction_keeps_group_unretracted(spark, tmp_path):
     got = _stats_view(spark, view)
     assert got == _recompute_stats(spark, base)
     assert got["a"] == (2, 2, 10_000_000, 2.0, 8.0)
+
+
+def test_pre_nvals_view_fails_with_actionable_error(spark, tmp_path):
+    """A view stored by the pre-n_vals module version must fail loudly
+    with a rebuild hint on read AND refresh — not with an
+    UNRESOLVED_COLUMN AnalysisException from inside the merge plan."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0)]), base)
+    # hand-write an old-schema view (n_rows, sum_q only) with the marker
+    old_schema = (
+        st.read_snapshot(spark, base)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_q"),
+        )
+    )
+    st.commit(old_schema, view, mode="overwrite", txn="ivm@0")
+    st.commit(_kv(spark, [(2, "b", 2.0)]), base, mode="append")
+
+    with pytest.raises(ValueError, match="create_agg_view"):
+        mv.read_agg_view(spark, view)
+    with pytest.raises(ValueError, match="create_agg_view"):
+        mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
+    with pytest.raises(ValueError, match="create_stats_view"):
+        mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")

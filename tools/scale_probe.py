@@ -161,38 +161,16 @@ def _assigned_semantic(spark, d: str, mult: int):
     from pyspark.sql import functions as F
 
     from foglamp_filter_python35_spark.catalog import load
+    from foglamp_filter_python35_spark.functions import similarity as S
     from foglamp_filter_python35_spark.functions.dedup import (
         connected_components_star,
     )
-    from foglamp_filter_python35_spark.functions.similarity import dot, norm
 
     emb = load(spark, d, "embeddings")
-    assign = _ASSIGN_MEMO[(d, _LINEAR_IVF_CELLS[mult])]
-    a = assign.select(F.col("vec_id").alias("id_a"), "cid")
-    b = assign.select(F.col("vec_id").alias("id_b"), "cid")
-    cand = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
-    va = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("norm_a"),
-    )
-    vb = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("norm_b"),
-    )
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.try_divide(
-                dot(F.col("va"), F.col("vb")),
-                F.col("norm_a") * F.col("norm_b"),
-            ).alias("score"),
-        )
-        .filter(F.col("score") >= 0.4)
+    # the operator itself, with the coarse quantization swapped for the
+    # stored assignment column — same code path a deployment runs
+    pairs = S.ivf_cell_pairs(
+        emb, None, 0.4, assign=_ASSIGN_MEMO[(d, _LINEAR_IVF_CELLS[mult])]
     )
     comp = connected_components_star(pairs)
     return comp.agg(
@@ -227,9 +205,15 @@ TUNED_PROBES: dict = {
 def _build(spark) -> None:
     from pyspark.sql import functions as F
 
-    mults = sorted({m for _, ms in PROBES.values() for m in ms})
+    # coverage must span BOTH probe maps: the tuned/assigned variants
+    # run embeddings at x100 even though the fixed-parameter probe
+    # stops at x10
+    coverage = [(t, ms) for t, ms in PROBES.values()] + [
+        (t, ms) for t, ms, _, _ in TUNED_PROBES.values()
+    ]
+    mults = sorted({m for _, ms in coverage for m in ms})
     tables_at: dict[str, int] = {}
-    for table, ms in PROBES.values():
+    for table, ms in coverage:
         tables_at[table] = max(tables_at.get(table, 0), max(ms))
 
     for mult in mults:
