@@ -72,11 +72,25 @@ class BatchReject(Exception):
 
 
 # Skip the pre-mapInPandas spreading shuffle below this optimizer size
-# estimate (~a few 10k-row Arrow batches of reading rows): for small
-# inputs the shuffle's fixed cost exceeds the serial-processing cost it
-# would save (the reference processes one batch per call on one thread,
-# plugin.cpp:284-287 — small batches are its home turf).
-_REPARTITION_MIN_BYTES = 8 * 1024 * 1024
+# estimate: for small inputs the shuffle's fixed cost exceeds the serial
+# processing it would save (the reference processes one batch per call on
+# one thread, plugin.cpp:284-287 — small batches are its home turf).
+#
+# Tuned by a round-6 A/B on single-file parquet micro-batches (the
+# streaming-probe shape, where the source gives ONE partition): 100k
+# reading rows (~2 MB parquet) ran 61k rows/s serial vs 134-162k
+# repartitioned; 10k rows ran 34k rows/s serial vs 24k repartitioned —
+# crossover ~15-25k rows.  Parquet footer bytes UNDERESTIMATE in-memory
+# size ~5-10x (map columns compress well), so the byte threshold is set
+# for compressed-scan estimates; the misclassification risk is
+# asymmetric (serial on a big batch loses unboundedly, a wasted shuffle
+# on a small one loses a bounded ~0.1 s), so err low.
+_REPARTITION_MIN_BYTES = 1 * 1024 * 1024
+# One Python task per ~256 KB of estimated input (~10-25k reading rows):
+# at 2 MB the A/B measured 8 tasks beating 32 (0.62 s vs 0.75 s — fewer,
+# fuller Arrow batches win until the data outgrows the task count);
+# unknown/huge estimates cap at defaultParallelism.
+_REPARTITION_BYTES_PER_TASK = 256 * 1024
 
 
 def _estimated_bytes(df: DataFrame) -> int:
@@ -142,10 +156,15 @@ def run_python_filter(
     # it is gated on the optimizer's size estimate: below a few Arrow
     # batches (`maxRecordsPerBatch` = 10k rows) the serial path wins and
     # the shuffle (and even the .rdd partition probe) is skipped.
-    if not df.isStreaming and _estimated_bytes(df) >= _REPARTITION_MIN_BYTES:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+    if not df.isStreaming:
+        est = _estimated_bytes(df)
+        if est >= _REPARTITION_MIN_BYTES:
+            target = min(
+                df.sparkSession.sparkContext.defaultParallelism,
+                max(2, est // _REPARTITION_BYTES_PER_TASK),
+            )
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
 
     if set_filter_config is not None:
         # configure at plan-build time; the configured state is captured

@@ -299,10 +299,15 @@ def test_small_input_skips_spreading_shuffle(spark, monkeypatch, tmp_path):
     assert out.rdd.getNumPartitions() == 1
 
     # force the "large input" decision on the same frame: the spreading
-    # repartition must reappear
+    # repartition must reappear, sized to the estimate (a tiny frame
+    # gets the 2-task floor, not blanket defaultParallelism)
     monkeypatch.setattr(pf, "_REPARTITION_MIN_BYTES", 0)
     out_big = run_python_filter(df, scale_filter, FilterConfig(enable=True))
-    target = spark.sparkContext.defaultParallelism
+    est = pf._estimated_bytes(df)
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(2, est // pf._REPARTITION_BYTES_PER_TASK),
+    )
     assert out_big.rdd.getNumPartitions() == target
     # both plans produce identical rows — the gate is perf-only
     key = lambda r: (r["id"] or 0)
@@ -315,7 +320,11 @@ def test_small_input_skips_spreading_shuffle(spark, monkeypatch, tmp_path):
     local = make_readings(spark, base_rows()).coalesce(1)
     assert pf._estimated_bytes(local) >= pf._REPARTITION_MIN_BYTES
     out_local = run_python_filter(local, scale_filter, FilterConfig(enable=True))
-    assert out_local.rdd.getNumPartitions() == target
+    # unknown estimate (Long.Max) caps at defaultParallelism
+    assert (
+        out_local.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
 
 
 def test_estimated_bytes_fallback_is_narrow():
