@@ -204,63 +204,63 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  After round 5 every one of the 153 catalog
-# queries has at least one driver-green row (r1-r5 cumulative), so the
-# round-6 window (tools/rotate_window.py output) re-confirms the
-# LEAST-RECENTLY-verified greens: the r1/r2 dedup + smoothing rows and
-# the r3 relational block whose evidence is now three rounds old.
+# ``queries()`` each round.  Cumulative r1-r6 driver evidence covers all
+# 153 catalog queries, so the round-7 window (tools/rotate_window.py
+# output after CORRECTNESS_r06) re-confirms the 50 LEAST-RECENTLY-
+# verified greens: the three r3 relational stragglers plus the r4-era
+# embedding/IVF, multimodal, CC/dedup-heavy and corpus-pipeline blocks.
 # Queries not listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "dedup_exact",
-    "minhash_lsh_dedup",
-    "moving_average",
-    "scale35",
-    "python_filter_scale35",
-    "readings35_add100",
-    "asset_filter",
-    "payload_projection",
-    "empty_payload_drop",
-    "metadata_carry",
-    "type_coercion",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_segment",
-    "order_priority_semijoin",
-    "sessionization",
-    "hourly_event_rollup",
-    "rollup_revenue",
-    "set_ops_users",
-    "distinct_users",
-    "event_type_pivot",
-    "top_parts_by_revenue",
-    "asof_last_signup",
-    "value_band_join",
-    "customers_without_orders",
-    "cube_revenue",
-    "orders_above_cust_avg",
-    "skewed_asset_rollup",
-    "shipping_priority",
-    "forecast_revenue",
-    "event_funnel",
-    "top_suppliers",
-    "returned_items",
-    "priority_by_linestatus",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "important_parts",
-    "custdist",
-    "promo_revenue",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_filter",
-    "sales_opportunity",
-    "props_json_stats",
-    "revenue_deciles",
-    "name_fuzzy_match",
-    "grouping_sets_revenue",
-    "value_histogram",
-    "retention_cohorts",
+    "latest_event_per_user",  # green r3
+    "waiting_suppliers",  # green r3
+    "min_cost_supplier",  # green r3
+    "dominant_part_suppliers",  # green r4
+    "salted_enrich_rollup",  # green r4
+    "column_profile",  # green r4
+    "snapshot_diff",  # green r4
+    "weekday_hour_heatmap",  # green r4
+    "parts_supplier_counts",  # green r4
+    "median_filter",  # green r4
+    "ema_smooth",  # green r4
+    "deadband_chunked",  # green r4
+    "ngram_jaccard_pairs",  # green r4
+    "doc_containment",  # green r4
+    "simhash_dedup",  # green r4
+    "dedup_clusters",  # green r4
+    "dedup_apply",  # green r4
+    "dedup_ensemble",  # green r4
+    "embedding_norm_outliers",  # green r4
+    "embedding_topk",  # green r4
+    "embedding_cosine_dup",  # green r4
+    "embedding_ivf_topk",  # green r4
+    "embedding_knn_join",  # green r4
+    "embedding_lsh_dup",  # green r4
+    "embedding_centroids",  # green r4
+    "embedding_quantize",  # green r4
+    "semantic_dedup",  # green r4
+    "knn_label_purity",  # green r4
+    "embedding_dim_stats",  # green r4
+    "ivf_cell_histogram",  # green r4
+    "multimodal_dedup",  # green r4
+    "multimodal_meta",  # green r4
+    "multimodal_features",  # green r4
+    "multimodal_resize",  # green r4
+    "multimodal_frames",  # green r4
+    "domain_quota_sample",  # green r4
+    "incremental_dedup",  # green r4
+    "sliding_window_rate",  # green r4
+    "bm25_retrieval",  # green r4
+    "token_pmi",  # green r4
+    "text_normalize",  # green r4
+    "conversion_latency",  # green r4
+    "error_burst_join",  # green r4
+    "weighted_sample",  # green r4
+    "lang_mix_gini",  # green r4
+    "dup_rate_by_source",  # green r4
+    "split_leakage",  # green r4
+    "vocab_coverage",  # green r4
+    "ngram_novelty",  # green r4
+    "corpus_pipeline_e2e",  # green r4
 )
 
 

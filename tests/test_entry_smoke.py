@@ -34,10 +34,11 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    After round 5 every catalog query has at least one driver-green row,
-    so the round-6 window re-confirms the LEAST-recently-verified greens
-    (r1 dedup/smoothing rows + the r3 relational block).  Guard the
-    ordering so an innocent module reshuffle can't silently evict them."""
+    Cumulative r1-r6 evidence covers all 153 queries, so the round-7
+    window re-confirms the LEAST-recently-verified greens (the r3
+    relational stragglers + the r4-era vector/multimodal/dedup-heavy
+    blocks).  Guard the ordering so an innocent module reshuffle can't
+    silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -47,13 +48,16 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r1": ("dedup_exact", "minhash_lsh_dedup", "moving_average"),
-        "events-r3": ("scale35", "python_filter_scale35", "sessionization",
-                      "hourly_event_rollup"),
-        "tpch-r3": ("pricing_summary", "revenue_by_nation", "market_share",
-                    "promo_revenue", "shipping_priority"),
-        "shape-r3": ("cube_revenue", "grouping_sets_revenue",
-                     "retention_cohorts", "revenue_deciles"),
+        "stale-r3": ("latest_event_per_user", "waiting_suppliers",
+                     "min_cost_supplier"),
+        "vector-r4": ("embedding_lsh_dup", "semantic_dedup",
+                      "embedding_ivf_topk", "embedding_knn_join"),
+        "multimodal-r4": ("multimodal_dedup", "multimodal_meta",
+                          "multimodal_frames"),
+        "dedup-r4": ("dedup_clusters", "dedup_apply", "dedup_ensemble",
+                     "simhash_dedup"),
+        "pipeline-r4": ("corpus_pipeline_e2e", "salted_enrich_rollup",
+                        "split_leakage"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
