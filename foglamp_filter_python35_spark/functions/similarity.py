@@ -69,7 +69,18 @@ class fast_vector_mode:  # noqa: N801 — context-manager, used as a function
 def _np_dot_udf() -> object:
     """Arrow-batched numpy dot: one stacked einsum per batch when dims
     are uniform (the corpus contract), per-row fallback handling NULLs
-    and ragged dims with the exact path's NULL-propagation semantics."""
+    and ragged dims with the exact path's NULL-propagation semantics.
+
+    Corrupt-vector contract (measured, pinned by
+    tests/test_fast_vector.py): Arrow delivers a NULL *element* inside a
+    correctly-dimensioned float vector as NaN — indistinguishable from a
+    genuine NaN element — so the kernel canonicalizes every NaN dot to
+    NULL explicitly (nullable Float64 return, not the serializer's
+    nan-as-null default).  Downstream ``score >= threshold`` filters
+    therefore DROP corrupt rows in fast mode.  The exact fold yields
+    NULL for a NULL element but NaN for a NaN element, and Spark orders
+    NaN above all doubles, so the exact path *accepts* NaN-element rows
+    — fast mode's NULL is the safe side of that divergence."""
 
     @F.pandas_udf("double")
     def np_dot(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -78,9 +89,9 @@ def _np_dot_udf() -> object:
             bv = np.stack(b.to_numpy()).astype(np.float64)
             if av.shape != bv.shape:
                 raise ValueError
-            return pd.Series(np.einsum("ij,ij->i", av, bv))
+            res = np.einsum("ij,ij->i", av, bv)
         except (ValueError, TypeError):
-            out = [
+            res = [
                 float(
                     np.asarray(x, dtype=np.float64)
                     @ np.asarray(y, dtype=np.float64)
@@ -89,7 +100,13 @@ def _np_dot_udf() -> object:
                 else None
                 for x, y in zip(a, b)
             ]
-            return pd.Series(out, dtype="float64")
+        # canonicalize: None (fallback) -> NaN -> explicit <NA> mask ->
+        # Spark NULL.  An explicit nullable mask, not the serializer's
+        # nan-as-null default, so the contract survives Arrow upgrades.
+        resf = np.asarray(res, dtype=np.float64)
+        out = pd.array(resf, dtype="Float64")
+        out[np.isnan(resf)] = pd.NA
+        return pd.Series(out)
 
     return np_dot
 
@@ -102,7 +119,15 @@ def dot(a: Column, b: Column) -> Column:
     Mismatched dimensions propagate as NULL in both modes (zip_with pads
     the shorter side) — downstream score filters drop such rows rather
     than crash; audit with a ``size(a) != size(b)`` check when corpus
-    hygiene is in question (e.g. mixed embedding-model versions)."""
+    hygiene is in question (e.g. mixed embedding-model versions).
+
+    Corrupt elements: a NULL element yields NULL in both modes; a NaN
+    element yields NULL in fast mode (the kernel canonicalizes NaN dots
+    to NULL — Arrow can't distinguish the two) but NaN in exact mode,
+    which Spark orders ABOVE all doubles, so exact-mode ``score >=
+    threshold`` filters accept such rows.  Audit NaN elements with
+    ``exists(v, x -> isnan(x))`` when corpus hygiene is in question;
+    see ``_np_dot_udf`` and tests/test_fast_vector.py."""
     if _FAST:
         return _np_dot_udf()(a, b)
     return F.aggregate(
@@ -451,29 +476,55 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantization: assign every vector to its max-cosine centroid
-    (broadcast centroids; deterministic tie-break on centroid id).
+    (broadcast centroids; deterministic tie-break on the LOWEST cid).
 
     ``centroids`` must have columns (cid, cv).  Returns (id, cid).
     At 100 TB this is the partitioner: downstream searches touch one cell
     (or a probe list) instead of the whole corpus.
+
+    Numeric cids take the hash-aggregate argmax (partial-aggregatable —
+    the scale path); any other orderable cid type (string labels, ...)
+    falls back to the window form, which is semantically identical but
+    shuffle-sorts the n x k scored rows (ADVICE r6: the negated-cid
+    trick in the aggregate is numeric-only, and Spark 4 ANSI mode makes
+    that a hard error rather than a silent wrong tie-break).
     """
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("cid"),
         cosine(F.col(vec_col), F.col("cv")).alias("cscore"),
     )
-    # argmax as a hash aggregate, not a window: max_by over
-    # (cscore, -cid) picks the max-cosine centroid with ties broken on
-    # the LOWEST cid — bit-identical to ordering by (cscore DESC, cid)
-    # and taking row 1, but partial-aggregatable: map-side combine
-    # collapses the n x k scored rows to n rows BEFORE the shuffle,
-    # where the window form shuffle-sorts all n x k rows.  At n=200k,
-    # k=1600 (the scale-probe's cells-proportional-to-n point) this is
-    # the difference between shuffling 320M rows and 200k.
-    return scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col("cid"), F.struct(F.col("cscore"), -F.col("cid"))
-        ).alias("cid")
+    if isinstance(centroids.schema["cid"].dataType, NumericType):
+        # argmax as a hash aggregate, not a window: max_by over
+        # (cscore, -cid) picks the max-cosine centroid with ties broken
+        # on the LOWEST cid — bit-identical to ordering by
+        # (cscore DESC, cid) and taking row 1, but partial-aggregatable:
+        # map-side combine collapses the n x k scored rows to n rows
+        # BEFORE the shuffle, where the window form shuffle-sorts all
+        # n x k rows.  At n=200k, k=1600 (the scale-probe's
+        # cells-proportional-to-n point) this is the difference between
+        # shuffling 320M rows and 200k.  NULL cscores (zero-norm
+        # vectors) lose to any non-null score in struct ordering, and an
+        # all-NULL group still tie-breaks to the lowest cid.
+        return scored.groupBy(id_col).agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cscore"), -F.col("cid"))
+            ).alias("cid")
+        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # type-agnostic fallback: desc is nulls-last, so NULL cscores lose
+    # and an all-NULL group falls to the lowest cid — same contract as
+    # the aggregate path above
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
     )
 
 

@@ -96,7 +96,9 @@ def _signed(change_col: str):
     ).otherwise(F.lit(-1))
 
 
-def _maintained_base_at(view_path: str, view_version: int) -> int | None:
+def _maintained_base_at(
+    view_path: str, view_version: int, rebuild: str = "create_agg_view"
+) -> int | None:
     """The base-table version the view reflected AS OF ``view_version``
     (newest ``ivm@N`` commit marker at or below that version).  Taking
     the view version as an explicit argument lets the refresh derive the
@@ -120,7 +122,7 @@ def _maintained_base_at(view_path: str, view_version: int) -> int | None:
                 f"{view_path!r}: no ivm@N marker between the retention "
                 f"floor (manifest v{i} vacuumed) and view version "
                 f"{view_version}; the view's maintenance history was "
-                "expired — rebuild it with create_agg_view()"
+                f"expired — rebuild it with {rebuild}()"
             ) from None
         txn = m.get("txn")
         if txn and txn.startswith("ivm@"):
@@ -353,7 +355,9 @@ def refresh_stats_view(
             raise FileNotFoundError(
                 f"{view_path!r} is not an ivm view (no committed version)"
             )
-        last = _maintained_base_at(view_path, view_v)
+        last = _maintained_base_at(
+            view_path, view_v, rebuild="create_stats_view"
+        )
         if last is None:
             raise FileNotFoundError(
                 f"{view_path!r} is not an ivm view (no ivm@N marker)"

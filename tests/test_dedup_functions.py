@@ -383,3 +383,28 @@ def test_ivf_assign_argmax_ties_pick_lowest_cid(spark):
     assert got[12] == 2  # 45 degrees to both axes: three-way tie -> 2
     # every vector is assigned exactly once
     assert sorted(got) == [10, 11, 12]
+
+
+def test_ivf_assign_string_cids_use_window_fallback(spark):
+    """ADVICE r6: the negated-cid tie-break in the hash-aggregate argmax
+    is numeric-only — under Spark 4 ANSI mode a string cid would be a
+    hard error.  Non-numeric cids route to the window form with the same
+    contract: max cosine wins, ties break to the LOWEST cid (string
+    ordering)."""
+    from foglamp_filter_python35_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [("e", [1.0, 0.0]), ("b", [1.0, 0.0]), ("z", [0.0, 1.0])],
+        "cid string, cv array<float>",
+    )
+    got = {r.vec_id: r.cid for r in ivf_assign(emb, cents).collect()}
+    assert got[10] == "b"  # tie between "e" and "b" -> lowest string cid
+    assert got[11] == "z"  # clear max-cosine winner
+    assert got[12] == "b"  # three-way tie -> "b"
+    assert sorted(got) == [10, 11, 12]

@@ -96,6 +96,46 @@ def test_null_and_ragged_rows_propagate_null(spark):
     assert exact[2] is None and exact[3] is None
 
 
+def test_corrupt_element_contract(spark):
+    """ADVICE r6: a NULL *element* inside a correctly-dimensioned vector.
+
+    Arrow delivers it to the fast kernel as NaN (indistinguishable from a
+    genuine NaN element), so fast mode canonicalizes NaN dots to NULL —
+    ``score >= threshold`` filters then DROP corrupt rows.  Exact mode:
+    NULL element -> NULL (agrees), NaN element -> NaN, which Spark orders
+    above all doubles (the documented divergence — exact mode accepts
+    NaN-element rows)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 3.0], [1.0, 2.0, 3.0]),  # NULL element
+            (2, [1.0, float("nan"), 3.0], [1.0, 2.0, 3.0]),  # NaN element
+            (3, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),  # clean: 14.0
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    def sel():
+        # mode is bound when the expression is BUILT, not collected
+        return df.select(
+            "i",
+            S.dot("a", "b").alias("d"),
+            (S.dot("a", "b") >= F.lit(0.0)).alias("passes"),
+        )
+
+    with S.fast_vector_mode():
+        fast = {r.i: r for r in sel().collect()}
+    assert fast[1].d is None and fast[1].passes is None  # dropped by filter
+    assert fast[2].d is None and fast[2].passes is None  # dropped by filter
+    assert fast[3].d == pytest.approx(14.0) and fast[3].passes is True
+    exact = {r.i: r for r in sel().collect()}
+    assert exact[1].d is None and exact[1].passes is None
+    # the documented exact-mode divergence: NaN element -> NaN score,
+    # and Spark's NaN-is-largest ordering lets it pass the filter
+    assert math.isnan(exact[2].d) and exact[2].passes is True
+    assert exact[3].d == pytest.approx(14.0)
+
+
 def test_fast_sketch_matches_exact_bands(spark):
     emb = load(spark, _SF, "embeddings").limit(100)
     planes = S.random_hyperplanes(16, 64)

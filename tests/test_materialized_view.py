@@ -749,6 +749,24 @@ def test_vacuumed_maintenance_history_fails_loudly(spark, tmp_path):
         mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
 
 
+def test_vacuumed_stats_history_names_stats_rebuild(spark, tmp_path):
+    """ADVICE r6: the retention-floor error reached via the STATS-view
+    refresh must hint `create_stats_view()` — the agg-view hint would
+    rebuild the wrong schema."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")  # view v0: ivm@0
+
+    snap = st.read_snapshot(spark, view)
+    st.commit(snap, view, mode="overwrite")  # v1, no ivm marker
+    st.commit(snap, view, mode="overwrite")  # v2, no ivm marker
+    st.vacuum(view, keep_versions=1)  # drops manifests v0 (ivm@0) and v1
+
+    st.commit(_kv(spark, [(3, "c", 3.0)]), base, mode="append")
+    with pytest.raises(FileNotFoundError, match="create_stats_view"):
+        mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+
+
 def test_txn_marker_forgotten_past_retention_floor(spark, tmp_path):
     """`_txn_version` stops at the retention floor instead of raising:
     idempotency markers older than the retained log are forgotten (the
