@@ -196,6 +196,75 @@ def knn_join(
     )
 
 
+# ---------------------------------------------------------------------------
+# Measured sketch-sizing rules (round-6 scale probe, SCALE.md "Round-6
+# measured scale probe") promoted to API defaults.  At a FIXED sketch
+# keyspace, candidate pairs grow O(n^2 / keyspace) — the probe measured
+# the catalog's pinned constants going quadratic at 10x data, while the
+# same operators with keyspace grown alongside n stayed flat-to-5x at
+# 100x.  The rules: sign-LSH keeps 4 bands and grows bits so the
+# expected band-bucket volume stays ~constant (2^bits ∝ n); IVF grows
+# the cell count so the expected cell volume stays ~constant
+# (cells ∝ n), with the assignment stored at ingest.  target volume 125
+# reproduces the probe's measured schedule exactly:
+# n=2k -> (16 planes, 4 bits) / 16 cells;  n=20k -> (32, 8) / 160;
+# n=200k -> (44, 11) / 1600.
+# ---------------------------------------------------------------------------
+
+_SKETCH_BANDS = 4
+_SKETCH_TARGET_VOLUME = 125
+
+
+def lsh_config(
+    n: int,
+    bands: int = _SKETCH_BANDS,
+    target_bucket: int = _SKETCH_TARGET_VOLUME,
+) -> tuple[int, int]:
+    """Size-derived sign-LSH config for a corpus of ``n`` vectors:
+    ``(n_planes, bits_per_band)`` with ``bands`` bands and the expected
+    band-bucket volume held at ``target_bucket`` (``2^bits ∝ n``).
+    Floor of 4 bits keeps tiny corpora on the catalog's oracle-pinned
+    constants.  This is ``rp_lsh_near_dups``'s default when no explicit
+    sketch parameters are passed."""
+    import math  # noqa: PLC0415
+
+    bits = max(4, math.ceil(math.log2(max(1.0, n / target_bucket))))
+    return bands * bits, bits
+
+
+def ivf_cell_count(
+    n: int, target_cell: int = _SKETCH_TARGET_VOLUME
+) -> int:
+    """Size-derived IVF cell count: ``cells ∝ n`` with the expected cell
+    volume held at ``target_cell`` — the stored-assignment deployment
+    shape (the in-cell pair join stays linear in n; the one-off O(n*k)
+    assignment is paid at ingest and persisted partitioned by cid).
+    Floor of 16 cells keeps tiny corpora on the catalog's oracle-pinned
+    constant."""
+    import math  # noqa: PLC0415
+
+    return max(16, math.ceil(n / target_cell))
+
+
+def seed_centroids(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer seed: the ``k`` lowest-id vectors
+    as (cid, cv) — the same seeding the catalog's k-means trainer and
+    the scale probe use.  Coarse quantization only needs an even-ish
+    partition of the corpus for candidate pruning (precision is exact —
+    recall is the tunable); swap in k-means-trained centroids
+    (``ivf_train_kmeans``) when cell balance matters."""
+    return (
+        emb.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42):
     """Deterministic random hyperplanes for sign-LSH, as plain Python
     lists — embedded as literals into BOTH the Spark plan and the DuckDB
@@ -285,12 +354,13 @@ def rp_lsh_sketch(
 def rp_lsh_near_dups(
     emb: DataFrame,
     threshold: float,
-    n_planes: int = 16,
-    bits_per_band: int = 4,
+    n_planes: int | None = None,
+    bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by random-hyperplane LSH + exact cosine
     verify — the LSH-bucketed alternative to IVF pruning.
@@ -301,10 +371,27 @@ def rp_lsh_near_dups(
     >= threshold.  Precision is exact; recall is tuned by
     n_planes/bits_per_band.  The all-pairs product is never formed.
 
-    Pass ``dim`` (the embedding dimensionality — config, known to any
-    real corpus) so plan construction launches no Spark job; omitting it
-    falls back to probing one row, a convenience for interactive use.
+    Sketch sizing defaults to the measured scale rule ``lsh_config(n)``
+    (``2^bits ∝ n``, 4 bands — SCALE.md round-6 probe: flat at 10x,
+    5.0x wall at 100x, where a fixed keyspace is quadratic).  Pass BOTH
+    ``n_planes`` and ``bits_per_band`` to pin an explicit sketch (the
+    catalog queries do, for oracle parity), or neither to size from the
+    corpus.
+
+    Pass ``dim`` (the embedding dimensionality) and ``n`` (the corpus
+    row count) — both config, known to any real corpus — so plan
+    construction launches no Spark job; omitting them falls back to a
+    probe row / a count job, a convenience for interactive use.
     """
+    if (n_planes is None) != (bits_per_band is None):
+        raise ValueError(
+            "pass both n_planes and bits_per_band (explicit sketch) or"
+            " neither (size-derived via lsh_config)"
+        )
+    if n_planes is None:
+        if n is None:
+            n = emb.count()
+        n_planes, bits_per_band = lsh_config(n)
     if dim is None:
         dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     planes = random_hyperplanes(n_planes, dim, seed)
@@ -413,6 +500,7 @@ def ivf_cell_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: DataFrame | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with IVF coarse-quantizer pruning +
     exact cosine verify — the scale path for all-pairs similarity.
@@ -432,10 +520,21 @@ def ivf_cell_pairs(
     and the coarse quantization is skipped entirely — ``centroids`` may
     then be None.  The recurring dedup pass pays only the cell-local
     pair join + exact verify (measured in SCALE.md's round-6 probe:
-    100x vectors in 22.8x wall)."""
+    100x vectors in 22.8x wall).
+
+    With BOTH ``centroids`` and ``assign`` omitted, the cell count is
+    sized from the corpus by the measured scale rule ``ivf_cell_count``
+    (``cells ∝ n`` — constant expected cell volume, so the pair join
+    stays linear in n) and centroids are the deterministic
+    ``seed_centroids`` pick; pass ``n`` (corpus row count — config at
+    any real deployment) to skip the sizing count job."""
     if assign is None:
         if centroids is None:
-            raise ValueError("ivf_cell_pairs needs centroids or assign")
+            if n is None:
+                n = emb.count()
+            centroids = seed_centroids(
+                emb, ivf_cell_count(n), id_col, vec_col
+            )
         assign = ivf_assign(emb, centroids, id_col, vec_col)
     # the cell join multiplies rows by cell volume — keep it ids-only and
     # fetch vectors + precomputed norms per side afterwards (one dot

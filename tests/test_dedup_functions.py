@@ -264,8 +264,11 @@ def test_builders_launch_no_jobs_at_plan_build(spark):
         D.minhash_lsh_near_dups(docs)
         D.ngram_jaccard_pairs(docs)
         D.simhash_near_dups(docs)
-        rp_lsh_near_dups(emb, threshold=0.5, dim=3)
+        # n, like dim, is config at any real deployment — passing it
+        # keeps the size-derived sketch defaults job-free at plan build
+        rp_lsh_near_dups(emb, threshold=0.5, dim=3, n=6)
         ivf_cell_pairs(emb, cents, 0.5)
+        ivf_cell_pairs(emb, None, 0.5, n=6)  # auto-sized quantizer
         _S.deadband_chunked(
             readings, "value", "event_type", ["ts", "event_id"], 10.0
         )

@@ -77,13 +77,27 @@ PROBES: dict[str, tuple[str, tuple[int, ...]]] = {
 # (2^bits tracks n); IVF: centroids grown ~sqrt(n) (the SemDeDup /
 # FAISS-IVF balance point: assignment O(n*k) vs in-cell pairs O(n^2/k)
 # meet at k ~ sqrt(n)).
-_TUNED_LSH_BITS = {1: 4, 10: 8, 100: 11}
+# Since round 7 the tuned schedules are DERIVED from the production
+# sizing API (similarity.lsh_config / ivf_cell_count over the known
+# replica counts) rather than hand-pinned — the probe now measures
+# exactly what a defaults-only caller gets.  The sqrt(n) IVF row stays
+# hand-pinned: it exists as the measured-inferior comparison point.
+_EMB_BASE_N = 2_000  # sf0.1 embeddings rows
+
+
+def _tuned_lsh_bits(mult: int) -> int:
+    from foglamp_filter_python35_spark.functions import similarity as S
+
+    return S.lsh_config(_EMB_BASE_N * mult)[1]
+
+
+def _linear_ivf_cells(mult: int) -> int:
+    from foglamp_filter_python35_spark.functions import similarity as S
+
+    return S.ivf_cell_count(_EMB_BASE_N * mult)
+
+
 _TUNED_IVF_CELLS = {1: 16, 10: 50, 100: 160}
-# cells ∝ n (constant expected cell size): the in-cell pair join is
-# linear in n; brute-force assignment is the O(n*k) cost that a real
-# deployment replaces with a stored assignment column / two-level
-# quantizer (see ivf_cell_pairs docstring).
-_LINEAR_IVF_CELLS = {1: 16, 10: 160, 100: 1600}
 
 
 def _tuned_lsh(spark, d: str, mult: int):
@@ -92,7 +106,7 @@ def _tuned_lsh(spark, d: str, mult: int):
     from foglamp_filter_python35_spark.catalog import load
     from foglamp_filter_python35_spark.functions import similarity as S
 
-    bits = _TUNED_LSH_BITS[mult]
+    bits = _tuned_lsh_bits(mult)
     pairs = S.rp_lsh_near_dups(
         load(spark, d, "embeddings"),
         threshold=0.4,
@@ -113,7 +127,7 @@ def _tuned_semantic(spark, d: str, mult: int, cells=None):
     )
 
     emb = load(spark, d, "embeddings")
-    n_cells = (cells or _TUNED_IVF_CELLS)[mult]
+    n_cells = cells[mult] if cells else _TUNED_IVF_CELLS[mult]
     # centroids come from replica 0 only (ids below KEY_SHIFT are
     # unshifted) so the cell count is n_cells TOTAL, not n_cells/replica
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
@@ -128,7 +142,9 @@ def _tuned_semantic(spark, d: str, mult: int, cells=None):
 
 
 def _linear_semantic(spark, d: str, mult: int):
-    return _tuned_semantic(spark, d, mult, cells=_LINEAR_IVF_CELLS)
+    return _tuned_semantic(
+        spark, d, mult, cells={mult: _linear_ivf_cells(mult)}
+    )
 
 
 # (dataset dir, n_cells) -> checkpointed (vec_id, cid) assignment.  The
@@ -145,7 +161,7 @@ def _assigned_prep(spark, d: str, mult: int) -> None:
     from foglamp_filter_python35_spark.catalog import load
     from foglamp_filter_python35_spark.functions import similarity as S
 
-    n_cells = _LINEAR_IVF_CELLS[mult]
+    n_cells = _linear_ivf_cells(mult)
     key = (d, n_cells)
     if key not in _ASSIGN_MEMO:
         emb = load(spark, d, "embeddings")
@@ -170,7 +186,7 @@ def _assigned_semantic(spark, d: str, mult: int):
     # the operator itself, with the coarse quantization swapped for the
     # stored assignment column — same code path a deployment runs
     pairs = S.ivf_cell_pairs(
-        emb, None, 0.4, assign=_ASSIGN_MEMO[(d, _LINEAR_IVF_CELLS[mult])]
+        emb, None, 0.4, assign=_ASSIGN_MEMO[(d, _linear_ivf_cells(mult))]
     )
     comp = connected_components_star(pairs)
     return comp.agg(
