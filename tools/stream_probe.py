@@ -19,7 +19,7 @@ dataflow with lineage observe + degraded-path wrapper) except the
 stateful one:
 
 - passthrough: disabled stage (C4) — the pipeline floor: source scan,
-  persist/count, checkpoint commit, noop sink.
+  eager localCheckpoint (error forcing), checkpoint commit, noop sink.
 - scale_jvm: T1 affine map via Catalyst ``transform_values`` — the
   JVM-native path a Spark-first rewrite makes possible.
 - python_filter: T9 — the reference CONTRACT path (list-of-dicts
