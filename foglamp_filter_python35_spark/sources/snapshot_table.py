@@ -64,14 +64,66 @@ def _data_dir(path: str) -> str:
     return os.path.join(path, "data")
 
 
+def _checkpoint_path(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "_last_checkpoint")
+
+
+def _read_last_checkpoint(path: str) -> int | None:
+    """The `_last_checkpoint` HINT (Delta's pointer of the same name):
+    the newest version a committer recorded.  Never trusted blindly —
+    `current_version` verifies the hinted manifest exists and probes
+    forward — so a stale, torn, or missing pointer degrades to a
+    slower read, never a wrong one."""
+    try:
+        with open(_checkpoint_path(path)) as f:
+            v = json.load(f).get("version")
+        return v if isinstance(v, int) and v >= 0 else None
+    except (OSError, ValueError):
+        return None
+
+
+def _write_last_checkpoint(path: str, version: int, n_files: int) -> None:
+    """Best-effort monotonic advance of the pointer after a successful
+    manifest publish.  Atomic via temp + rename so readers never see a
+    torn file; plain-read-then-replace racing committers can regress it
+    by a step, which the forward probe in `current_version` absorbs.
+    Failure is swallowed: the manifest IS the commit, the pointer is
+    only the O(1) resolution hint."""
+    try:
+        cur = _read_last_checkpoint(path)
+        if cur is not None and cur >= version:
+            return
+        tmp = _checkpoint_path(path) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "n_files": n_files}, f)
+        os.replace(tmp, _checkpoint_path(path))
+    except OSError:
+        pass
+
+
 def current_version(path: str) -> int | None:
     """Latest committed version, or None for an empty/absent table.
 
-    The manifest directory itself is the source of truth (max version
-    present); there is no mutable pointer file to go stale or regress."""
+    Resolution is O(1) in the number of versions: read the
+    `_last_checkpoint` pointer, verify its manifest exists, then probe
+    forward over any commits that landed after the pointer was written
+    (normally zero or one).  The manifest directory stays the source of
+    truth — a missing/stale/corrupt pointer falls back to the full
+    directory listing, so the pointer can never make resolution WRONG,
+    only fast.  At 10^4+ commits this is the difference between one
+    pointer read + one existence probe and an O(versions) listing per
+    read (the same reason Delta keeps `_last_checkpoint`)."""
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
         return None
+    hint = _read_last_checkpoint(path)
+    if hint is not None and os.path.exists(
+        os.path.join(mdir, f"v{hint}.json")
+    ):
+        v = hint
+        while os.path.exists(os.path.join(mdir, f"v{v + 1}.json")):
+            v += 1
+        return v
     versions = [
         int(m.group(1))
         for f in os.listdir(mdir)
@@ -225,6 +277,32 @@ def commit(
     new_files = [
         os.path.relpath(f, path) for f in _list_parquet(commit_dir)
     ]
+    return _publish(
+        path,
+        new_files,
+        json.loads(df.schema.json()),
+        mode,
+        max_retries,
+        txn,
+        require_parent,
+        stats_cols,
+    )
+
+
+def _publish(
+    path: str,
+    new_files: list[str],
+    writer_schema: dict,
+    mode: str,
+    max_retries: int,
+    txn: str | None,
+    require_parent: int | None,
+    stats_cols: list[str] | None,
+) -> int:
+    """The metadata half of a commit: harvest optional footer stats for
+    the new files, then run the optimistic manifest-publish loop.
+    Shared by ``commit`` (which writes the data) and ``commit_files``
+    (which registers pre-written data)."""
     new_stats = (
         {
             rel: _file_stats(os.path.join(path, rel), stats_cols)
@@ -246,7 +324,7 @@ def commit(
                 )
         version = 0 if parent is None else parent + 1
         files = list(new_files)
-        schema = _nullable_schema(json.loads(df.schema.json()))
+        schema = _nullable_schema(writer_schema)
         stats = dict(new_stats)
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
@@ -268,6 +346,7 @@ def commit(
             # can create v{N}.json
             with open(target, "x") as f:
                 json.dump(manifest, f)
+            _write_last_checkpoint(path, version, len(files))
             return version
         except FileExistsError:
             # lost the race; if the winner was a replay of OUR txn,
@@ -278,6 +357,64 @@ def commit(
     raise CommitConflict(
         f"could not publish a manifest after {max_retries} attempts "
         f"(heavy writer contention on {path!r})"
+    )
+
+
+def commit_files(
+    path: str,
+    files: list[str],
+    mode: str = "append",
+    max_retries: int = 10,
+    txn: str | None = None,
+    require_parent: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Metadata-only commit of parquet files ALREADY under the table
+    root — the bulk-ingest path (Iceberg ``add_files`` / Delta's
+    register-existing-data): a distributed job writes its output into
+    ``data/<job-id>/`` (immutable, invisible — no manifest references
+    it), then ONE atomic manifest publish makes every file appear or
+    none.  At 100 TB this is the difference between re-writing the data
+    through ``commit`` and an O(metadata) publish.
+
+    ``files`` are paths (absolute, or relative to ``path``) that must
+    already exist under the table root — keep them inside ``data/`` so
+    ``vacuum`` can reclaim them when expired.  The manifest schema is
+    read from the parquet FOOTERS (merged additively across the files;
+    no data read), so the same evolution rules apply as for ``commit``.
+    Same ``txn`` / ``require_parent`` / ``stats_cols`` semantics."""
+    from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not files:
+        raise ValueError("commit_files needs at least one file")
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    if txn is not None and (seen := _txn_version(path, txn)) is not None:
+        return seen
+    root = os.path.realpath(path)
+    rels: list[str] = []
+    for f in files:
+        absf = os.path.realpath(
+            f if os.path.isabs(f) else os.path.join(path, f)
+        )
+        if os.path.commonpath([root, absf]) != root:
+            raise ValueError(f"{f!r} is outside the table root {path!r}")
+        if not os.path.isfile(absf):
+            raise FileNotFoundError(absf)
+        rels.append(os.path.relpath(absf, root))
+    schema: dict | None = None
+    for rel in rels:
+        fs = json.loads(
+            from_arrow_schema(
+                pq.ParquetFile(os.path.join(path, rel)).schema_arrow
+            ).json()
+        )
+        schema = fs if schema is None else _merge_schema(schema, fs)
+    return _publish(
+        path, rels, schema, mode, max_retries, txn, require_parent,
+        stats_cols,
     )
 
 
