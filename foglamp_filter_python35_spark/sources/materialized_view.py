@@ -485,3 +485,69 @@ def read_stats_view(spark: SparkSession, view_path: str) -> DataFrame:
             st.read_snapshot(spark, view_path), view_path, "create_stats_view"
         )
     )
+
+
+def stream_stats_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    row_key: str | list[str],
+    checkpoint_dir: str,
+    query_name: str = "ivm-stats",
+    trigger: dict | None = None,
+):
+    """Continuously-maintained stats view: tail the base table's
+    manifest changelog (S7's ``snapshot_table`` streaming source) and
+    run one incremental ``refresh_stats_view`` per discovered commit.
+
+    The stream is only the WAKE-UP signal — each refresh derives its
+    own delta window from the ``ivm@N`` marker chain and commits with
+    the idempotent ``ivm@{base_version}`` txn, so a replayed epoch
+    (crash between refresh and stream checkpoint commit) is a no-op and
+    the view is exactly-once per base version regardless of stream
+    offset semantics.  ``ignoreChanges=true`` is required because
+    upsert/delete/compaction are rewrite commits; the re-delivered rows
+    are discarded (only the notification matters), so the usual
+    ignoreChanges duplication caveat does not apply here.
+
+    At 100 TB this is the Delta-style "streaming CDC into a silver
+    aggregate" topology: refresh cost stays O(changed rows + touched
+    groups) per micro-batch, independent of base-table size, and the
+    view table itself is snapshot-isolated for concurrent readers.
+    Returns the :class:`StreamingQuery`; stop it to pause maintenance —
+    a later batch ``refresh_stats_view`` (or a restarted stream) picks
+    up from the marker chain.
+    """
+    from foglamp_filter_python35_spark.sources.snapshot_source import (  # noqa: PLC0415
+        SnapshotTableDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("path", base_path)
+        .option("ignoreChanges", "true")
+        .load()
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # rows are deliberately ignored (see docstring): the refresh
+        # re-reads the manifest-diff window itself, exactly once.
+        refresh_stats_view(
+            spark, base_path, view_path, keys, value_col, row_key
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
