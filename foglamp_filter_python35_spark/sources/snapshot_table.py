@@ -708,13 +708,19 @@ def read_changes(
 
 
 def history(path: str) -> list[dict]:
-    """Commit log, oldest first: version / parent / operation / n_files."""
+    """Commit log, oldest RETAINED first: version / parent / operation /
+    n_files.  Manifests below the vacuum retention floor are simply
+    absent from the result (the same truncated-history contract Delta's
+    DESCRIBE HISTORY has after log cleanup), not an error."""
     v = current_version(path)
     if v is None:
         return []
     out = []
     for i in range(v + 1):
-        m = _read_manifest(path, i)
+        try:
+            m = _read_manifest(path, i)
+        except FileNotFoundError:
+            continue  # below the retention floor (vacuumed)
         out.append(
             {
                 "version": m["version"],

@@ -635,3 +635,17 @@ def test_commit_files_schema_evolution_rules_apply(spark, tmp_path):
     st.commit(_df(spark, 100, 101), t, mode="overwrite")
     deleted = st.vacuum(t, keep_versions=1)
     assert any("okjob" in d for d in deleted)
+
+
+def test_history_after_vacuum_shows_retained_versions_only(
+    spark, tmp_path
+):
+    """history() over a vacuumed table lists the retained tail instead
+    of crashing on the first expired manifest (the Delta DESCRIBE
+    HISTORY truncation contract)."""
+    t = str(tmp_path / "hist")
+    st.commit(_df(spark, 0, 2), t)  # v0
+    st.commit(_df(spark, 2, 4), t, mode="append")  # v1
+    st.commit(_df(spark, 100, 101), t, mode="overwrite")  # v2
+    st.vacuum(t, keep_versions=2)  # drops manifest v0
+    assert [h["version"] for h in st.history(t)] == [1, 2]
