@@ -297,7 +297,17 @@ def _np_bands_udf(planes: list[list[float]], bits_per_band: int) -> object:
     such rows surface ALL-ZERO band values (bucketing with genuine
     all-negative-dot rows), never a NULL array and never a task crash.
     Remainder planes (``len(planes) % bits_per_band``) are dropped in
-    both modes."""
+    both modes.
+
+    NaN-element caveat (same root as the ``dot`` contract): a NaN
+    element makes every plane dot NaN — numpy's ``nan >= 0`` is False
+    (all bits 0, the degenerate-row bucket), while Spark's
+    NaN-is-largest ordering makes the exact fold's ``d >= 0`` true
+    (all bits 1).  Either way the corrupt row lands in ONE constant
+    bucket; in fast mode its candidate pairs are then dropped by the
+    cosine verify (NaN scores canonicalize to NULL), while in exact
+    mode a NaN score passes ``>= threshold`` — the same documented
+    exact-mode acceptance as in ``dot``."""
     n_bands = len(planes) // bits_per_band
     plane_mat = np.asarray(
         planes[: n_bands * bits_per_band], dtype=np.float64
