@@ -639,21 +639,33 @@ def ivf_assign(
 
 def ivf_topk(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     query_id: int,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: quantize corpus + query, then brute-force only the
     query's cell.  Approximate (single-probe) by design; see
-    ``ivf_topk_multiprobe`` for the recall/latency dial."""
-    # assign feeds two consumers (cell join + query-cell lookup); persist
-    # or the corpus x centroids quantization runs twice.  At 100 TB the
-    # assignment is a precomputed stored column, not a per-query job —
-    # the registry gives interactive sessions an explicit release hook
-    # (cache.release()) so repeated ivf_topk calls don't accumulate.
-    assign = cache.register(ivf_assign(emb, centroids, id_col, vec_col))
+    ``ivf_topk_multiprobe`` for the recall/latency dial.
+
+    ``assign`` is the stored-column deployment path (same contract as
+    ``ivf_cell_pairs``): pass the precomputed ``(id_col, cid)``
+    assignment and no quantization job runs per query — ``centroids``
+    may then be None."""
+    if assign is None:
+        if centroids is None:
+            raise ValueError("ivf_topk needs centroids or assign")
+        # assign feeds two consumers (cell join + query-cell lookup);
+        # persist or the corpus x centroids quantization runs twice.  At
+        # 100 TB the assignment is a precomputed stored column, not a
+        # per-query job — the registry gives interactive sessions an
+        # explicit release hook (cache.release()) so repeated ivf_topk
+        # calls don't accumulate.
+        assign = cache.register(
+            ivf_assign(emb, centroids, id_col, vec_col)
+        )
     emb_cells = emb.join(assign, id_col)
     query_cell = assign.filter(F.col(id_col) == query_id).select("cid")
     query_vec = emb.filter(F.col(id_col) == query_id).select(
@@ -673,6 +685,7 @@ def ivf_topk_multiprobe(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe IVF: search the ``nprobe`` cells whose centroids are
     closest to the QUERY VECTOR (not just the query's own cell) — the
@@ -680,14 +693,22 @@ def ivf_topk_multiprobe(
     exact brute force; cost scales ~linearly with nprobe because only
     probed cells are scanned (broadcast semi-join on cid prunes the
     rest; with the corpus stored partitioned-by-cell that pruning is
-    partition pruning at the scan)."""
+    partition pruning at the scan).
+
+    ``assign`` is the stored-column deployment path: pass the
+    precomputed ``(id_col, cid)`` assignment and only the tiny
+    centroid-probe scoring runs per query (``centroids`` is still
+    required — it ranks the probe cells)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    # single consumer chains below, but the probe scoring and the final
-    # brute force both hang off query_vec/assign — persist the assignment
-    # (precomputed stored column at scale, see ivf_topk; released via
-    # cache.release())
-    assign = cache.register(ivf_assign(emb, centroids, id_col, vec_col))
+    if assign is None:
+        # single consumer chains below, but the probe scoring and the
+        # final brute force both hang off query_vec/assign — persist the
+        # assignment (precomputed stored column at scale, see ivf_topk;
+        # released via cache.release())
+        assign = cache.register(
+            ivf_assign(emb, centroids, id_col, vec_col)
+        )
     query_vec = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv")
     )

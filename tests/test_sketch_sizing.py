@@ -236,3 +236,41 @@ def test_ivf_cell_pairs_defaults_flow_through_sizing(spark):
         for r in S.ivf_cell_pairs(emb, cents, 0.4).collect()
     }
     assert auto == explicit and auto
+
+
+def test_ivf_topk_stored_assignment_matches_inline(spark):
+    """The stored-assignment path of ivf_topk / ivf_topk_multiprobe is
+    result-identical to inline quantization — no per-query assignment
+    job at deployment, same answers."""
+    emb = load(spark, _SF, "embeddings")
+    cents = S.seed_centroids(emb, 16)
+    stored = S.ivf_assign(emb, cents).localCheckpoint(eager=True)
+
+    inline = [
+        (r.vec_id, r.score)
+        for r in S.ivf_topk(emb, cents, query_id=7, k=5).collect()
+    ]
+    via_assign = [
+        (r.vec_id, r.score)
+        for r in S.ivf_topk(
+            emb, None, query_id=7, k=5, assign=stored
+        ).collect()
+    ]
+    assert inline == via_assign and len(inline) == 5
+
+    inline_mp = [
+        (r.vec_id, r.score)
+        for r in S.ivf_topk_multiprobe(
+            emb, cents, query_id=7, k=5, nprobe=3
+        ).collect()
+    ]
+    via_assign_mp = [
+        (r.vec_id, r.score)
+        for r in S.ivf_topk_multiprobe(
+            emb, cents, query_id=7, k=5, nprobe=3, assign=stored
+        ).collect()
+    ]
+    assert inline_mp == via_assign_mp and len(inline_mp) == 5
+
+    with pytest.raises(ValueError, match="centroids or assign"):
+        S.ivf_topk(emb, None, query_id=7)
