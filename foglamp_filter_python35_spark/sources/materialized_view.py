@@ -520,6 +520,55 @@ def stream_stats_view(
     a later batch ``refresh_stats_view`` (or a restarted stream) picks
     up from the marker chain.
     """
+
+    def do_refresh() -> None:
+        refresh_stats_view(
+            spark, base_path, view_path, keys, value_col, row_key
+        )
+
+    return _stream_refresh(
+        spark, base_path, checkpoint_dir, query_name, trigger, do_refresh
+    )
+
+
+def stream_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    row_key: str | list[str],
+    checkpoint_dir: str,
+    query_name: str = "ivm-agg",
+    trigger: dict | None = None,
+):
+    """``stream_stats_view``'s twin for the count/sum agg view — one
+    incremental ``refresh_agg_view`` per discovered base commit, with
+    the same wake-up-only stream and ``ivm@N`` exactly-once contract
+    (see ``stream_stats_view`` for the full semantics)."""
+
+    def do_refresh() -> None:
+        refresh_agg_view(
+            spark, base_path, view_path, keys, value_col, row_key
+        )
+
+    return _stream_refresh(
+        spark, base_path, checkpoint_dir, query_name, trigger, do_refresh
+    )
+
+
+def _stream_refresh(
+    spark: SparkSession,
+    base_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    trigger: dict | None,
+    do_refresh,
+):
+    """Shared wake-up plumbing: manifest-log stream -> foreachBatch ->
+    one incremental refresh.  Batch rows are deliberately ignored — the
+    refresh re-reads the manifest-diff window itself, exactly once per
+    base version via the ivm@N marker."""
     from foglamp_filter_python35_spark.sources.snapshot_source import (  # noqa: PLC0415
         SnapshotTableDataSource,
     )
@@ -537,11 +586,7 @@ def stream_stats_view(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        # rows are deliberately ignored (see docstring): the refresh
-        # re-reads the manifest-diff window itself, exactly once.
-        refresh_stats_view(
-            spark, base_path, view_path, keys, value_col, row_key
-        )
+        do_refresh()
 
     writer = (
         stream.writeStream.foreachBatch(process)

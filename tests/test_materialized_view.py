@@ -981,3 +981,35 @@ def test_stream_fed_view_resumes_from_marker_chain(spark, tmp_path):
         assert _stats_view(spark, view) == _recompute_stats(spark, base)
     finally:
         q.stop()
+
+
+def test_stream_fed_agg_view_tracks_changelog(spark, tmp_path):
+    """stream_agg_view (the count/sum twin) follows the changelog with
+    the same exactly-once contract."""
+    import time
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base)
+    mv.create_agg_view(spark, base, view, ["grp"], "v")
+    q = mv.stream_agg_view(
+        spark,
+        base,
+        view,
+        ["grp"],
+        "v",
+        row_key="rk",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        st.commit(_kv(spark, [(3, "c", 7.0)]), base, mode="append")
+        st.merge_upsert(_kv(spark, [(2, "b", 20.0)]), base, key="rk")
+        target = st.current_version(base)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if mv.maintained_base_version(view) == target:
+                break
+            time.sleep(0.25)
+        assert mv.maintained_base_version(view) == target
+        assert _view(spark, view) == _recompute(spark, base)
+    finally:
+        q.stop()
