@@ -419,6 +419,14 @@ def test_commit_under_real_thread_contention_loses_nothing(spark, tmp_path):
         for r in snap.groupBy("who").count().withColumnRenamed("count", "n").collect()
     }
     assert all(per_thread[f"t{t}"] == 15 for t in range(4))
+    # the _last_checkpoint pointer survived the race usable: it may lag
+    # the head (plain-read-then-replace racing writers), but it must
+    # point at an existing manifest so resolution stays O(1)-correct
+    hint = stab._read_last_checkpoint(path)
+    assert hint is not None and 0 <= hint <= 12
+    assert os.path.exists(
+        os.path.join(stab._manifest_dir(path), f"v{hint}.json")
+    )
 
 
 def test_open_snapshot_of_retained_version_survives_vacuum(spark, tmp_path):
