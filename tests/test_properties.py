@@ -449,3 +449,65 @@ def test_span_dedup_keeps_each_distinct_span_exactly_once(
             spans.add(" ".join(toks[i * 8 : i * 8 + 8]))
     assert sum(r.n_kept for r in out) == len(spans)
     assert sum(r.n_spans for r in out) == total
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_sizing_rules_invariants(n):
+    """The measured sizing rules hold their contracts over the whole
+    input domain: 4 bands of >=4 bits with expected bucket volume at
+    most the target once past the floor; IVF cell volume bounded by
+    the target; both monotone (checked pairwise vs n+1)."""
+    from foglamp_filter_python35_spark.functions.similarity import (
+        _SKETCH_TARGET_VOLUME,
+        ivf_cell_count,
+        lsh_config,
+    )
+
+    n_planes, bits = lsh_config(n)
+    assert n_planes == 4 * bits and bits >= 4
+    if bits > 4:  # above the floor the volume bound is tight
+        assert n / (1 << bits) <= _SKETCH_TARGET_VOLUME + 1e-9
+    cells = ivf_cell_count(n)
+    assert cells >= 16
+    if cells > 16:
+        assert n / cells <= _SKETCH_TARGET_VOLUME + 1e-9
+    # monotone non-decreasing
+    assert lsh_config(n + 1)[1] >= bits
+    assert ivf_cell_count(n + 1) >= cells
+
+
+def test_last_checkpoint_pointer_survives_write_race(tmp_path):
+    """Pure-filesystem race on _write_last_checkpoint: 8 threads write
+    interleaved versions.  The pointer may lag (documented) but must
+    always parse and point at an existing manifest — never torn, never
+    a crash."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from foglamp_filter_python35_spark.sources import snapshot_table as stab
+
+    t = str(tmp_path / "ptr")
+    mdir = stab._manifest_dir(t)
+    _os.makedirs(mdir)
+    for v in range(40):
+        with open(_os.path.join(mdir, f"v{v}.json"), "w") as f:
+            _json.dump({"version": v, "parent": v - 1 if v else None,
+                        "operation": "append", "files": [],
+                        "schema": {"fields": []}, "txn": None}, f)
+
+    def writer(tid):
+        for v in range(tid, 40, 8):
+            stab._write_last_checkpoint(t, v, n_files=v)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    hint = stab._read_last_checkpoint(t)
+    assert hint is not None and 0 <= hint < 40
+    assert _os.path.exists(_os.path.join(mdir, f"v{hint}.json"))
+    # resolution is correct regardless of where the race left the hint
+    assert stab.current_version(t) == 39
