@@ -204,63 +204,65 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r6 driver evidence covers all
-# 153 catalog queries, so the round-7 window (tools/rotate_window.py
-# output after CORRECTNESS_r06) re-confirms the 50 LEAST-RECENTLY-
-# verified greens: the three r3 relational stragglers plus the r4-era
-# embedding/IVF, multimodal, CC/dedup-heavy and corpus-pipeline blocks.
-# Queries not listed keep module order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r7 driver evidence covers all
+# 153 catalog queries, so the round-8 window (tools/rotate_window.py
+# output after CORRECTNESS_r07) re-confirms the 50 LEAST-RECENTLY-
+# verified greens: the three r4 stragglers rolled over from the r7
+# rotation plus 47 of the r5-era signal/text/audit block.  This
+# completes a full two-cycle rotation — every catalog query then has
+# driver evidence within the last three rounds.  Queries not listed
+# keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "latest_event_per_user",  # green r3
-    "waiting_suppliers",  # green r3
-    "min_cost_supplier",  # green r3
-    "dominant_part_suppliers",  # green r4
-    "salted_enrich_rollup",  # green r4
-    "column_profile",  # green r4
-    "snapshot_diff",  # green r4
-    "weekday_hour_heatmap",  # green r4
-    "parts_supplier_counts",  # green r4
-    "median_filter",  # green r4
-    "ema_smooth",  # green r4
-    "deadband_chunked",  # green r4
-    "ngram_jaccard_pairs",  # green r4
-    "doc_containment",  # green r4
-    "simhash_dedup",  # green r4
-    "dedup_clusters",  # green r4
-    "dedup_apply",  # green r4
-    "dedup_ensemble",  # green r4
-    "embedding_norm_outliers",  # green r4
-    "embedding_topk",  # green r4
-    "embedding_cosine_dup",  # green r4
-    "embedding_ivf_topk",  # green r4
-    "embedding_knn_join",  # green r4
-    "embedding_lsh_dup",  # green r4
-    "embedding_centroids",  # green r4
-    "embedding_quantize",  # green r4
-    "semantic_dedup",  # green r4
-    "knn_label_purity",  # green r4
-    "embedding_dim_stats",  # green r4
-    "ivf_cell_histogram",  # green r4
-    "multimodal_dedup",  # green r4
-    "multimodal_meta",  # green r4
-    "multimodal_features",  # green r4
-    "multimodal_resize",  # green r4
-    "multimodal_frames",  # green r4
-    "domain_quota_sample",  # green r4
-    "incremental_dedup",  # green r4
-    "sliding_window_rate",  # green r4
-    "bm25_retrieval",  # green r4
-    "token_pmi",  # green r4
-    "text_normalize",  # green r4
-    "conversion_latency",  # green r4
-    "error_burst_join",  # green r4
-    "weighted_sample",  # green r4
-    "lang_mix_gini",  # green r4
-    "dup_rate_by_source",  # green r4
-    "split_leakage",  # green r4
-    "vocab_coverage",  # green r4
-    "ngram_novelty",  # green r4
-    "corpus_pipeline_e2e",  # green r4
+    "click_view_reconciliation",  # green r4
+    "sequence_packing",  # green r4
+    "sliding_unique_users",  # green r4
+    "spc_control_chart",  # green r5
+    "value_delta",  # green r5
+    "change_detect",  # green r5
+    "threshold_alarm",  # green r5
+    "zscore_anomaly",  # green r5
+    "downsample_1h",  # green r5
+    "locf_gap_fill",  # green r5
+    "session_rollup",  # green r5
+    "percentile_summary",  # green r5
+    "deadband_suppress",  # green r5
+    "interp_gap_fill",  # green r5
+    "winsorize_clip",  # green r5
+    "asset_correlation",  # green r5
+    "mad_outliers",  # green r5
+    "text_stats",  # green r5
+    "token_fertility",  # green r5
+    "quality_score",  # green r5
+    "language_id",  # green r5
+    "token_count_total",  # green r5
+    "doc_fingerprint",  # green r5
+    "tfidf_top_terms",  # green r5
+    "bigram_topk",  # green r5
+    "train_test_split",  # green r5
+    "doc_chunking",  # green r5
+    "lang_mismatch",  # green r5
+    "corpus_prefilter",  # green r5
+    "stratified_sample",  # green r5
+    "pii_redact",  # green r5
+    "benchmark_contamination",  # green r5
+    "doc_repetition",  # green r5
+    "top_bigram_fraction",  # green r5
+    "pretokenize_counts",  # green r5
+    "doc_length_histogram",  # green r5
+    "minhash_accuracy",  # green r5
+    "dedup_cluster_histogram",  # green r5
+    "ivf_recall_audit",  # green r5
+    "embedding_label_margin",  # green r5
+    "ivf_train_kmeans",  # green r5
+    "embedding_pca_power",  # green r5
+    "span_dedup",  # green r5
+    "trigram_lm",  # green r5
+    "event_disorder_audit",  # green r5
+    "bloom_filter_audit",  # green r5
+    "ab_test_readout",  # green r5
+    "hll_distinct_audit",  # green r5
+    "source_vocab_divergence",  # green r5
+    "value_drift_chi2",  # green r5
 )
 
 
