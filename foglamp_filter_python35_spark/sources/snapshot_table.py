@@ -76,8 +76,11 @@ def _read_last_checkpoint(path: str) -> int | None:
     slower read, never a wrong one."""
     try:
         with open(_checkpoint_path(path)) as f:
-            v = json.load(f).get("version")
-        return v if isinstance(v, int) and v >= 0 else None
+            loaded = json.load(f)
+        # Valid JSON that is not an object (`5`, `[1]`, `"x"`) is just as
+        # corrupt as unparseable bytes: fall back, don't raise.
+        v = loaded.get("version") if isinstance(loaded, dict) else None
+        return v if isinstance(v, int) and not isinstance(v, bool) and v >= 0 else None
     except (OSError, ValueError):
         return None
 
@@ -401,9 +404,19 @@ def commit_files(
         )
         if os.path.commonpath([root, absf]) != root:
             raise ValueError(f"{f!r} is outside the table root {path!r}")
+        rel = os.path.relpath(absf, root)
+        # Enforce the documented contract: registered files must live
+        # under data/ so vacuum can reclaim them on expiry.  A file under
+        # manifests/ (or any other subtree) would commit fine but never
+        # be reclaimable, silently breaking retention.
+        if not rel.startswith("data" + os.sep):
+            raise ValueError(
+                f"{f!r} is not under the table's data/ directory; "
+                "commit_files only registers files vacuum can reclaim"
+            )
         if not os.path.isfile(absf):
             raise FileNotFoundError(absf)
-        rels.append(os.path.relpath(absf, root))
+        rels.append(rel)
     schema: dict | None = None
     for rel in rels:
         fs = json.loads(
@@ -779,4 +792,15 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         m = os.path.join(_manifest_dir(path), f"v{i}.json")
         if os.path.exists(m):
             os.remove(m)
+    # A committer that dies between writing the pointer temp file and
+    # os.replace leaks `_last_checkpoint.<uuid>.tmp`; reclaim them here
+    # (best-effort — a live committer losing its temp just skips one
+    # pointer advance, which the forward probe absorbs).
+    mdir = _manifest_dir(path)
+    for fname in os.listdir(mdir):
+        if fname.startswith("_last_checkpoint.") and fname.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(mdir, fname))
+            except OSError:
+                pass
     return deleted
