@@ -204,65 +204,65 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r7 driver evidence covers all
-# 153 catalog queries, so the round-8 window (tools/rotate_window.py
-# output after CORRECTNESS_r07) re-confirms the 50 LEAST-RECENTLY-
-# verified greens: the three r4 stragglers rolled over from the r7
-# rotation plus 47 of the r5-era signal/text/audit block.  This
-# completes a full two-cycle rotation — every catalog query then has
-# driver evidence within the last three rounds.  Queries not listed
-# keep module order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r8 driver evidence covers all
+# 153 catalog queries, so the round-9 window (tools/rotate_window.py
+# output after CORRECTNESS_r08) re-confirms the 50 LEAST-RECENTLY-
+# verified greens: the three r5 leftovers rolled over from the r8
+# rotation plus 47 of the r6-era operator/relational block.  This keeps
+# the rolling guarantee — every catalog query has driver evidence
+# within the last three rounds.  Queries not listed keep module order
+# after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "click_view_reconciliation",  # green r4
-    "sequence_packing",  # green r4
-    "sliding_unique_users",  # green r4
-    "spc_control_chart",  # green r5
-    "value_delta",  # green r5
-    "change_detect",  # green r5
-    "threshold_alarm",  # green r5
-    "zscore_anomaly",  # green r5
-    "downsample_1h",  # green r5
-    "locf_gap_fill",  # green r5
-    "session_rollup",  # green r5
-    "percentile_summary",  # green r5
-    "deadband_suppress",  # green r5
-    "interp_gap_fill",  # green r5
-    "winsorize_clip",  # green r5
-    "asset_correlation",  # green r5
-    "mad_outliers",  # green r5
-    "text_stats",  # green r5
-    "token_fertility",  # green r5
-    "quality_score",  # green r5
-    "language_id",  # green r5
-    "token_count_total",  # green r5
-    "doc_fingerprint",  # green r5
-    "tfidf_top_terms",  # green r5
-    "bigram_topk",  # green r5
-    "train_test_split",  # green r5
-    "doc_chunking",  # green r5
-    "lang_mismatch",  # green r5
-    "corpus_prefilter",  # green r5
-    "stratified_sample",  # green r5
-    "pii_redact",  # green r5
-    "benchmark_contamination",  # green r5
-    "doc_repetition",  # green r5
-    "top_bigram_fraction",  # green r5
-    "pretokenize_counts",  # green r5
-    "doc_length_histogram",  # green r5
-    "minhash_accuracy",  # green r5
-    "dedup_cluster_histogram",  # green r5
-    "ivf_recall_audit",  # green r5
-    "embedding_label_margin",  # green r5
-    "ivf_train_kmeans",  # green r5
-    "embedding_pca_power",  # green r5
-    "span_dedup",  # green r5
-    "trigram_lm",  # green r5
-    "event_disorder_audit",  # green r5
-    "bloom_filter_audit",  # green r5
-    "ab_test_readout",  # green r5
-    "hll_distinct_audit",  # green r5
-    "source_vocab_divergence",  # green r5
-    "value_drift_chi2",  # green r5
+    "top_session_paths",  # green r5
+    "corpus_rebalance",  # green r5
+    "event_path_transitions",  # green r5
+    "scale35",  # green r6
+    "python_filter_scale35",  # green r6
+    "readings35_add100",  # green r6
+    "asset_filter",  # green r6
+    "payload_projection",  # green r6
+    "empty_payload_drop",  # green r6
+    "metadata_carry",  # green r6
+    "type_coercion",  # green r6
+    "pricing_summary",  # green r6
+    "revenue_by_nation",  # green r6
+    "top_orders_per_segment",  # green r6
+    "order_priority_semijoin",  # green r6
+    "sessionization",  # green r6
+    "hourly_event_rollup",  # green r6
+    "rollup_revenue",  # green r6
+    "set_ops_users",  # green r6
+    "distinct_users",  # green r6
+    "event_type_pivot",  # green r6
+    "top_parts_by_revenue",  # green r6
+    "asof_last_signup",  # green r6
+    "value_band_join",  # green r6
+    "customers_without_orders",  # green r6
+    "cube_revenue",  # green r6
+    "orders_above_cust_avg",  # green r6
+    "skewed_asset_rollup",  # green r6
+    "shipping_priority",  # green r6
+    "forecast_revenue",  # green r6
+    "event_funnel",  # green r6
+    "top_suppliers",  # green r6
+    "returned_items",  # green r6
+    "priority_by_linestatus",  # green r6
+    "volume_shipping",  # green r6
+    "market_share",  # green r6
+    "product_profit",  # green r6
+    "important_parts",  # green r6
+    "custdist",  # green r6
+    "promo_revenue",  # green r6
+    "small_qty_revenue",  # green r6
+    "large_orders",  # green r6
+    "disjunctive_filter",  # green r6
+    "sales_opportunity",  # green r6
+    "props_json_stats",  # green r6
+    "revenue_deciles",  # green r6
+    "name_fuzzy_match",  # green r6
+    "grouping_sets_revenue",  # green r6
+    "value_histogram",  # green r6
+    "retention_cohorts",  # green r6
 )
 
 

@@ -188,12 +188,18 @@ _LSH_THRESHOLD = 0.4
 
 
 def q_embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DEFAULTS-ROUTED (r9): no explicit sketch params — the sizing rule
+    # ``lsh_config(n)`` picks the keyspace, so the driver's oracle gate
+    # exercises the production deployment path itself.  At every gate
+    # scale (n=500 sf0.01, n=2000 sf0.1) ``lsh_config`` returns exactly
+    # (_LSH_PLANES, _LSH_BITS) = (16, 4) — the constants the oracle's
+    # plane literals are generated from (pinned by
+    # tests/test_sketch_sizing.py::test_gate_scale_defaults_match_oracle
+    # _constants).
     emb = load(spark, sf_dir, "embeddings")
     return S.rp_lsh_near_dups(
         emb,
         threshold=_LSH_THRESHOLD,
-        n_planes=_LSH_PLANES,
-        bits_per_band=_LSH_BITS,
         dim=_LSH_DIM,
     ).orderBy("id_a", "id_b")
 
@@ -459,10 +465,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    pairs = S.ivf_cell_pairs(emb, centroids, _DUP_THRESHOLD)
+    # DEFAULTS-ROUTED (r9): centroids omitted — ``ivf_cell_pairs`` sizes
+    # the cell count from the corpus (``ivf_cell_count(n)`` = 16 at both
+    # gate scales) and seeds centroids deterministically
+    # (``seed_centroids`` = the 16 lowest vec_ids, which on the
+    # contiguous 0..n-1 testdata ids is exactly the oracle's
+    # ``vec_id < {_N_CENTROIDS}`` cut — pinned by
+    # tests/test_sketch_sizing.py).  The driver gate therefore verifies
+    # the production defaults path, not a hand-pinned twin.
+    pairs = S.ivf_cell_pairs(emb, None, _DUP_THRESHOLD)
     comp = connected_components_star(pairs)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id"), F.lit(1).alias("_loser")

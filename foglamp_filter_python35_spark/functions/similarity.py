@@ -384,9 +384,11 @@ def rp_lsh_near_dups(
     Sketch sizing defaults to the measured scale rule ``lsh_config(n)``
     (``2^bits ∝ n``, 4 bands — SCALE.md round-6 probe: flat at 10x,
     5.0x wall at 100x, where a fixed keyspace is quadratic).  Pass BOTH
-    ``n_planes`` and ``bits_per_band`` to pin an explicit sketch (the
-    catalog queries do, for oracle parity), or neither to size from the
-    corpus.
+    ``n_planes`` and ``bits_per_band`` to pin an explicit sketch, or
+    neither to size from the corpus — since r9 the catalog's
+    ``embedding_lsh_dup`` takes the defaults path too (at gate scales
+    ``lsh_config`` reproduces the oracle's pinned constants exactly, so
+    the driver gates the production path).
 
     Pass ``dim`` (the embedding dimensionality) and ``n`` (the corpus
     row count) — both config, known to any real corpus — so plan

@@ -381,8 +381,9 @@ def commit_files(
     through ``commit`` and an O(metadata) publish.
 
     ``files`` are paths (absolute, or relative to ``path``) that must
-    already exist under the table root — keep them inside ``data/`` so
-    ``vacuum`` can reclaim them when expired.  The manifest schema is
+    already exist under the table root and MUST live under ``data/``
+    (enforced with ``ValueError``) so ``vacuum`` can reclaim them when
+    expired.  The manifest schema is
     read from the parquet FOOTERS (merged additively across the files;
     no data read), so the same evolution rules apply as for ``commit``.
     Same ``txn`` / ``require_parent`` / ``stats_cols`` semantics."""

@@ -274,3 +274,37 @@ def test_ivf_topk_stored_assignment_matches_inline(spark):
 
     with pytest.raises(ValueError, match="centroids or assign"):
         S.ivf_topk(emb, None, query_id=7)
+
+
+def test_gate_scale_defaults_match_oracle_constants():
+    """The r9 defaults-routing contract: at every driver/bench gate scale
+    (embeddings n=500 at sf0.001/sf0.01, n=2000 at sf0.1) the sizing
+    rules reproduce EXACTLY the constants the catalog oracles embed
+    (16 planes / 4 bits; 16 cells) — so routing ``embedding_lsh_dup``
+    and ``semantic_dedup`` through the no-params defaults keeps their
+    oracle hashes unchanged while the driver gates the production path."""
+    from foglamp_filter_python35_spark.catalog.vector import (
+        _LSH_BITS,
+        _LSH_PLANES,
+        _N_CENTROIDS,
+    )
+
+    for n in (500, 2000):
+        assert S.lsh_config(n) == (_LSH_PLANES, _LSH_BITS), n
+        assert S.ivf_cell_count(n) == _N_CENTROIDS, n
+
+
+def test_seed_centroids_equals_oracle_prefix_cut(spark):
+    """On the testdata's contiguous 0..n-1 vec_ids, ``seed_centroids``
+    (k lowest ids) is exactly the oracle's ``vec_id < k`` prefix cut —
+    the identity the defaults-routed ``semantic_dedup`` relies on."""
+    emb = load(spark, _SF, "embeddings")
+    k = 16
+    seeded = {
+        (r.cid, tuple(r.cv)) for r in S.seed_centroids(emb, k).collect()
+    }
+    prefix = {
+        (r.vec_id, tuple(r.embedding))
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    }
+    assert seeded == prefix and len(seeded) == k
