@@ -257,7 +257,12 @@ def seed_centroids(
     the scale probe use.  Coarse quantization only needs an even-ish
     partition of the corpus for candidate pruning (precision is exact —
     recall is the tunable); swap in k-means-trained centroids
-    (``ivf_train_kmeans``) when cell balance matters."""
+    (``ivf_train_kmeans``) when cell balance matters.
+
+    Not a global sort: ``orderBy(id).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — per-partition top-k merged on the
+    driver, O(n) scan + O(k log k) merge, verified in the physical
+    plan — so seeding stays cheap at corpus scale."""
     return (
         emb.orderBy(F.col(id_col))
         .limit(k)

@@ -108,12 +108,12 @@ def _gen_source(spark, src_dir: str, n_batches: int, batch_rows: int) -> None:
         df.write.mode("append").parquet(src_dir)
 
 
-def _read_stream(spark, src_dir: str):
+def _read_stream(spark, src_dir: str, max_files_per_trigger: int = 1):
     from foglamp_filter_python35_spark.datamodel import READING_SCHEMA
 
     return (
         spark.readStream.schema(READING_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
 
@@ -122,7 +122,9 @@ def _drain(q) -> None:
     q.awaitTermination()
 
 
-def _run_pipeline_variant(spark, src_dir: str, stages) -> float:
+def _run_pipeline_variant(
+    spark, src_dir: str, stages, max_files_per_trigger: int = 1
+) -> float:
     from foglamp_filter_python35_spark.streaming.pipeline import (
         run_micro_batch_pipeline,
     )
@@ -134,7 +136,7 @@ def _run_pipeline_variant(spark, src_dir: str, stages) -> float:
 
     t0 = time.perf_counter()
     q = run_micro_batch_pipeline(
-        _read_stream(spark, src_dir),
+        _read_stream(spark, src_dir, max_files_per_trigger),
         stages,
         sink,
         checkpoint_dir=ck,
@@ -229,6 +231,45 @@ def _variants(spark):
     }
 
 
+def _coalesce_ab(spark, attempts: int) -> None:
+    """The documented answer to the small-trigger floor, measured
+    (VERDICT r7 ask #6): the SAME 50x1000-row file drop consumed at
+    ``maxFilesPerTrigger`` 1 / 10 / 50.  Per-trigger fixed cost
+    (checkpoint commit + eager error-forcing localCheckpoint + schedule)
+    is paid per micro-batch, so coalescing k files per trigger divides
+    the floor by ~k until the batch is big enough for Arrow/codegen to
+    amortize.  Latency trade: a reading waits for its trigger, so k
+    files of upstream lag bound freshness — the dial, not a free lunch.
+    """
+    n_batches, batch_rows = 50, 1000
+    total = n_batches * batch_rows
+    src = os.path.join(PROBE_ROOT, f"src-{n_batches}x{batch_rows}")
+    _gen_source(spark, src, n_batches, batch_rows)
+    variants = _variants(spark)
+    rows = []
+    for mfpt in (1, 10, 50):
+        row: dict[str, object] = {"max_files_per_trigger": mfpt}
+        for name in ("passthrough", "python_filter"):
+            best = min(
+                _run_pipeline_variant(spark, src, variants[name], mfpt)
+                for _ in range(attempts)
+            )
+            row[name] = round(total / best)
+            print(
+                f"mfpt={mfpt} {name}: {total / best:,.0f} rows/s",
+                file=sys.stderr,
+            )
+        rows.append(row)
+    print(json.dumps({"coalesce_ab_50x1000": rows}))
+    print("\n| maxFilesPerTrigger | passthrough rows/s | python_filter rows/s |")
+    print("|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['max_files_per_trigger']} | {r['passthrough']:,} "
+            f"| {r['python_filter']:,} |"
+        )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
@@ -237,6 +278,11 @@ def main() -> None:
         help="comma-separated batchesxrows shapes",
     )
     p.add_argument("--attempts", type=int, default=2)
+    p.add_argument(
+        "--coalesce-ab",
+        action="store_true",
+        help="run the maxFilesPerTrigger 1/10/50 A/B on 50x1000 instead",
+    )
     args = p.parse_args()
     shapes = []
     for s in args.shapes.split(","):
@@ -247,6 +293,11 @@ def main() -> None:
 
     spark = get_spark(app_name="stream_probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.coalesce_ab:
+        _coalesce_ab(spark, args.attempts)
+        spark.stop()
+        return
 
     results: dict[str, dict] = {}
     for n_batches, batch_rows in shapes:
