@@ -657,3 +657,42 @@ def test_history_after_vacuum_shows_retained_versions_only(
     st.commit(_df(spark, 100, 101), t, mode="overwrite")  # v2
     st.vacuum(t, keep_versions=2)  # drops manifest v0
     assert [h["version"] for h in st.history(t)] == [1, 2]
+
+
+def test_pointer_valid_json_but_wrong_shape_falls_back(spark, tmp_path):
+    """r8 hardening: a pointer that parses as JSON but is not an object
+    with a non-negative int version (`5`, `[1]`, `"x"`, bool true) is
+    treated as corrupt — fall back to listing, never raise and never
+    resolve a wrong version."""
+    t = str(tmp_path / "shapes")
+    for lo in range(2):
+        st.commit(_df(spark, lo, lo + 1), t, mode="append")
+    for garbage in ("5", "[1]", '"x"', "null", '{"version": true}',
+                    '{"version": -1}', '{"version": "2"}'):
+        with open(st._checkpoint_path(t), "w") as f:
+            f.write(garbage)
+        assert st.current_version(t) == 1, garbage
+        assert _keys(st.read_snapshot(spark, t)) == [0, 1]
+
+
+def test_vacuum_reclaims_leaked_pointer_tmp_files(spark, tmp_path):
+    """r8 hardening: a committer that dies between writing the pointer
+    temp file and os.replace leaks `_last_checkpoint.<uuid>.tmp`;
+    vacuum sweeps them (best-effort) without touching live metadata."""
+    t = str(tmp_path / "tmps")
+    st.commit(_df(spark, 0, 2), t)
+    st.commit(_df(spark, 2, 4), t, mode="append")
+    mdir = st._manifest_dir(t)
+    leaked = [
+        os.path.join(mdir, f"_last_checkpoint.{i}deadbeef.tmp")
+        for i in range(3)
+    ]
+    for p in leaked:
+        with open(p, "w") as f:
+            f.write('{"version": 0}')
+    st.vacuum(t, keep_versions=1)
+    for p in leaked:
+        assert not os.path.exists(p), p
+    # live pointer + retained manifest untouched, table still reads
+    assert st.current_version(t) == 1
+    assert _keys(st.read_snapshot(spark, t)) == [0, 1, 2, 3]
