@@ -18,12 +18,52 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+# The harness runs bench under an external timeout; on a slow/loaded box
+# the full sweep + throughput phase can cross it (measured 2026-08-15:
+# the same sweep that takes ~154s on a quiet box took 304s with the
+# single-threaded control 30-45% down).  Two guards keep the JSON line
+# flowing no matter what:
+#   - a SOFT BUDGET (SPARK_GRAFT_BENCH_BUDGET, default 420s): once 60%
+#     is spent, min-of-2 re-runs stop (single samples, flagged in
+#     all_queries_runs); once it is exhausted, remaining queries are
+#     skipped (null) and the throughput probe drops to one attempt;
+#   - a SIGTERM handler: `timeout`'s first signal prints the partial
+#     payload (flagged "partial": true) before the process dies.
+_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+_T_START = time.monotonic()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T_START
+
+
+class _Terminated(Exception):
+    pass
+
+
+_GOT_TERM = False
+
+
+def _on_sigterm(signum, frame):  # noqa: ARG001
+    # GNU timeout signals the whole process GROUP, so the Spark JVM is
+    # dying at this same instant: record the fact (the _Terminated raise
+    # can be swallowed/replaced by py4j's reconnect machinery mid-recv,
+    # surfacing as ConnectionRefusedError instead) and let main's broad
+    # except consult the flag.
+    global _GOT_TERM
+    _GOT_TERM = True
+    raise _Terminated
+
+
+signal.signal(signal.SIGTERM, _on_sigterm)
 
 from foglamp_filter_python35_spark.catalog import all_queries  # noqa: E402
 from foglamp_filter_python35_spark.functions import cache  # noqa: E402
@@ -64,6 +104,9 @@ def _python_filter_throughput(spark, sf_dir: str) -> dict:
 
     base = events_to_readings(load(spark, sf_dir, "events"))
     out: dict[str, dict] = {}
+    # under budget pressure, one attempt per shape still yields the
+    # headline ratio — a single sample beats a killed process
+    squeezed = _elapsed() > _BUDGET - 60
     for label, mult in (("1x", 1), ("10x", 10)):
         readings = base
         if mult > 1:
@@ -79,8 +122,13 @@ def _python_filter_throughput(spark, sf_dir: str) -> dict:
         # --- engine path: Arrow-batched mapInPandas, executor-parallel ---
         # best-of-N: the 1x run is short enough that one scheduler hiccup
         # halves the measured rate, so give it an extra attempt
+        # even squeezed, the cheap 1x probe keeps a second attempt — a
+        # single 1x sample has flipped the headline ratio by 3x on a
+        # loaded box (measured 0.34x vs best-of-3 1.36x), and the extra
+        # attempt costs ~2s against the 10x probe's ~100s
         best_engine = float("inf")
-        for _ in range(3 if mult == 1 else 2):
+        attempts = (2 if mult == 1 else 1) if squeezed else (3 if mult == 1 else 2)
+        for _ in range(attempts):
             t0 = time.perf_counter()
             run_python_filter(
                 readings, _scale_fn, FilterConfig(enable=True)
@@ -136,6 +184,69 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = list(all_queries().values())
+    # partial-result state shared with the SIGTERM path: if the external
+    # timeout fires mid-sweep, emit whatever is measured so far
+    all_times: dict[str, float | None] = {}
+    all_runs: dict[str, int] = {}
+    skipped: list[str] = []
+    throughput: dict[str, dict] = {}
+
+    def _payload(partial: bool) -> dict:
+        times = {
+            s.name: all_times[s.name]
+            for s in specs
+            if s.headline and s.name in all_times
+        }
+        p = {
+            "metric": "headline_queries_total_wall",
+            "value": round(
+                sum(t for t in times.values() if t is not None), 3
+            ),
+            "unit": "sec",
+            "queries": times,
+            "all_queries": all_times,
+            # timing regime per query: headline entries are warmed
+            # (sf0.001 pass) + min-of-N; tail entries are unwarmed,
+            # so their samples include codegen compile — compare
+            # like with like across rounds via these counts
+            "all_queries_runs": all_runs,
+            "warmed_queries": [s.name for s in specs if s.headline],
+            "all_queries_total_wall": round(
+                sum(t for t in all_times.values() if t is not None), 3
+            ),
+            "python_filter_throughput": throughput,
+            "sf": sf,
+        }
+        if skipped:
+            p["skipped_queries"] = skipped
+        if partial:
+            p["partial"] = True
+        return p
+
+    try:
+        _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped)
+        throughput.update(_python_filter_throughput(spark, sf_dir))
+        print(
+            f"bench: total {_elapsed():.1f}s", file=sys.stderr
+        )
+    except BaseException as exc:  # noqa: BLE001
+        if not _GOT_TERM:
+            raise
+        # SIGTERM path: the JVM (same process group) is already gone —
+        # no Spark calls from here on, just flush the partial payload
+        print(
+            f"bench: SIGTERM at {_elapsed():.1f}s ({type(exc).__name__})"
+            f" — emitting partial results ({len(all_times)} queries"
+            " timed)",
+            file=sys.stderr,
+        )
+        _emit(_payload(partial=True))
+        os._exit(0)  # daemon py4j threads may hang a clean interpreter exit
+    _emit(_payload(partial=False))
+    spark.stop()
+
+
+def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
     t_phase = time.perf_counter()
     # warm-up HEADLINE queries only at the smallest sf, so their min-of-2
     # timings exclude JVM classloading + whole-stage-codegen compilation.
@@ -158,10 +269,20 @@ def main() -> None:
     t_phase = time.perf_counter()
     # the FULL catalog is timed with stable keys so round-over-round
     # regressions are attributable query-by-query; the headline subset is
-    # reported separately under the same keys as round 1
-    all_times: dict[str, float | None] = {}
-    all_runs: dict[str, int] = {}
+    # reported separately under the same keys as round 1.  all_times /
+    # all_runs / skipped are the caller's dicts (mutated in place so the
+    # SIGTERM path sees partial progress).
     for i, spec in enumerate(specs):
+        if _elapsed() > _BUDGET:
+            # out of budget: record the rest as skipped (distinct from
+            # failed=None) and move on to the throughput probe
+            skipped[:] = [s.name for s in specs[i:]]
+            print(
+                f"bench: budget {_BUDGET:.0f}s exhausted, skipping "
+                f"{len(skipped)} tail queries",
+                file=sys.stderr,
+            )
+            break
         # a full-catalog sweep accumulates broadcast/shuffle refs faster
         # than the driver's GC reclaims them, and the ContextCleaner only
         # frees executor-side blocks after a driver GC — by the tail of
@@ -171,8 +292,11 @@ def main() -> None:
             spark._jvm.System.gc()  # noqa: SLF001
         # headline queries get min-of-2 (a single sample is hostage to
         # co-tenant load spikes); the long tail gets one post-warm-up run
-        # so the full-catalog sweep stays inside the driver's wall budget
-        runs = 2 if spec.headline else 1
+        # so the full-catalog sweep stays inside the driver's wall
+        # budget.  Past 60% of budget, everyone gets single samples —
+        # the regime is recorded per query in all_queries_runs.
+        relaxed = _elapsed() < 0.6 * _BUDGET
+        runs = 2 if (spec.headline and relaxed) else 1
         best = float("inf")
         try:
             for _ in range(runs):
@@ -181,7 +305,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
-            if not spec.headline and best >= 2.0:
+            if not spec.headline and best >= 2.0 and relaxed:
                 # expensive tail entries read up to 2x high on a single
                 # in-sweep sample (GC/co-tenant spikes); a second run
                 # makes their round-over-round deltas attributable and
@@ -206,59 +330,41 @@ def main() -> None:
             all_runs[spec.name] = 0
 
     print(f"bench: timed sweep {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
-    t_phase = time.perf_counter()
-    times = {s.name: all_times[s.name] for s in specs if s.headline}
 
-    throughput = _python_filter_throughput(spark, sf_dir)
-    print(f"bench: throughput {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
 
-    total = round(sum(t for t in times.values() if t is not None), 3)
-    all_total = round(
-        sum(t for t in all_times.values() if t is not None), 3
-    )
-    payload = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "all_queries": all_times,
-        # timing regime per query: headline entries are warmed
-        # (sf0.001 pass) + min-of-N; tail entries are unwarmed,
-        # so their samples include codegen compile — compare
-        # like with like across rounds via these counts
-        "all_queries_runs": all_runs,
-        "warmed_queries": [s.name for s in specs if s.headline],
-        "all_queries_total_wall": all_total,
-        "python_filter_throughput": throughput,
-        "sf": sf,
-    }
-    # the driver keeps only the last ~2000 chars of stdout, so a JSON
-    # line carrying the full 153-query breakdown truncates and records
-    # "parsed: null" (BENCH_r02..r08 all did).  Persist the full payload
-    # to bench_last.json for the per-query history, and print a COMPACT
-    # line — headline queries + totals + throughput — that fits the
-    # driver's capture window and parses again.
+def _emit(payload: dict) -> None:
+    """Persist the full payload and print the compact stdout line.
+
+    The driver keeps only the last ~2000 chars of stdout, so a JSON line
+    carrying the full 153-query breakdown truncates and records
+    "parsed: null" (BENCH_r02..r08 all did).  bench_last.json gets the
+    per-query history; stdout gets a COMPACT line — headline queries +
+    totals + throughput — that fits the capture window and parses."""
     try:
         with open(os.path.join(_REPO_ROOT, "bench_last.json"), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError as exc:
         print(f"bench: could not write bench_last.json: {exc}", file=sys.stderr)
     compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "all_queries_total_wall": all_total,
-        "python_filter_throughput": throughput,
-        "sf": sf,
-        "detail": "bench_last.json",
+        k: payload.get(k)
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "all_queries_total_wall",
+            "python_filter_throughput",
+            "sf",
+            "partial",
+        )
+        if k in payload
     }
+    compact["detail"] = "bench_last.json"
     line = json.dumps(compact)
     if len(line) > 1900:  # never regress into the truncation failure mode
-        compact.pop("queries")
+        compact.pop("queries", None)
         line = json.dumps(compact)
-    print(line)
-    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
