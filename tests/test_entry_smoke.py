@@ -34,11 +34,11 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r6 evidence covers all 153 queries, so the round-7
-    window re-confirms the LEAST-recently-verified greens (the r3
-    relational stragglers + the r4-era vector/multimodal/dedup-heavy
-    blocks).  Guard the ordering so an innocent module reshuffle can't
-    silently evict them."""
+    Cumulative r1-r8 evidence covers all 153 queries, so the round-9
+    window re-confirms the LEAST-recently-verified greens (the three r5
+    leftovers + the r6-era operator/relational blocks).  Guard the
+    ordering so an innocent module reshuffle can't silently evict
+    them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -48,16 +48,18 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r3": ("latest_event_per_user", "waiting_suppliers",
-                     "min_cost_supplier"),
-        "vector-r4": ("embedding_lsh_dup", "semantic_dedup",
-                      "embedding_ivf_topk", "embedding_knn_join"),
-        "multimodal-r4": ("multimodal_dedup", "multimodal_meta",
-                          "multimodal_frames"),
-        "dedup-r4": ("dedup_clusters", "dedup_apply", "dedup_ensemble",
-                     "simhash_dedup"),
-        "pipeline-r4": ("corpus_pipeline_e2e", "salted_enrich_rollup",
-                        "split_leakage"),
+        "stale-r5": ("top_session_paths", "corpus_rebalance",
+                     "event_path_transitions"),
+        "reference-ops-r6": ("scale35", "python_filter_scale35",
+                             "readings35_add100", "asset_filter",
+                             "metadata_carry", "type_coercion"),
+        "tpch-r6": ("pricing_summary", "shipping_priority",
+                    "market_share", "custdist", "promo_revenue"),
+        "relational-r6": ("cube_revenue", "grouping_sets_revenue",
+                          "retention_cohorts", "event_funnel",
+                          "name_fuzzy_match"),
+        "events-r6": ("sessionization", "hourly_event_rollup",
+                      "event_type_pivot", "distinct_users"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
