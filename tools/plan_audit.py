@@ -1,0 +1,138 @@
+"""Physical-plan anti-pattern audit over the whole catalog.
+
+Builds (does NOT execute) every catalog query's plan and scans the
+optimized + physical plan text for the scale anti-patterns this repo
+bans (SCALE.md "Python-boundary rules", VERDICT grep audits):
+
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan.  HARD
+  FAIL: every Python hop must be Arrow-batched (mapInPandas /
+  applyInPandas(WithState) → ``MapInPandas``/``FlatMapGroupsInPandas``
+  nodes, which are allowed and counted separately).
+- ``CartesianProduct`` — a non-broadcast cartesian join.  HARD FAIL:
+  every deliberate cross join in the catalog broadcasts a one-row or
+  centroid-sized frame (→ ``BroadcastNestedLoopJoin``, allowed and
+  counted).
+
+Also reported (informational, not gating): per-query counts of
+``Exchange`` (shuffles), ``BroadcastExchange``, ``SortMergeJoin``,
+``BroadcastHashJoin``, and Arrow Python nodes — the shuffle census a
+100 TB plan review starts from.
+
+Usage::
+
+    python tools/plan_audit.py                      # all queries, sf0.001
+    python tools/plan_audit.py --names a b c        # subset
+    python tools/plan_audit.py --sf-dir /root/testdata/sf0.01
+
+Exit 0 iff no hard anti-pattern is found.  Plan construction only —
+no query is executed, so the audit is cheap at any sf (a handful of
+queries launch small sizing/seed jobs at plan-build time; that is the
+documented interactive-convenience path, not execution of the plan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+HARD = ("CartesianProduct", "BatchEvalPython")
+COUNTED = (
+    "Exchange",
+    "BroadcastExchange",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _counts(plan: str) -> dict[str, int]:
+    out = {}
+    for tok in COUNTED + HARD:
+        # "Exchange" must not also count "BroadcastExchange"
+        pat = (
+            r"(?<!Broadcast)Exchange"
+            if tok == "Exchange"
+            else re.escape(tok)
+        )
+        out[tok] = len(re.findall(pat, plan))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from foglamp_filter_python35_spark.catalog import all_queries
+    from foglamp_filter_python35_spark.functions import cache
+    from foglamp_filter_python35_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan_audit",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    names = args.names or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    bad: dict[str, dict[str, int]] = {}
+    census: dict[str, dict[str, int]] = {}
+    for name in names:
+        try:
+            df = qs[name].fn(spark, args.sf_dir)
+            qe = df._jdf.queryExecution()  # noqa: SLF001
+            plan = (
+                qe.optimizedPlan().toString()
+                + qe.executedPlan().toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: PLAN BUILD FAILED: {exc}", file=sys.stderr)
+            bad[name] = {"plan_build_failed": 1}
+            continue
+        finally:
+            cache.release(blocking=False)
+        c = _counts(plan)
+        census[name] = c
+        hard_hits = {k: c[k] for k in HARD if c[k]}
+        if hard_hits:
+            bad[name] = hard_hits
+            print(f"{name}: ANTI-PATTERN {hard_hits}", file=sys.stderr)
+
+    top = sorted(
+        census.items(), key=lambda kv: -kv[1]["Exchange"]
+    )[:10]
+    print("\ntop shuffle counts (Exchange per plan):")
+    for name, c in top:
+        print(
+            f"  {name}: {c['Exchange']} shuffles, "
+            f"{c['BroadcastExchange']} broadcasts, "
+            f"SMJ={c['SortMergeJoin']} BHJ={c['BroadcastHashJoin']} "
+            f"BNLJ={c['BroadcastNestedLoopJoin']} "
+            f"arrowPy={c['MapInPandas'] + c['FlatMapGroupsInPandas']}"
+        )
+    totals = {
+        k: sum(c[k] for c in census.values()) for k in COUNTED + HARD
+    }
+    print(json.dumps({"queries": len(census), "totals": totals, "bad": bad}))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
