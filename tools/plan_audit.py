@@ -66,6 +66,39 @@ def _counts(plan: str) -> dict[str, int]:
     return out
 
 
+def _table_widths(sf_dir: str) -> dict[str, int]:
+    """Full column count per testdata table (from the parquet footers)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    widths = {}
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.splitext(os.path.basename(p))[0]
+        widths[name] = len(pq.read_schema(p).names)
+    return widths
+
+
+_SCAN_RE = re.compile(
+    r"FileScan parquet \[([^\]]*)\][^\n]*?(\w+)\.parquet"
+)
+
+
+def _scan_census(plan: str, widths: dict[str, int]) -> list[tuple[str, int, int]]:
+    """(table, cols_read, full_width) per FileScan of a known testdata
+    table.  Column-pruning audit: cols_read < full_width means the scan
+    schema was pruned to the projection (the thing that matters at
+    100 TB — a scan reading all of lineitem for a 2-column rollup is
+    wrong)."""
+    out = []
+    for cols, table in _SCAN_RE.findall(plan):
+        if table not in widths:
+            continue
+        n = len([c for c in cols.split(",") if c.strip()])
+        out.append((table, n, widths[table]))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -91,8 +124,10 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
+    widths = _table_widths(args.sf_dir)
     bad: dict[str, dict[str, int]] = {}
     census: dict[str, dict[str, int]] = {}
+    unpruned: dict[str, list] = {}
     for name in names:
         try:
             df = qs[name].fn(spark, args.sf_dir)
@@ -109,6 +144,16 @@ def main() -> int:
             cache.release(blocking=False)
         c = _counts(plan)
         census[name] = c
+        # column-pruning: a scan of a wide (>5 col) table that reads the
+        # FULL schema is flagged informationally (some queries do need
+        # every column — profiling, e2e pipelines — so not a hard gate)
+        full = [
+            (t, n, w)
+            for t, n, w in _scan_census(plan, widths)
+            if n >= w and w > 5
+        ]
+        if full:
+            unpruned[name] = sorted(set(full))
         hard_hits = {k: c[k] for k in HARD if c[k]}
         if hard_hits:
             bad[name] = hard_hits
@@ -126,10 +171,29 @@ def main() -> int:
             f"BNLJ={c['BroadcastNestedLoopJoin']} "
             f"arrowPy={c['MapInPandas'] + c['FlatMapGroupsInPandas']}"
         )
+    if unpruned:
+        print(
+            f"\nfull-width scans of wide tables ({len(unpruned)} queries"
+            " — informational; profiling/e2e queries legitimately read"
+            " everything):"
+        )
+        for name, scans in sorted(unpruned.items()):
+            print(f"  {name}: {scans}")
     totals = {
         k: sum(c[k] for c in census.values()) for k in COUNTED + HARD
     }
-    print(json.dumps({"queries": len(census), "totals": totals, "bad": bad}))
+    print(
+        json.dumps(
+            {
+                "queries": len(census),
+                "totals": totals,
+                "bad": bad,
+                "unpruned_wide_scans": {
+                    k: [list(s) for s in v] for k, v in unpruned.items()
+                },
+            }
+        )
+    )
     spark.stop()
     return 1 if bad else 0
 
