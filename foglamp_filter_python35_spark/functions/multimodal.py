@@ -11,11 +11,19 @@ Design for 100 TB:
 * decode / feature-extract / resize / frame-sample are Arrow-batched
   ``mapInPandas`` operators: schema-stable, 1->N capable (frame
   sampling), partition-parallel.
-* the actual codec calls (PIL / ffmpeg / soundfile) are NOT available in
-  this container — ``decode_image`` raises NotImplementedError by
+* codec boundary (round 9): uncompressed containers decode FOR REAL
+  with zero external libs — ``decode_wav`` (stdlib ``wave`` + numpy
+  sample stats) and ``decode_bmp`` (``struct`` header parse + numpy
+  pixel means), dispatched by magic bytes in ``decode_media`` and
+  served Arrow-batched by ``extract_media_meta``.  COMPRESSED codecs
+  (PIL / ffmpeg / soundfile for JPEG/PNG/H.264/MP3) are NOT available
+  in this container — ``decode_image`` raises NotImplementedError by
   contract, and ``pseudo_decode`` provides a deterministic stand-in
   (derived from the payload's md5) so the Spark-side plumbing — schema,
-  batching, UDF signature, fan-out — is fully real and tested.
+  batching, UDF signature, fan-out — is fully real and tested either
+  way.  The catalog's oracle-gated queries stay on the deterministic
+  pseudo path (DuckDB twins must reproduce the values); the real
+  decoders share the identical kernel shape.
 """
 
 from __future__ import annotations
@@ -132,11 +140,171 @@ def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point — image/audio libs are not in this
-    container.  STUB by contract."""
+    """COMPRESSED-format decoder entry point (JPEG/PNG/H.264...) —
+    those codec libs are not in this container.  STUB by contract;
+    uncompressed formats decode for real: see :func:`decode_wav`
+    (stdlib ``wave``) and :func:`decode_bmp` (``struct`` + numpy), with
+    magic-byte dispatch in :func:`decode_media`."""
     raise NotImplementedError(
-        "media codecs unavailable in this environment; use pseudo_decode "
-        "for deterministic plumbing tests"
+        "compressed-media codecs unavailable in this environment; "
+        "decode_media handles uncompressed WAV/BMP for real, and "
+        "pseudo_decode provides the deterministic plumbing stand-in"
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode of a PCM WAV payload — pure stdlib ``wave``
+    plus numpy over the sample buffer, no external codec.  Returns
+    typed media properties + signal stats (peak/RMS), i.e. the same
+    work a feature-extraction pass does on real audio at 100 TB, just
+    limited to the uncompressed container this environment can parse.
+    """
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        sample_width = w.getsampwidth()
+        n_frames = w.getnframes()
+        pcm = w.readframes(n_frames)
+    if sample_width == 2:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        full_scale = 32768.0
+    elif sample_width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
+        full_scale = 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sample_width}")
+    peak = float(np.abs(samples).max() / full_scale) if samples.size else 0.0
+    rms = (
+        float(np.sqrt(np.mean(samples**2)) / full_scale)
+        if samples.size
+        else 0.0
+    )
+    return {
+        "kind": "audio/wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": int(round(1000.0 * n_frames / sample_rate))
+        if sample_rate
+        else 0,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode of an uncompressed 24/32-bit BMP — ``struct``
+    over the BITMAPFILEHEADER/BITMAPINFOHEADER plus numpy over the
+    (4-byte row-padded, bottom-up) pixel array.  Returns dimensions and
+    channel means: genuine pixel math, no codec library."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BMP decodable here (bpp={bpp},"
+            f" compression={compression})"
+        )
+    n_ch = bpp // 8
+    abs_h = abs(height)
+    row_stride = (width * n_ch + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * abs_h, offset=data_offset
+    ).reshape(abs_h, row_stride)[:, : width * n_ch]
+    rows = px.reshape(abs_h, width, n_ch)
+    if height > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    means = rows.astype(np.float64).mean(axis=(0, 1))  # BGR(A) order
+    return {
+        "kind": "image/bmp",
+        "width": width,
+        "height": abs_h,
+        "mean_r": float(means[2]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[0]),
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Magic-byte dispatch: real decode where the container needs no
+    codec library (RIFF/WAVE, BM), ``pseudo_decode`` fallback (flagged
+    ``kind='opaque'``) for everything else — so one kernel serves mixed
+    corpora and the env-blocked boundary is explicit per row, not per
+    job."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+    except Exception:  # noqa: BLE001 — corrupt container: opaque fallback
+        pass
+    return {"kind": "opaque", **pseudo_decode(payload)}
+
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL media metadata extraction (same mapInPandas
+    shape as :func:`extract_features`): WAV/BMP rows decode for real,
+    anything else degrades to the opaque pseudo path with its kind
+    recorded.  Swapping in a compressed-format codec later changes only
+    ``decode_media``'s dispatch table — zero plan structure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_media(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": [m["kind"] for m in metas],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": pd.array(
+                        [m.get("width") for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m.get("height") for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m.get("n_channels") for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m.get("sample_rate") for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m.get("duration_ms") for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        run, MEDIA_META_SCHEMA
     )
 
 

@@ -1,0 +1,129 @@
+"""Real (stdlib-only) media decoders — VERDICT missing-item #2, halved.
+
+The env-blocked part of X5 was "no codec libraries"; that only blocks
+COMPRESSED formats.  These tests synthesize genuine WAV (stdlib
+``wave``) and BMP (``struct``) payloads with known ground truth and
+assert the decoders recover it exactly — real pixel/sample math, not
+digest arithmetic — then run the mixed-corpus Arrow kernel
+(``extract_media_meta``) end-to-end through mapInPandas.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+
+from foglamp_filter_python35_spark.functions import multimodal as mm
+
+
+def _wav_bytes(
+    freq: float = 440.0,
+    sample_rate: int = 8000,
+    n_frames: int = 4000,
+    amplitude: float = 0.5,
+    n_channels: int = 1,
+) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            v = int(amplitude * 32767 * math.sin(2 * math.pi * freq * i / sample_rate))
+            frames += struct.pack("<h", v) * n_channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _bmp_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP filled with one color."""
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width  # BGR on disk
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = row * height
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def test_decode_wav_recovers_ground_truth():
+    payload = _wav_bytes(freq=440.0, sample_rate=8000, n_frames=4000, amplitude=0.5)
+    m = mm.decode_wav(payload)
+    assert m["kind"] == "audio/wav"
+    assert m["n_channels"] == 1
+    assert m["sample_rate"] == 8000
+    assert m["n_frames"] == 4000
+    assert m["duration_ms"] == 500
+    # a 0.5-amplitude sine: peak ~0.5, RMS ~0.5/sqrt(2) ~0.354
+    assert abs(m["peak"] - 0.5) < 0.01
+    assert abs(m["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
+def test_decode_wav_stereo_and_8bit():
+    stereo = mm.decode_wav(_wav_bytes(n_channels=2, n_frames=800))
+    assert stereo["n_channels"] == 2 and stereo["n_frames"] == 800
+    # 8-bit unsigned silence: 128 everywhere -> peak 0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(bytes([128]) * 1000)
+    silent = mm.decode_wav(buf.getvalue())
+    assert silent["peak"] == 0.0 and silent["rms"] == 0.0
+
+
+def test_decode_bmp_recovers_dimensions_and_channel_means():
+    m = mm.decode_bmp(_bmp_bytes(7, 5, (200, 100, 50)))  # odd width: padding path
+    assert m["kind"] == "image/bmp"
+    assert (m["width"], m["height"]) == (7, 5)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+def test_decode_bmp_rejects_compressed_or_foreign():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # RLE-compressed BMP header (compression=1) must refuse, not misparse
+    bad = bytearray(_bmp_bytes(4, 4, (1, 2, 3)))
+    struct.pack_into("<I", bad, 30, 1)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bytes(bad))
+
+
+def test_decode_media_dispatches_and_degrades():
+    wav, bmp, blob = _wav_bytes(n_frames=80), _bmp_bytes(3, 3, (9, 9, 9)), b"not-media"
+    assert mm.decode_media(wav)["kind"] == "audio/wav"
+    assert mm.decode_media(bmp)["kind"] == "image/bmp"
+    opaque = mm.decode_media(blob)
+    assert opaque["kind"] == "opaque" and set(opaque) >= {"width", "height"}
+    # corrupt RIFF container: opaque fallback, never an exception
+    assert mm.decode_media(b"RIFF\x00\x00\x00\x00WAVEgarbage")["kind"] == "opaque"
+
+
+def test_extract_media_meta_kernel_on_mixed_corpus(spark):
+    rows = [
+        (1, _wav_bytes(sample_rate=8000, n_frames=2000)),
+        (2, _bmp_bytes(16, 8, (10, 20, 30))),
+        (3, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm.extract_media_meta(df).collect()}
+    assert out[1].kind == "audio/wav"
+    assert (out[1].sample_rate, out[1].duration_ms) == (8000, 250)
+    assert out[1].width is None  # audio has no pixel dims
+    assert out[2].kind == "image/bmp"
+    assert (out[2].width, out[2].height) == (16, 8)
+    assert out[2].sample_rate is None
+    assert out[3].kind == "opaque"
+    assert out[3].n_bytes == len(b"plain text payload")
+    # plan shape: Arrow kernel, never row-at-a-time Python
+    plan = mm.extract_media_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
