@@ -240,17 +240,160 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def encode_bmp(rgb_rows: "object") -> bytes:
+    """Inverse of :func:`decode_bmp`: numpy (h, w, 3) uint8 RGB array ->
+    uncompressed 24-bit bottom-up BMP bytes."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.ascontiguousarray(rgb_rows, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    pad = (4 - (w * 3) % 4) % 4
+    if pad:
+        rows = b"".join(
+            bgr[r].tobytes() + b"\x00" * pad for r in range(h)
+        )
+    else:
+        rows = bgr.tobytes()
+    data_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(rows), 0, 0, data_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for uncompressed BMP: nearest-neighbor via
+    numpy index sampling, re-encoded as 24-bit BMP.  The real-math twin
+    of the catalog's deterministic ``resize`` stand-in — same kernel
+    shape, actual pixels."""
+    import numpy as np  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    m = decode_bmp(payload)  # validates container
+    src_w, src_h = m["width"], m["height"]
+    # re-extract the pixel array (decode_bmp returns stats only)
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    bpp = struct.unpack_from("<HH", payload, 26)[1]
+    n_ch = bpp // 8
+    stride = (src_w * n_ch + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * src_h, offset=data_offset
+    ).reshape(src_h, stride)[:, : src_w * n_ch].reshape(src_h, src_w, n_ch)
+    px = px[::-1]  # to top-down
+    rgb = px[:, :, [2, 1, 0]] if n_ch >= 3 else px
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return encode_bmp(rgb[ys][:, xs, :3])
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL video decode of a YUV4MPEG2 (y4m) payload — the standard
+    UNCOMPRESSED video container: an ASCII header (``YUV4MPEG2 W.. H..
+    F<num>:<den> ...``) followed by ``FRAME\\n`` + raw planar YUV per
+    frame.  No codec involved; frame count and per-frame luma are plain
+    buffer math."""
+    import numpy as np  # noqa: PLC0415
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m payload")
+    params = {t[0]: t[1:] for t in head[1:] if t}
+    width, height = int(params["W"]), int(params["H"])
+    num, den = (params.get("F") or "25:1").split(":")
+    chroma = params.get("C", "420")
+    if chroma.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif chroma.startswith("422"):
+        frame_bytes = width * height * 2
+    elif chroma.startswith("444"):
+        frame_bytes = width * height * 3
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma}")
+    pos, n_frames, luma_means = nl + 1, 0, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m frame marker")
+        y = np.frombuffer(
+            payload, dtype=np.uint8, count=width * height, offset=fnl + 1
+        )
+        luma_means.append(float(y.mean()))
+        n_frames += 1
+        pos = fnl + 1 + frame_bytes
+    fps = float(num) / float(den)
+    return {
+        "kind": "video/y4m",
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_ms": int(round(1000.0 * n_frames / fps)) if fps else 0,
+        "fps": fps,
+        "luma_means": luma_means,
+    }
+
+
+def sample_y4m_frames(payload: bytes, k: int) -> list[tuple[int, bytes]]:
+    """REAL frame sampling: ``k`` evenly-spaced (frame_idx, Y-plane
+    bytes) pairs from a y4m payload — what ``sample_frames`` stands in
+    for, executed on actual video data."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m payload")
+    params = {t[0]: t[1:] for t in head[1:] if t}
+    width, height = int(params["W"]), int(params["H"])
+    chroma = params.get("C", "420")
+    if chroma.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif chroma.startswith("422"):
+        frame_bytes = width * height * 2
+    elif chroma.startswith("444"):
+        frame_bytes = width * height * 3
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma}")
+    n = decode_y4m(payload)["n_frames"]
+    if n == 0 or k <= 0:
+        return []
+    # k >= n degrades to every frame once; else evenly spaced indices
+    want = (
+        list(range(n))
+        if k >= n
+        else sorted({(i * n) // k for i in range(k)})
+    )
+    out, pos, idx = [], nl + 1, 0
+    while pos < len(payload) and idx <= want[-1]:
+        fnl = payload.index(b"\n", pos)
+        if idx in want:
+            out.append(
+                (idx, payload[fnl + 1 : fnl + 1 + width * height])
+            )
+        idx += 1
+        pos = fnl + 1 + frame_bytes
+    return out
+
+
 def decode_media(payload: bytes) -> dict:
     """Magic-byte dispatch: real decode where the container needs no
-    codec library (RIFF/WAVE, BM), ``pseudo_decode`` fallback (flagged
-    ``kind='opaque'``) for everything else — so one kernel serves mixed
-    corpora and the env-blocked boundary is explicit per row, not per
-    job."""
+    codec library (RIFF/WAVE, BM, YUV4MPEG2), ``pseudo_decode``
+    fallback (flagged ``kind='opaque'``) for everything else — so one
+    kernel serves mixed corpora and the env-blocked boundary is
+    explicit per row, not per job."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:9] == b"YUV4MPEG2":
+            m = decode_y4m(payload)
+            m.pop("luma_means", None)  # keep the meta row narrow
+            return m
     except Exception:  # noqa: BLE001 — corrupt container: opaque fallback
         pass
     return {"kind": "opaque", **pseudo_decode(payload)}

@@ -127,3 +127,70 @@ def test_extract_media_meta_kernel_on_mixed_corpus(spark):
     # plan shape: Arrow kernel, never row-at-a-time Python
     plan = mm.extract_media_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def _y4m_bytes(width=8, height=6, n_frames=5, fps="10:1"):
+    """Genuine YUV4MPEG2 420 payload: frame i's luma plane is all i*10."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 C420\n".encode()
+    body = b""
+    for i in range(n_frames):
+        y = bytes([i * 10]) * (width * height)
+        uv = bytes([128]) * (width * height // 2)
+        body += b"FRAME\n" + y + uv
+    return head + body
+
+
+def test_encode_decode_bmp_round_trip():
+    import numpy as np
+
+    rgb = np.zeros((5, 7, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    rgb[:, :, 1] = 100
+    rgb[:, :, 2] = 50
+    m = mm.decode_bmp(mm.encode_bmp(rgb))
+    assert (m["width"], m["height"]) == (7, 5)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+def test_resize_bmp_real_pixels():
+    import numpy as np
+
+    # left half red, right half blue — resize must preserve the split
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :4, 0] = 255
+    rgb[:, 4:, 2] = 255
+    small = mm.resize_bmp(mm.encode_bmp(rgb), 4, 4)
+    m = mm.decode_bmp(small)
+    assert (m["width"], m["height"]) == (4, 4)
+    # halves average to half-intensity red + half-intensity blue
+    assert abs(m["mean_r"] - 127.5) < 1 and abs(m["mean_b"] - 127.5) < 1
+    assert m["mean_g"] == 0.0
+    # upscale keeps the solid means exactly (nearest neighbor)
+    big = mm.decode_bmp(mm.resize_bmp(mm.encode_bmp(rgb), 16, 10))
+    assert (big["width"], big["height"]) == (16, 10)
+    assert big["mean_g"] == 0.0
+
+
+def test_decode_y4m_ground_truth():
+    m = mm.decode_y4m(_y4m_bytes(width=8, height=6, n_frames=5, fps="10:1"))
+    assert m["kind"] == "video/y4m"
+    assert (m["width"], m["height"], m["n_frames"]) == (8, 6, 5)
+    assert m["duration_ms"] == 500  # 5 frames at 10 fps
+    assert m["luma_means"] == [0.0, 10.0, 20.0, 30.0, 40.0]
+
+
+def test_sample_y4m_frames_even_spacing():
+    payload = _y4m_bytes(width=4, height=4, n_frames=10)
+    got = mm.sample_y4m_frames(payload, k=3)
+    assert [idx for idx, _ in got] == [0, 3, 6]
+    # each sampled Y plane is the real frame buffer (frame i == i*10)
+    for idx, y in got:
+        assert set(y) == {idx * 10} and len(y) == 16
+    # k > n_frames degrades to every frame once
+    assert [i for i, _ in mm.sample_y4m_frames(payload, k=99)] == list(range(10))
+
+
+def test_decode_media_dispatches_y4m():
+    m = mm.decode_media(_y4m_bytes())
+    assert m["kind"] == "video/y4m" and "luma_means" not in m
+    assert mm.decode_media(b"YUV4MPEG2 corrupt\nFRAME")["kind"] == "opaque"
