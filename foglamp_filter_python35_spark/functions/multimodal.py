@@ -11,19 +11,24 @@ Design for 100 TB:
 * decode / feature-extract / resize / frame-sample are Arrow-batched
   ``mapInPandas`` operators: schema-stable, 1->N capable (frame
   sampling), partition-parallel.
-* codec boundary (round 9): uncompressed containers decode FOR REAL
-  with zero external libs — ``decode_wav`` (stdlib ``wave`` + numpy
-  sample stats) and ``decode_bmp`` (``struct`` header parse + numpy
-  pixel means), dispatched by magic bytes in ``decode_media`` and
-  served Arrow-batched by ``extract_media_meta``.  COMPRESSED codecs
-  (PIL / ffmpeg / soundfile for JPEG/PNG/H.264/MP3) are NOT available
-  in this container — ``decode_image`` raises NotImplementedError by
-  contract, and ``pseudo_decode`` provides a deterministic stand-in
-  (derived from the payload's md5) so the Spark-side plumbing — schema,
-  batching, UDF signature, fan-out — is fully real and tested either
-  way.  The catalog's oracle-gated queries stay on the deterministic
-  pseudo path (DuckDB twins must reproduce the values); the real
-  decoders share the identical kernel shape.
+* codec boundary (rounds 9-10): everything short of an entropy codec
+  decodes FOR REAL with zero external libs — ``decode_wav`` (stdlib
+  ``wave`` + numpy sample stats), ``decode_bmp`` (``struct`` header
+  parse + numpy pixel means), ``decode_png`` (stdlib ``zlib`` inflate
+  + per-row unfilter — PNG's "compression" IS zlib, so no codec lib is
+  needed), and ``decode_y4m``, dispatched by magic bytes in
+  ``decode_media`` and served Arrow-batched by ``extract_media_meta``.
+  DCT/entropy formats (JPEG/H.264/MP3 via PIL/ffmpeg/soundfile) are
+  NOT available in this container — ``decode_image`` raises
+  NotImplementedError by contract, and ``pseudo_decode`` provides a
+  deterministic stand-in (derived from the payload's md5) so the
+  Spark-side plumbing — schema, batching, UDF signature, fan-out — is
+  fully real and tested either way.  Degraded rows are flagged
+  ``kind='opaque'`` with a ``decode_error`` reason; fabricated pseudo
+  stats never share columns with measured ones.  The catalog's
+  oracle-gated queries stay on the deterministic pseudo path (DuckDB
+  twins must reproduce the values); the real decoders share the
+  identical kernel shape.
 """
 
 from __future__ import annotations
@@ -140,15 +145,17 @@ def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
 
 
 def decode_image(payload: bytes) -> "object":
-    """COMPRESSED-format decoder entry point (JPEG/PNG/H.264...) —
+    """Entropy-coded-format decoder entry point (JPEG/H.264/MP3...) —
     those codec libs are not in this container.  STUB by contract;
-    uncompressed formats decode for real: see :func:`decode_wav`
-    (stdlib ``wave``) and :func:`decode_bmp` (``struct`` + numpy), with
-    magic-byte dispatch in :func:`decode_media`."""
+    everything short of a DCT/arithmetic codec decodes for real: see
+    :func:`decode_wav` (stdlib ``wave``), :func:`decode_bmp`
+    (``struct`` + numpy), :func:`decode_png` (stdlib ``zlib`` inflate +
+    per-row unfilter), :func:`decode_y4m`, with magic-byte dispatch in
+    :func:`decode_media`."""
     raise NotImplementedError(
-        "compressed-media codecs unavailable in this environment; "
-        "decode_media handles uncompressed WAV/BMP for real, and "
-        "pseudo_decode provides the deterministic plumbing stand-in"
+        "DCT/entropy-codec media (JPEG/H.264/MP3) unavailable in this "
+        "environment; decode_media handles WAV/BMP/PNG/y4m for real, "
+        "and pseudo_decode provides the deterministic plumbing stand-in"
     )
 
 
@@ -267,29 +274,249 @@ def encode_bmp(rgb_rows: "object") -> bytes:
     return header + info + rows
 
 
+def _bmp_rgb_rows(payload: bytes) -> "object":
+    """Top-down (h, w, 3) uint8 RGB pixel array from an uncompressed
+    24/32-bit BMP, honoring the signed-height convention (positive
+    height = bottom-up rows on disk, negative = already top-down)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    decode_bmp(payload)  # validates container
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    src_w, signed_h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<HH", payload, 26)[1]
+    n_ch = bpp // 8
+    src_h = abs(signed_h)
+    stride = (src_w * n_ch + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * src_h, offset=data_offset
+    ).reshape(src_h, stride)[:, : src_w * n_ch].reshape(src_h, src_w, n_ch)
+    if signed_h > 0:  # bottom-up storage -> flip to top-down
+        px = px[::-1]
+    return px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+
+
+def _nearest_resize(rgb: "object", width: int, height: int) -> "object":
+    import numpy as np  # noqa: PLC0415
+
+    src_h, src_w = rgb.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return rgb[ys][:, xs, :3]
+
+
 def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     """REAL image resize for uncompressed BMP: nearest-neighbor via
     numpy index sampling, re-encoded as 24-bit BMP.  The real-math twin
     of the catalog's deterministic ``resize`` stand-in — same kernel
     shape, actual pixels."""
-    import numpy as np  # noqa: PLC0415
-    import struct  # noqa: PLC0415
+    return encode_bmp(_nearest_resize(_bmp_rgb_rows(payload), width, height))
 
-    m = decode_bmp(payload)  # validates container
-    src_w, src_h = m["width"], m["height"]
-    # re-extract the pixel array (decode_bmp returns stats only)
-    data_offset = struct.unpack_from("<I", payload, 10)[0]
-    bpp = struct.unpack_from("<HH", payload, 26)[1]
-    n_ch = bpp // 8
-    stride = (src_w * n_ch + 3) & ~3
-    px = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * src_h, offset=data_offset
-    ).reshape(src_h, stride)[:, : src_w * n_ch].reshape(src_h, src_w, n_ch)
-    px = px[::-1]  # to top-down
-    rgb = px[:, :, [2, 1, 0]] if n_ch >= 3 else px
-    ys = (np.arange(height) * src_h) // height
-    xs = (np.arange(width) * src_w) // width
-    return encode_bmp(rgb[ys][:, xs, :3])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_pixels(payload: bytes) -> "object":
+    """REAL PNG decode, stdlib-only: chunk walk + ``zlib`` inflate +
+    per-row unfilter (all 5 filter types per the PNG spec §9), returning
+    a top-down (h, w, channels) uint8 array.  Supports the
+    overwhelmingly common case — 8-bit, non-interlaced, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA); palette and 16-bit raise.
+    Filters Sub/Up are vectorized (per-lane cumsum / row add);
+    Average/Paeth carry a left-pixel dependency so those rows unfilter
+    byte-sequentially — acceptable because this runs inside an Arrow
+    kernel, partition-parallel across the corpus."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB(A) PNG decodable here "
+            f"(depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub: per-lane running sum mod 256
+            cur = line.copy()
+            for o in range(ch):
+                lane = cur[o::ch]
+                lane[:] = np.cumsum(lane, dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up: uint8 add wraps mod 256
+            cur = line + prev
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL image decode of an 8-bit non-interlaced PNG — the last
+    feasible stdlib codec (zlib inflate IS the PNG compression; only
+    DCT formats like JPEG genuinely need an external library).  Same
+    output shape as :func:`decode_bmp`: dimensions + channel means."""
+    import numpy as np  # noqa: PLC0415
+
+    px = _png_pixels(payload)
+    h, w, ch = px.shape
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    if ch >= 3:
+        mean_r, mean_g, mean_b = means[0], means[1], means[2]
+    else:  # grayscale (with or without alpha): replicate the luma
+        mean_r = mean_g = mean_b = means[0]
+    return {
+        "kind": "image/png",
+        "width": w,
+        "height": h,
+        "mean_r": float(mean_r),
+        "mean_g": float(mean_g),
+        "mean_b": float(mean_b),
+    }
+
+
+def encode_png(rgb_rows: "object") -> bytes:
+    """Inverse of :func:`decode_png`: numpy (h, w, 3) uint8 RGB array ->
+    8-bit truecolor PNG (filter type 0 rows, one zlib-deflated IDAT)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.ascontiguousarray(rgb_rows, dtype=np.uint8)
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL PNG resize: decode -> nearest-neighbor -> re-encode as
+    truecolor PNG (gray expands to RGB, alpha drops — matching
+    :func:`resize_bmp`'s 24-bit output contract)."""
+    import numpy as np  # noqa: PLC0415
+
+    px = _png_pixels(payload)
+    ch = px.shape[2]
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 2:  # gray+alpha -> replicate luma
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    return encode_png(_nearest_resize(rgb, width, height))
+
+
+def resize_media(payload: bytes, width: int, height: int) -> bytes:
+    """Magic-byte resize dispatch: BMP and PNG resize on actual pixels,
+    re-encoded in their own container; anything else raises (the caller
+    decides whether to degrade, as :func:`decode_media` does)."""
+    if payload[:2] == b"BM":
+        return resize_bmp(payload, width, height)
+    if payload[:8] == _PNG_SIG:
+        return resize_png(payload, width, height)
+    raise ValueError("resize_media handles uncompressed BMP and PNG only")
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, dict, int]:
+    """Shared YUV4MPEG2 header parse (decode_y4m + sample_y4m_frames):
+    returns (width, height, frame_bytes, params, body_offset)."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m payload")
+    params = {t[0]: t[1:] for t in head[1:] if t}
+    width, height = int(params["W"]), int(params["H"])
+    chroma = params.get("C", "420")
+    if chroma.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif chroma.startswith("422"):
+        frame_bytes = width * height * 2
+    elif chroma.startswith("444"):
+        frame_bytes = width * height * 3
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma}")
+    return width, height, frame_bytes, params, nl + 1
+
+
+def _y4m_frames(
+    payload: bytes, body_offset: int, frame_bytes: int
+) -> "Iterator[tuple[int, int]]":
+    """Single walk over the frame markers: yields (frame_idx,
+    plane_offset) per frame, validating each ``FRAME`` marker."""
+    pos, idx = body_offset, 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m frame marker")
+        yield idx, fnl + 1
+        idx += 1
+        pos = fnl + 1 + frame_bytes
 
 
 def decode_y4m(payload: bytes) -> dict:
@@ -300,33 +527,15 @@ def decode_y4m(payload: bytes) -> dict:
     buffer math."""
     import numpy as np  # noqa: PLC0415
 
-    nl = payload.index(b"\n")
-    head = payload[:nl].decode("ascii", "strict").split(" ")
-    if head[0] != "YUV4MPEG2":
-        raise ValueError("not a y4m payload")
-    params = {t[0]: t[1:] for t in head[1:] if t}
-    width, height = int(params["W"]), int(params["H"])
+    width, height, frame_bytes, params, pos = _y4m_header(payload)
     num, den = (params.get("F") or "25:1").split(":")
-    chroma = params.get("C", "420")
-    if chroma.startswith("420"):
-        frame_bytes = width * height * 3 // 2
-    elif chroma.startswith("422"):
-        frame_bytes = width * height * 2
-    elif chroma.startswith("444"):
-        frame_bytes = width * height * 3
-    else:
-        raise ValueError(f"unsupported y4m chroma {chroma}")
-    pos, n_frames, luma_means = nl + 1, 0, []
-    while pos < len(payload):
-        fnl = payload.index(b"\n", pos)
-        if payload[pos : pos + 5] != b"FRAME":
-            raise ValueError("corrupt y4m frame marker")
+    n_frames, luma_means = 0, []
+    for _idx, y_off in _y4m_frames(payload, pos, frame_bytes):
         y = np.frombuffer(
-            payload, dtype=np.uint8, count=width * height, offset=fnl + 1
+            payload, dtype=np.uint8, count=width * height, offset=y_off
         )
         luma_means.append(float(y.mean()))
         n_frames += 1
-        pos = fnl + 1 + frame_bytes
     fps = float(num) / float(den)
     return {
         "kind": "video/y4m",
@@ -342,23 +551,12 @@ def decode_y4m(payload: bytes) -> dict:
 def sample_y4m_frames(payload: bytes, k: int) -> list[tuple[int, bytes]]:
     """REAL frame sampling: ``k`` evenly-spaced (frame_idx, Y-plane
     bytes) pairs from a y4m payload — what ``sample_frames`` stands in
-    for, executed on actual video data."""
-    nl = payload.index(b"\n")
-    head = payload[:nl].decode("ascii", "strict").split(" ")
-    if head[0] != "YUV4MPEG2":
-        raise ValueError("not a y4m payload")
-    params = {t[0]: t[1:] for t in head[1:] if t}
-    width, height = int(params["W"]), int(params["H"])
-    chroma = params.get("C", "420")
-    if chroma.startswith("420"):
-        frame_bytes = width * height * 3 // 2
-    elif chroma.startswith("422"):
-        frame_bytes = width * height * 2
-    elif chroma.startswith("444"):
-        frame_bytes = width * height * 3
-    else:
-        raise ValueError(f"unsupported y4m chroma {chroma}")
-    n = decode_y4m(payload)["n_frames"]
+    for, executed on actual video data.  ONE walk over the payload:
+    frame offsets are collected while counting, then the selected Y
+    planes are sliced by offset — no second decode pass."""
+    width, height, frame_bytes, _params, body = _y4m_header(payload)
+    offsets = [off for _idx, off in _y4m_frames(payload, body, frame_bytes)]
+    n = len(offsets)
     if n == 0 or k <= 0:
         return []
     # k >= n degrades to every frame once; else evenly spaced indices
@@ -367,36 +565,42 @@ def sample_y4m_frames(payload: bytes, k: int) -> list[tuple[int, bytes]]:
         if k >= n
         else sorted({(i * n) // k for i in range(k)})
     )
-    out, pos, idx = [], nl + 1, 0
-    while pos < len(payload) and idx <= want[-1]:
-        fnl = payload.index(b"\n", pos)
-        if idx in want:
-            out.append(
-                (idx, payload[fnl + 1 : fnl + 1 + width * height])
-            )
-        idx += 1
-        pos = fnl + 1 + frame_bytes
-    return out
+    return [
+        (i, payload[offsets[i] : offsets[i] + width * height]) for i in want
+    ]
 
 
 def decode_media(payload: bytes) -> dict:
     """Magic-byte dispatch: real decode where the container needs no
-    codec library (RIFF/WAVE, BM, YUV4MPEG2), ``pseudo_decode``
-    fallback (flagged ``kind='opaque'``) for everything else — so one
-    kernel serves mixed corpora and the env-blocked boundary is
-    explicit per row, not per job."""
+    entropy codec (RIFF/WAVE, BM, PNG, YUV4MPEG2), flagged
+    ``kind='opaque'`` fallback for everything else — so one kernel
+    serves mixed corpora and the env-blocked boundary is explicit per
+    row, not per job.  Opaque rows carry a ``decode_error`` reason (the
+    engine twin of the reference's logged error + pass-through degrade,
+    python35_filter.cpp:263-301) and keep the deterministic pseudo
+    stats NESTED under ``pseudo`` — never in the real width/height/...
+    fields, so aggregates can't silently mix fabricated and measured
+    pixel stats."""
+    err = None
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
         if payload[:9] == b"YUV4MPEG2":
             m = decode_y4m(payload)
             m.pop("luma_means", None)  # keep the meta row narrow
             return m
-    except Exception:  # noqa: BLE001 — corrupt container: opaque fallback
-        pass
-    return {"kind": "opaque", **pseudo_decode(payload)}
+        err = "unrecognized container (no magic-byte match)"
+    except Exception as exc:  # noqa: BLE001 — corrupt container: degrade
+        err = f"{type(exc).__name__}: {exc}"
+    return {
+        "kind": "opaque",
+        "decode_error": err,
+        "pseudo": pseudo_decode(payload),
+    }
 
 
 MEDIA_META_SCHEMA = StructType(
@@ -409,16 +613,19 @@ MEDIA_META_SCHEMA = StructType(
         StructField("n_channels", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("duration_ms", LongType()),
+        StructField("decode_error", StringType()),
     ]
 )
 
 
 def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched REAL media metadata extraction (same mapInPandas
-    shape as :func:`extract_features`): WAV/BMP rows decode for real,
-    anything else degrades to the opaque pseudo path with its kind
-    recorded.  Swapping in a compressed-format codec later changes only
-    ``decode_media``'s dispatch table — zero plan structure."""
+    shape as :func:`extract_features`): WAV/BMP/PNG/y4m rows decode for
+    real, anything else degrades to the opaque path with its kind,
+    NULL media properties, and the ``decode_error`` reason recorded —
+    so corpus-hygiene audits can count/classify degraded rows without
+    re-decoding.  Swapping in a compressed-format codec later changes
+    only ``decode_media``'s dispatch table — zero plan structure."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -443,6 +650,7 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
                     "duration_ms": pd.array(
                         [m.get("duration_ms") for m in metas], dtype="Int64"
                     ),
+                    "decode_error": [m.get("decode_error") for m in metas],
                 }
             )
 

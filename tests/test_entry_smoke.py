@@ -34,11 +34,11 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r8 evidence covers all 153 queries, so the round-9
-    window re-confirms the LEAST-recently-verified greens (the three r5
-    leftovers + the r6-era operator/relational blocks).  Guard the
-    ordering so an innocent module reshuffle can't silently evict
-    them."""
+    Cumulative r1-r9 evidence covers all 153 queries, so the round-10
+    window re-confirms the LEAST-recently-verified greens (the three r6
+    stragglers + 47 of the r7-era dedup/vector/multimodal/pipeline
+    cohort).  Guard the ordering so an innocent module reshuffle can't
+    silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -48,18 +48,23 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r5": ("top_session_paths", "corpus_rebalance",
-                     "event_path_transitions"),
-        "reference-ops-r6": ("scale35", "python_filter_scale35",
-                             "readings35_add100", "asset_filter",
-                             "metadata_carry", "type_coercion"),
-        "tpch-r6": ("pricing_summary", "shipping_priority",
-                    "market_share", "custdist", "promo_revenue"),
-        "relational-r6": ("cube_revenue", "grouping_sets_revenue",
-                          "retention_cohorts", "event_funnel",
-                          "name_fuzzy_match"),
-        "events-r6": ("sessionization", "hourly_event_rollup",
-                      "event_type_pivot", "distinct_users"),
+        "stale-r6": ("moving_average", "dedup_exact",
+                     "minhash_lsh_dedup"),
+        "dedup-r7": ("ngram_jaccard_pairs", "doc_containment",
+                     "simhash_dedup", "dedup_clusters", "dedup_apply",
+                     "dedup_ensemble"),
+        "vector-r7": ("embedding_topk", "embedding_ivf_topk",
+                      "embedding_lsh_dup", "semantic_dedup",
+                      "embedding_knn_join", "embedding_quantize"),
+        "multimodal-r7": ("multimodal_dedup", "multimodal_meta",
+                          "multimodal_features", "multimodal_resize",
+                          "multimodal_frames"),
+        "pipeline-r7": ("domain_quota_sample", "incremental_dedup",
+                        "bm25_retrieval", "token_pmi", "weighted_sample",
+                        "split_leakage"),
+        "relational-r7": ("waiting_suppliers", "min_cost_supplier",
+                          "salted_enrich_rollup", "column_profile",
+                          "snapshot_diff"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"

@@ -103,27 +103,44 @@ def test_decode_media_dispatches_and_degrades():
     assert mm.decode_media(wav)["kind"] == "audio/wav"
     assert mm.decode_media(bmp)["kind"] == "image/bmp"
     opaque = mm.decode_media(blob)
-    assert opaque["kind"] == "opaque" and set(opaque) >= {"width", "height"}
-    # corrupt RIFF container: opaque fallback, never an exception
-    assert mm.decode_media(b"RIFF\x00\x00\x00\x00WAVEgarbage")["kind"] == "opaque"
+    assert opaque["kind"] == "opaque"
+    # fabricated stats stay NESTED under 'pseudo', never in the real
+    # width/height columns (r9 ADVICE: aggregates must not mix them)
+    assert "width" not in opaque and "height" not in opaque
+    assert set(opaque["pseudo"]) >= {"width", "height", "n_frames"}
+    assert opaque["decode_error"] == "unrecognized container (no magic-byte match)"
+    # corrupt RIFF container: opaque fallback carrying the reason,
+    # never an exception (reference degrade contract, C6)
+    corrupt = mm.decode_media(b"RIFF\x00\x00\x00\x00WAVEgarbage")
+    assert corrupt["kind"] == "opaque"
+    assert corrupt["decode_error"] and "Error" in corrupt["decode_error"]
 
 
 def test_extract_media_meta_kernel_on_mixed_corpus(spark):
+    import numpy as np
+
     rows = [
         (1, _wav_bytes(sample_rate=8000, n_frames=2000)),
         (2, _bmp_bytes(16, 8, (10, 20, 30))),
         (3, b"plain text payload"),
+        (4, mm.encode_png(np.full((4, 6, 3), 77, dtype=np.uint8))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in mm.extract_media_meta(df).collect()}
     assert out[1].kind == "audio/wav"
     assert (out[1].sample_rate, out[1].duration_ms) == (8000, 250)
     assert out[1].width is None  # audio has no pixel dims
+    assert out[1].decode_error is None
     assert out[2].kind == "image/bmp"
     assert (out[2].width, out[2].height) == (16, 8)
     assert out[2].sample_rate is None
     assert out[3].kind == "opaque"
     assert out[3].n_bytes == len(b"plain text payload")
+    # opaque rows: NULL media properties + machine-auditable reason
+    assert out[3].width is None and out[3].duration_ms is None
+    assert "unrecognized container" in out[3].decode_error
+    assert out[4].kind == "image/png"
+    assert (out[4].width, out[4].height) == (6, 4)
     # plan shape: Arrow kernel, never row-at-a-time Python
     plan = mm.extract_media_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
@@ -193,4 +210,191 @@ def test_sample_y4m_frames_even_spacing():
 def test_decode_media_dispatches_y4m():
     m = mm.decode_media(_y4m_bytes())
     assert m["kind"] == "video/y4m" and "luma_means" not in m
-    assert mm.decode_media(b"YUV4MPEG2 corrupt\nFRAME")["kind"] == "opaque"
+    degraded = mm.decode_media(b"YUV4MPEG2 corrupt\nFRAME")
+    assert degraded["kind"] == "opaque" and degraded["decode_error"]
+
+
+# --- PNG: the round-10 codec.  zlib inflate IS PNG's compression, so a
+# complete non-interlaced decoder needs only stdlib zlib + the 5
+# per-row unfilters.
+
+
+def _png_with_filters(pixels, filters):
+    """Build a real PNG applying a chosen filter type per row — the
+    forward direction of the spec's filter math, written independently
+    of the decoder so the test is a genuine cross-check."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(int)
+    raw = b""
+    prev = np.zeros(stride, dtype=int)
+    for r, f in enumerate(filters):
+        cur = flat[r]
+        left = np.concatenate([np.zeros(ch, dtype=int), cur[:-ch]])
+        if f == 0:
+            enc = cur % 256
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = (cur - (left + prev) // 2) % 256
+        elif f == 4:
+            enc = np.zeros(stride, dtype=int)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) % 256
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_matches_bmp_twin():
+    import numpy as np
+
+    rgb = np.zeros((5, 7, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    rgb[:, :, 1] = 100
+    rgb[:, :, 2] = 50
+    png_m = mm.decode_png(mm.encode_png(rgb))
+    bmp_m = mm.decode_bmp(mm.encode_bmp(rgb))
+    assert png_m["kind"] == "image/png"
+    assert (png_m["width"], png_m["height"]) == (bmp_m["width"], bmp_m["height"])
+    for k in ("mean_r", "mean_g", "mean_b"):
+        assert png_m[k] == bmp_m[k]
+
+
+def test_png_all_five_filter_types_unfilter_exactly():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = _png_with_filters(pixels, filters=[0, 1, 2, 3, 4])
+    got = mm._png_pixels(payload)
+    assert np.array_equal(got, pixels)
+
+
+def test_png_grayscale_and_rgba():
+    import numpy as np
+
+    gray = np.full((3, 4, 1), 99, dtype=np.uint8)
+    m = mm.decode_png(mm.encode_png(gray))
+    assert (m["width"], m["height"]) == (4, 3)
+    assert m["mean_r"] == m["mean_g"] == m["mean_b"] == 99.0
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, 1] = 255  # pure green, alpha 0
+    m = mm.decode_png(mm.encode_png(rgba))
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (0.0, 255.0, 0.0)
+
+
+def test_png_rejects_unsupported_and_degrades_via_decode_media():
+    import zlib
+
+    # palette PNG (color type 3): refuse, don't misparse
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(pal)
+    degraded = mm.decode_media(pal)
+    assert degraded["kind"] == "opaque"
+    assert "color_type=3" in degraded["decode_error"]
+    # truncated IDAT: opaque with reason, never an exception
+    import numpy as np
+
+    good = mm.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert mm.decode_media(good[:40])["kind"] == "opaque"
+
+
+def test_resize_png_real_pixels_and_resize_media_dispatch():
+    import numpy as np
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :4, 0] = 255
+    rgb[:, 4:, 2] = 255
+    small = mm.resize_media(mm.encode_png(rgb), 4, 4)
+    m = mm.decode_png(small)
+    assert (m["width"], m["height"]) == (4, 4)
+    assert abs(m["mean_r"] - 127.5) < 1 and abs(m["mean_b"] - 127.5) < 1
+    assert m["mean_g"] == 0.0
+    # same array through the BMP path gives the same resized means
+    bm = mm.decode_bmp(mm.resize_media(mm.encode_bmp(rgb), 4, 4))
+    assert (bm["mean_r"], bm["mean_g"], bm["mean_b"]) == (
+        m["mean_r"],
+        m["mean_g"],
+        m["mean_b"],
+    )
+    with pytest.raises(ValueError):
+        mm.resize_media(b"not-an-image", 4, 4)
+
+
+def _top_down_bmp(rgb_top_down) -> bytes:
+    """24-bit BMP with NEGATIVE height: rows stored top-down on disk."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(rgb_top_down, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bgr = arr[:, :, ::-1]  # keep top-down row order, RGB -> BGR
+    pad = (4 - (w * 3) % 4) % 4
+    rows = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    data_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(rows), 0, 0, data_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+
+def test_resize_bmp_honors_top_down_storage():
+    """r9 ADVICE (medium): a negative-height BMP must not come out of
+    resize vertically mirrored."""
+    import numpy as np
+
+    rgb = np.zeros((8, 4, 3), dtype=np.uint8)
+    rgb[:4, :, 0] = 255  # top half red
+    rgb[4:, :, 2] = 255  # bottom half blue
+    resized = mm.resize_bmp(_top_down_bmp(rgb), 4, 8)
+    top_down_px = mm._bmp_rgb_rows(resized)
+    # top rows stay red, bottom rows stay blue
+    assert (top_down_px[0] == [255, 0, 0]).all()
+    assert (top_down_px[-1] == [0, 0, 255]).all()
+    # and the bottom-up twin produces the identical pixel array
+    bottom_up = mm.resize_bmp(mm.encode_bmp(rgb), 4, 8)
+    assert np.array_equal(mm._bmp_rgb_rows(bottom_up), top_down_px)

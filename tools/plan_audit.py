@@ -94,7 +94,12 @@ def _scan_census(plan: str, widths: dict[str, int]) -> list[tuple[str, int, int]
     for cols, table in _SCAN_RE.findall(plan):
         if table not in widths:
             continue
-        n = len([c for c in cols.split(",") if c.strip()])
+        if "more fields" in cols:
+            # elision slipped past the maxToStringFields raise: count the
+            # scan as full-width (conservative — flags, never hides)
+            n = widths[table]
+        else:
+            n = len([c for c in cols.split(",") if c.strip()])
         out.append((table, n, widths[table]))
     return out
 
@@ -116,6 +121,12 @@ def main() -> int:
         shuffle_partitions=8,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # the column-pruning census regexes FileScan column lists out of plan
+    # text; Spark elides long lists ("... N more fields") past
+    # maxToStringFields (default 25), which would undercount full-width
+    # scans of wide tables — raise the cap so the census sees every
+    # column (r9 ADVICE)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
 
     qs = all_queries()
     names = args.names or list(qs)
