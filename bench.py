@@ -45,7 +45,14 @@ def _elapsed() -> float:
     return time.monotonic() - _T_START
 
 
-class _Terminated(Exception):
+class _Terminated(BaseException):
+    # BaseException, NOT Exception: the raise from the signal handler
+    # lands wherever the main thread happens to be, and py4j/pyspark
+    # internals wrap large spans in `except Exception` — an
+    # Exception-derived sentinel gets swallowed there and the bench
+    # keeps running after the harness asked it to die (observed during
+    # gateway launch AND mid-query).  The _GOT_TERM flag re-checks at
+    # loop boundaries cover any span that still swallows it.
     pass
 
 
@@ -108,6 +115,8 @@ def _python_filter_throughput(spark, sf_dir: str) -> dict:
     # headline ratio — a single sample beats a killed process
     squeezed = _elapsed() > _BUDGET - 60
     for label, mult in (("1x", 1), ("10x", 10)):
+        if _GOT_TERM:
+            raise _Terminated
         readings = base
         if mult > 1:
             readings = base.crossJoin(
@@ -283,6 +292,10 @@ def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
     # all_runs / skipped are the caller's dicts (mutated in place so the
     # SIGTERM path sees partial progress).
     for i, spec in enumerate(specs):
+        if _GOT_TERM:
+            # a swallowed in-library raise still stops at the next
+            # query boundary, with everything timed so far intact
+            raise _Terminated
         if _elapsed() > _BUDGET:
             # out of budget: record the rest as skipped (distinct from
             # failed=None) and move on to the throughput probe
