@@ -81,6 +81,35 @@ def test_decode_wav_stereo_and_8bit():
     assert silent["peak"] == 0.0 and silent["rms"] == 0.0
 
 
+def _wav_wide(sample_width: int, values: list[int]) -> bytes:
+    """PCM WAV with explicit signed sample values at a given width."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sample_width)
+        w.setframerate(8000)
+        frames = b"".join(
+            v.to_bytes(sample_width, "little", signed=True) for v in values
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_24_and_32_bit():
+    # 24-bit: half scale positive, half scale negative — peak 0.5 exactly,
+    # sign extension exercised on the negative sample
+    half24 = 1 << 22
+    m = mm.decode_wav(_wav_wide(3, [half24, -half24, 0, 0]))
+    assert m["n_frames"] == 4
+    assert abs(m["peak"] - 0.5) < 1e-6
+    assert abs(m["rms"] - 0.5 / math.sqrt(2)) < 1e-6
+    # 32-bit: full-scale negative -> peak 1.0
+    m32 = mm.decode_wav(_wav_wide(4, [-(1 << 31), 0]))
+    assert abs(m32["peak"] - 1.0) < 1e-9
+    # the mixed-corpus dispatcher takes these too
+    assert mm.decode_media(_wav_wide(3, [1, 2, 3]))["kind"] == "audio/wav"
+
+
 def test_decode_bmp_recovers_dimensions_and_channel_means():
     m = mm.decode_bmp(_bmp_bytes(7, 5, (200, 100, 50)))  # odd width: padding path
     assert m["kind"] == "image/bmp"
@@ -380,6 +409,45 @@ def _top_down_bmp(rgb_top_down) -> bytes:
         "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
     )
     return header + info + rows
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=hst.integers(1, 9),
+        w=hst.integers(1, 9),
+        ch=hst.sampled_from([1, 2, 3, 4]),
+        seed=hst.integers(0, 2**31 - 1),
+        data=hst.data(),
+    )
+    def test_png_round_trip_property(h, w, ch, seed, data):
+        """encode -> decode is the identity for every channel count the
+        codec claims, and the independently-written forward filters
+        (all 5 types, arbitrary per-row mix) unfilter exactly."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = mm._png_pixels(mm.encode_png(px))
+        assert np.array_equal(got, px)
+        if ch == 3:  # the filter builder emits truecolor
+            filters = data.draw(
+                hst.lists(
+                    hst.integers(0, 4), min_size=h, max_size=h
+                )
+            )
+            got_f = mm._png_pixels(_png_with_filters(px, filters))
+            assert np.array_equal(got_f, px)
 
 
 def test_resize_bmp_honors_top_down_storage():
