@@ -21,6 +21,10 @@ Pinned properties:
   inline-quantization path
 - exactly-once growth: every raw commit yields its rows exactly once
   (count == distinct vec_id count == raw corpus size at each step)
+- restart safety: the consumer is STOPPED while a raw commit lands,
+  then restarted on the same checkpoint — it catches up from the
+  committed offset without dropping or double-assigning rows (the
+  epoch-keyed ``txn`` absorbs any replayed batch)
 
 Reference parity anchor: the reference has no vector path at all — this
 is §2 X3 extension surface (SURVEY.md §2.5) composed with S7.
@@ -105,20 +109,31 @@ def test_streamed_assignment_matches_one_shot_ingest(spark, tmp_path):
             assigned, ann_path, mode="append", txn=f"ann:{epoch_id}"
         )
 
-    q = (
-        spark.readStream.format("snapshot_table")
-        .option("path", raw_path)
-        .load()
-        .writeStream.foreachBatch(assign_increment)
-        .option("checkpointLocation", ck)
-        .start()
-    )
+    def start_stream():
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", raw_path)
+            .load()
+            .writeStream.foreachBatch(assign_increment)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    # v0 arrives as the initial snapshot micro-batch, waited out so
+    # micro-batch boundaries (and therefore the exactly-once row
+    # counts) are deterministic
+    q = start_stream()
     try:
-        # v0 arrives as the initial snapshot micro-batch; then two more
-        # raw commits, each waited out so micro-batch boundaries (and
-        # therefore the exactly-once row counts) are deterministic
         _wait_rows(spark, ann_path, counts[0])
-        st.commit(slices[1], raw_path, mode="append")
+    finally:
+        q.stop()
+
+    # the consumer is DOWN while the corpus grows — the production
+    # failure shape; restart on the same checkpoint must catch up from
+    # the committed offset, neither dropping v1 nor replaying v0
+    st.commit(slices[1], raw_path, mode="append")
+    q = start_stream()
+    try:
         _wait_rows(spark, ann_path, counts[0] + counts[1])
         st.commit(slices[2], raw_path, mode="append")
         _wait_rows(spark, ann_path, sum(counts))
