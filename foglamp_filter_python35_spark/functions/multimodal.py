@@ -11,24 +11,24 @@ Design for 100 TB:
 * decode / feature-extract / resize / frame-sample are Arrow-batched
   ``mapInPandas`` operators: schema-stable, 1->N capable (frame
   sampling), partition-parallel.
-* codec boundary (rounds 9-10): everything short of an entropy codec
-  decodes FOR REAL with zero external libs — ``decode_wav`` (stdlib
-  ``wave`` + numpy sample stats), ``decode_bmp`` (``struct`` header
-  parse + numpy pixel means), ``decode_png`` (stdlib ``zlib`` inflate
-  + per-row unfilter — PNG's "compression" IS zlib, so no codec lib is
-  needed), and ``decode_y4m``, dispatched by magic bytes in
-  ``decode_media`` and served Arrow-batched by ``extract_media_meta``.
-  DCT/entropy formats (JPEG/H.264/MP3 via PIL/ffmpeg/soundfile) are
-  NOT available in this container — ``decode_image`` raises
-  NotImplementedError by contract, and ``pseudo_decode`` provides a
-  deterministic stand-in (derived from the payload's md5) so the
-  Spark-side plumbing — schema, batching, UDF signature, fan-out — is
-  fully real and tested either way.  Degraded rows are flagged
-  ``kind='opaque'`` with a ``decode_error`` reason; fabricated pseudo
-  stats never share columns with measured ones.  The catalog's
-  oracle-gated queries stay on the deterministic pseudo path (DuckDB
-  twins must reproduce the values); the real decoders share the
-  identical kernel shape.
+* codec boundary (rounds 9-10): media decodes FOR REAL with zero
+  external libs — ``decode_wav`` (stdlib ``wave`` + numpy,
+  8/16/24/32-bit PCM), ``decode_bmp`` (``struct`` header parse + numpy
+  pixel means), ``decode_png`` (stdlib ``zlib`` inflate + per-row
+  unfilter — PNG's "compression" IS zlib), BASELINE JPEG (``jpeg.py``,
+  a from-spec Huffman + DCT codec, round-trip ground-truth tested),
+  and ``decode_y4m``, dispatched by magic bytes in ``decode_media``
+  and served Arrow-batched by ``extract_media_meta``.  Progressive/
+  arithmetic JPEG, H.264 and MP3 remain out of scope —
+  ``decode_image`` raises NotImplementedError by contract, and
+  ``pseudo_decode`` provides a deterministic stand-in (derived from
+  the payload's md5) so the Spark-side plumbing — schema, batching,
+  UDF signature, fan-out — is fully real and tested either way.
+  Degraded rows are flagged ``kind='opaque'`` with a ``decode_error``
+  reason; fabricated pseudo stats never share columns with measured
+  ones.  The catalog's oracle-gated queries stay on the deterministic
+  pseudo path (DuckDB twins must reproduce the values); the real
+  decoders share the identical kernel shape.
 """
 
 from __future__ import annotations
@@ -145,16 +145,17 @@ def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Entropy-coded-format decoder entry point (JPEG/H.264/MP3...) —
-    those codec libs are not in this container.  STUB by contract;
-    everything short of a DCT/arithmetic codec decodes for real: see
-    :func:`decode_wav` (stdlib ``wave``), :func:`decode_bmp`
+    """Decoder boundary for formats still out of scope: progressive/
+    arithmetic JPEG, H.264, MP3 (each needs machinery this repo hasn't
+    built).  Everything else decodes FOR REAL with zero codec
+    libraries: :func:`decode_wav` (stdlib ``wave``), :func:`decode_bmp`
     (``struct`` + numpy), :func:`decode_png` (stdlib ``zlib`` inflate +
-    per-row unfilter), :func:`decode_y4m`, with magic-byte dispatch in
-    :func:`decode_media`."""
+    per-row unfilter), BASELINE JPEG (:mod:`.jpeg` — a from-spec
+    Huffman + DCT codec), :func:`decode_y4m`, with magic-byte dispatch
+    in :func:`decode_media`."""
     raise NotImplementedError(
-        "DCT/entropy-codec media (JPEG/H.264/MP3) unavailable in this "
-        "environment; decode_media handles WAV/BMP/PNG/y4m for real, "
+        "progressive/arithmetic JPEG, H.264 and MP3 are out of scope; "
+        "decode_media handles WAV/BMP/PNG/baseline-JPEG/y4m for real, "
         "and pseudo_decode provides the deterministic plumbing stand-in"
     )
 
@@ -485,14 +486,21 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_media(payload: bytes, width: int, height: int) -> bytes:
-    """Magic-byte resize dispatch: BMP and PNG resize on actual pixels,
-    re-encoded in their own container; anything else raises (the caller
-    decides whether to degrade, as :func:`decode_media` does)."""
+    """Magic-byte resize dispatch: BMP, PNG, and baseline JPEG resize
+    on actual pixels, re-encoded in their own container; anything else
+    raises (the caller decides whether to degrade, as
+    :func:`decode_media` does)."""
     if payload[:2] == b"BM":
         return resize_bmp(payload, width, height)
     if payload[:8] == _PNG_SIG:
         return resize_png(payload, width, height)
-    raise ValueError("resize_media handles uncompressed BMP and PNG only")
+    if payload[:2] == b"\xff\xd8":
+        from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+            jpeg as _jpeg,
+        )
+
+        return _jpeg.resize_jpeg(payload, width, height)
+    raise ValueError("resize_media handles BMP, PNG and baseline JPEG only")
 
 
 def _y4m_header(payload: bytes) -> tuple[int, int, int, dict, int]:
@@ -601,6 +609,12 @@ def decode_media(payload: bytes) -> dict:
             return decode_bmp(payload)
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+                jpeg as _jpeg,
+            )
+
+            return _jpeg.decode_jpeg(payload)
         if payload[:9] == b"YUV4MPEG2":
             m = decode_y4m(payload)
             m.pop("luma_means", None)  # keep the meta row narrow
