@@ -184,8 +184,10 @@ class _BitWriter:
         self._acc &= (1 << self._n) - 1
 
     def flush(self) -> None:
+        # T.81 F.1.2.3: pad the final partial byte with 1-bits, exactly
+        # 8 - n of them (not 9 - n, which would drop the leading pad bit).
         if self._n:
-            self.write(0x7F, 7 - ((self._n - 1) % 8) + 1)  # pad with 1s
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
 
 
 class _BitReader:
@@ -440,8 +442,19 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone: no length field follows, so the
+            # generic seg_len read below would parse entropy bytes as a
+            # segment length.  Reject explicitly (restart markers only
+            # appear with DRI != 0, which we already reject).
+            raise ValueError(
+                f"standalone marker 0xFF{marker:02X} outside scan unsupported"
+            )
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + seg_len]
         nxt = pos + 2 + seg_len
@@ -529,7 +542,7 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
 
     def read_symbol(tbl: dict) -> int:
         code, length = 0, 0
-        while length <= 16:
+        while length < 16:  # JPEG codes are at most 16 bits (T.81 C.2)
             code = (code << 1) | reader.bit()
             length += 1
             sym = tbl.get((length, code))
@@ -601,7 +614,13 @@ def decode_jpeg(payload: bytes) -> dict:
 
 
 def resize_jpeg(payload: bytes, width: int, height: int, quality: int = 90) -> bytes:
-    """decode -> nearest-neighbor -> re-encode (4:4:4)."""
+    """decode -> nearest-neighbor -> re-encode (4:4:4).
+
+    LOSSY beyond the resample: re-encoding quantizes again at
+    ``quality`` (default 90), so a same-size round-trip is not
+    byte- or pixel-identical.  Raise ``quality`` toward 100 to tighten
+    the error; the decoded statistics (dims, channel means) are stable
+    across the quality range for natural content."""
     px = _jpeg_pixels(payload)
     ys = (np.arange(height) * px.shape[0]) // height
     xs = (np.arange(width) * px.shape[1]) // width

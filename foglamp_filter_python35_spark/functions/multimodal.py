@@ -485,11 +485,19 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(_nearest_resize(rgb, width, height))
 
 
-def resize_media(payload: bytes, width: int, height: int) -> bytes:
+def resize_media(
+    payload: bytes, width: int, height: int, quality: int = 90
+) -> bytes:
     """Magic-byte resize dispatch: BMP, PNG, and baseline JPEG resize
     on actual pixels, re-encoded in their own container; anything else
     raises (the caller decides whether to degrade, as
-    :func:`decode_media` does)."""
+    :func:`decode_media` does).
+
+    ``quality`` applies to JPEG only: the round-trip re-encodes through
+    the lossy codec, so output bytes are NOT a pure resample of the
+    input — expect quantization loss on top of the resize even at
+    quality 100.  BMP and PNG are lossless containers and ignore it.
+    """
     if payload[:2] == b"BM":
         return resize_bmp(payload, width, height)
     if payload[:8] == _PNG_SIG:
@@ -499,7 +507,7 @@ def resize_media(payload: bytes, width: int, height: int) -> bytes:
             jpeg as _jpeg,
         )
 
-        return _jpeg.resize_jpeg(payload, width, height)
+        return _jpeg.resize_jpeg(payload, width, height, quality=quality)
     raise ValueError("resize_media handles BMP, PNG and baseline JPEG only")
 
 
@@ -534,6 +542,8 @@ def _y4m_frames(
         fnl = payload.index(b"\n", pos)
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("corrupt y4m frame marker")
+        if fnl + 1 + frame_bytes > len(payload):
+            raise ValueError("truncated y4m final frame")
         yield idx, fnl + 1
         idx += 1
         pos = fnl + 1 + frame_bytes

@@ -143,3 +143,78 @@ if _HAVE_HYPOTHESIS:
         px = J._jpeg_pixels(J.encode_jpeg(rgb, quality=90, subsample=subsample))
         assert px.shape == rgb.shape
         assert np.abs(px.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_bitwriter_flush_pads_final_byte_with_all_ones():
+    """T.81 F.1.2.3: the final partial byte is padded with exactly
+    8 - n one-bits (ADVICE r10: the old 9 - n pad silently dropped the
+    first pad bit, emitting a 0 where the spec requires 1)."""
+    for nbits in range(1, 8):
+        w = J._BitWriter()
+        w.write(0, nbits)  # nbits of zero data bits
+        w.flush()
+        assert len(w.out) == 1
+        pad_mask = (1 << (8 - nbits)) - 1
+        assert w.out[0] & pad_mask == pad_mask  # every pad bit is 1
+        assert w.out[0] >> (8 - nbits) == 0  # data bits untouched
+    # the sharpest former failure: 1 data bit left -> 0b01111111
+    w = J._BitWriter()
+    w.write(0, 1)
+    w.flush()
+    assert bytes(w.out) == b"\x7f"
+    # byte-aligned flush emits nothing extra
+    w = J._BitWriter()
+    w.write(0xAB, 8)
+    w.flush()
+    assert bytes(w.out) == b"\xab"
+
+
+def test_marker_walk_skips_fill_bytes():
+    """0xFF fill bytes between markers are legal (T.81 B.1.1.2) and must
+    not be parsed as a segment length."""
+    good = J.encode_jpeg(_solid(8, 8, (9, 8, 7)))
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert np.array_equal(J._jpeg_pixels(padded), J._jpeg_pixels(good))
+
+
+def test_marker_walk_rejects_standalone_markers_cleanly():
+    """TEM/RSTn carry no length field; the walk must reject them
+    explicitly instead of reading garbage as seg_len."""
+    for marker in (0x01, 0xD0, 0xD7):
+        with pytest.raises(ValueError, match="standalone marker"):
+            J._jpeg_pixels(b"\xff\xd8" + bytes([0xFF, marker]) + b"\x00" * 8)
+
+
+def test_read_symbol_stops_at_16_bits():
+    """A 16-bit run of 1s that matches no code must raise 'invalid
+    Huffman code', not consume a 17th bit and surface as 'truncated'
+    (ADVICE r10 off-by-one).  A solid image's DC table is incomplete
+    (two symbols -> codes 0, 10), so all-ones never matches."""
+    good = J.encode_jpeg(_solid(16, 16, (5, 5, 5)))
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    seg_len = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    head = good[: sos + 2 + seg_len]
+    # entropy stream = exactly 16 one-bits (two stuffed 0xFF data bytes)
+    bad = head + b"\xff\x00\xff\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="invalid Huffman code"):
+        J._jpeg_pixels(bad)
+
+
+def test_resize_media_jpeg_quality_sweep():
+    """VERDICT r10 ask #5: quality is plumbed through resize_media and
+    the round-trip is documented lossy — bytes differ across the sweep
+    but the decoded stats (dims, channel means) survive."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(60, 196, size=(24, 24, 3), dtype=np.uint8)
+    src = J.encode_jpeg(base, quality=95)
+    outs = {q: mm.resize_media(src, 12, 12, quality=q) for q in (50, 90, 100)}
+    assert len({bytes(o) for o in outs.values()}) == 3  # quality changes bytes
+    ref = J.decode_jpeg(outs[100])
+    for q, payload in outs.items():
+        m = J.decode_jpeg(payload)
+        assert (m["width"], m["height"]) == (12, 12)
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            assert abs(m[ch] - ref[ch]) < 6, (q, ch)
+    # default stays quality=90
+    assert mm.resize_media(src, 12, 12) == bytes(outs[90])

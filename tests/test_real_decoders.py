@@ -466,3 +466,20 @@ def test_resize_bmp_honors_top_down_storage():
     # and the bottom-up twin produces the identical pixel array
     bottom_up = mm.resize_bmp(mm.encode_bmp(rgb), 4, 8)
     assert np.array_equal(mm._bmp_rgb_rows(bottom_up), top_down_px)
+
+
+def test_y4m_truncated_final_frame_raises_everywhere():
+    """ADVICE r10: a truncated final frame must raise from the shared
+    frame walk, not silently yield a short Y-plane to the sampler."""
+    import pytest
+
+    full = _y4m_bytes(width=4, height=4, n_frames=3)
+    truncated = full[:-5]  # chop the tail of the last frame's payload
+    with pytest.raises(ValueError, match="truncated y4m final frame"):
+        mm.sample_y4m_frames(truncated, k=3)
+    with pytest.raises(ValueError, match="truncated y4m final frame"):
+        mm.decode_y4m(truncated)
+    # decode_media contains it on the flagged opaque path
+    degraded = mm.decode_media(truncated)
+    assert degraded["kind"] == "opaque"
+    assert "truncated y4m final frame" in degraded["decode_error"]
