@@ -232,6 +232,22 @@ def main() -> None:
             "python_filter_throughput": throughput,
             "sf": sf,
         }
+        # Self-normalizing control (r10 verdict): raw catalog wall moves
+        # with box speed (r10 needed SCALE.md archaeology to reconcile a
+        # clean 162.9s vs a driver-run 177.3s at the same HEAD).  The 10x
+        # reference-sim probe is single-threaded Python over fixed rows —
+        # pure box speed, code unchanged since r7 — so
+        #   norm_wall = wall_secs * control_rows_per_sec / 1e5
+        # cancels box drift: a 30% slower box inflates the wall and
+        # deflates the control by the same factor.  Compare norm_wall
+        # across rounds; raw walls only within a round.
+        ctrl = (throughput.get("10x") or {}).get("reference_sim_rows_per_sec")
+        wall = p["all_queries_total_wall"]
+        if ctrl and wall:
+            p["control"] = {
+                "ref_sim_10x_rows_per_sec": ctrl,
+                "norm_wall": round(wall * ctrl / 1e5, 1),
+            }
         if skipped:
             p["skipped_queries"] = skipped
         if partial:
@@ -377,6 +393,7 @@ def _emit(payload: dict) -> None:
             "queries",
             "all_queries_total_wall",
             "python_filter_throughput",
+            "control",
             "sf",
             "partial",
         )

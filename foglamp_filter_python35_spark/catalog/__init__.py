@@ -204,65 +204,65 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r9 driver evidence covers all
-# 153 catalog queries, so the round-10 window (tools/rotate_window.py
-# output after CORRECTNESS_r09) re-confirms the 50 LEAST-RECENTLY-
-# verified greens: the three r6 stragglers (moving_average, dedup_exact,
-# minhash_lsh_dedup) plus 47 of the r7-era dedup/vector/multimodal/
-# pipeline cohort.  This keeps the rolling guarantee — every catalog
-# query has driver evidence within the last three rounds.  Queries not
-# listed keep module order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r10 driver evidence covers all
+# 153 catalog queries, so the round-11 window (tools/rotate_window.py
+# output after CORRECTNESS_r10) re-confirms the 50 LEAST-RECENTLY-
+# verified greens: the three r7 leftovers (vocab_coverage, ngram_novelty,
+# corpus_pipeline_e2e) plus 47 of the r8-era signal/text/audit cohort.
+# This keeps the rolling guarantee — every catalog query has driver
+# evidence within the last three rounds.  Queries not listed keep module
+# order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "moving_average",  # green r6
-    "dedup_exact",  # green r6
-    "minhash_lsh_dedup",  # green r6
-    "latest_event_per_user",  # green r7
-    "waiting_suppliers",  # green r7
-    "min_cost_supplier",  # green r7
-    "dominant_part_suppliers",  # green r7
-    "salted_enrich_rollup",  # green r7
-    "column_profile",  # green r7
-    "snapshot_diff",  # green r7
-    "weekday_hour_heatmap",  # green r7
-    "parts_supplier_counts",  # green r7
-    "median_filter",  # green r7
-    "ema_smooth",  # green r7
-    "deadband_chunked",  # green r7
-    "ngram_jaccard_pairs",  # green r7
-    "doc_containment",  # green r7
-    "simhash_dedup",  # green r7
-    "dedup_clusters",  # green r7
-    "dedup_apply",  # green r7
-    "dedup_ensemble",  # green r7
-    "embedding_norm_outliers",  # green r7
-    "embedding_topk",  # green r7
-    "embedding_cosine_dup",  # green r7
-    "embedding_ivf_topk",  # green r7
-    "embedding_knn_join",  # green r7
-    "embedding_lsh_dup",  # green r7
-    "embedding_centroids",  # green r7
-    "embedding_quantize",  # green r7
-    "semantic_dedup",  # green r7
-    "knn_label_purity",  # green r7
-    "embedding_dim_stats",  # green r7
-    "ivf_cell_histogram",  # green r7
-    "multimodal_dedup",  # green r7
-    "multimodal_meta",  # green r7
-    "multimodal_features",  # green r7
-    "multimodal_resize",  # green r7
-    "multimodal_frames",  # green r7
-    "domain_quota_sample",  # green r7
-    "incremental_dedup",  # green r7
-    "sliding_window_rate",  # green r7
-    "bm25_retrieval",  # green r7
-    "token_pmi",  # green r7
-    "text_normalize",  # green r7
-    "conversion_latency",  # green r7
-    "error_burst_join",  # green r7
-    "weighted_sample",  # green r7
-    "lang_mix_gini",  # green r7
-    "dup_rate_by_source",  # green r7
-    "split_leakage",  # green r7
+    "vocab_coverage",  # green r7
+    "ngram_novelty",  # green r7
+    "corpus_pipeline_e2e",  # green r7
+    "spc_control_chart",  # green r8
+    "value_delta",  # green r8
+    "change_detect",  # green r8
+    "threshold_alarm",  # green r8
+    "zscore_anomaly",  # green r8
+    "downsample_1h",  # green r8
+    "locf_gap_fill",  # green r8
+    "session_rollup",  # green r8
+    "percentile_summary",  # green r8
+    "deadband_suppress",  # green r8
+    "interp_gap_fill",  # green r8
+    "winsorize_clip",  # green r8
+    "asset_correlation",  # green r8
+    "mad_outliers",  # green r8
+    "text_stats",  # green r8
+    "token_fertility",  # green r8
+    "quality_score",  # green r8
+    "language_id",  # green r8
+    "token_count_total",  # green r8
+    "doc_fingerprint",  # green r8
+    "tfidf_top_terms",  # green r8
+    "bigram_topk",  # green r8
+    "train_test_split",  # green r8
+    "doc_chunking",  # green r8
+    "lang_mismatch",  # green r8
+    "corpus_prefilter",  # green r8
+    "stratified_sample",  # green r8
+    "pii_redact",  # green r8
+    "benchmark_contamination",  # green r8
+    "doc_repetition",  # green r8
+    "top_bigram_fraction",  # green r8
+    "pretokenize_counts",  # green r8
+    "doc_length_histogram",  # green r8
+    "minhash_accuracy",  # green r8
+    "dedup_cluster_histogram",  # green r8
+    "ivf_recall_audit",  # green r8
+    "embedding_label_margin",  # green r8
+    "ivf_train_kmeans",  # green r8
+    "embedding_pca_power",  # green r8
+    "span_dedup",  # green r8
+    "trigram_lm",  # green r8
+    "event_disorder_audit",  # green r8
+    "bloom_filter_audit",  # green r8
+    "ab_test_readout",  # green r8
+    "hll_distinct_audit",  # green r8
+    "source_vocab_divergence",  # green r8
+    "value_drift_chi2",  # green r8
 )
 
 

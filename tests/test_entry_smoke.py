@@ -34,11 +34,11 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r9 evidence covers all 153 queries, so the round-10
-    window re-confirms the LEAST-recently-verified greens (the three r6
-    stragglers + 47 of the r7-era dedup/vector/multimodal/pipeline
-    cohort).  Guard the ordering so an innocent module reshuffle can't
-    silently evict them."""
+    Cumulative r1-r10 evidence covers all 153 queries, so the round-11
+    window re-confirms the LEAST-recently-verified greens (the three r7
+    leftovers + 47 of the r8-era signal/text/audit cohort).  Guard the
+    ordering so an innocent module reshuffle can't silently evict
+    them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -48,23 +48,24 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r6": ("moving_average", "dedup_exact",
-                     "minhash_lsh_dedup"),
-        "dedup-r7": ("ngram_jaccard_pairs", "doc_containment",
-                     "simhash_dedup", "dedup_clusters", "dedup_apply",
-                     "dedup_ensemble"),
-        "vector-r7": ("embedding_topk", "embedding_ivf_topk",
-                      "embedding_lsh_dup", "semantic_dedup",
-                      "embedding_knn_join", "embedding_quantize"),
-        "multimodal-r7": ("multimodal_dedup", "multimodal_meta",
-                          "multimodal_features", "multimodal_resize",
-                          "multimodal_frames"),
-        "pipeline-r7": ("domain_quota_sample", "incremental_dedup",
-                        "bm25_retrieval", "token_pmi", "weighted_sample",
-                        "split_leakage"),
-        "relational-r7": ("waiting_suppliers", "min_cost_supplier",
-                          "salted_enrich_rollup", "column_profile",
-                          "snapshot_diff"),
+        "stale-r7": ("vocab_coverage", "ngram_novelty",
+                     "corpus_pipeline_e2e"),
+        "signal-r8": ("spc_control_chart", "value_delta", "change_detect",
+                      "threshold_alarm", "zscore_anomaly", "downsample_1h",
+                      "locf_gap_fill", "session_rollup",
+                      "percentile_summary", "deadband_suppress",
+                      "interp_gap_fill", "winsorize_clip",
+                      "asset_correlation", "mad_outliers"),
+        "text-r8": ("text_stats", "token_fertility", "quality_score",
+                    "language_id", "token_count_total", "doc_fingerprint",
+                    "tfidf_top_terms", "bigram_topk", "train_test_split",
+                    "doc_chunking", "pretokenize_counts"),
+        "vector-r8": ("embedding_label_margin", "ivf_train_kmeans",
+                      "embedding_pca_power", "ivf_recall_audit"),
+        "audit-r8": ("minhash_accuracy", "dedup_cluster_histogram",
+                     "event_disorder_audit", "bloom_filter_audit",
+                     "ab_test_readout", "hll_distinct_audit",
+                     "source_vocab_divergence", "value_drift_chi2"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
