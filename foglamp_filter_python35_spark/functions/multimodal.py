@@ -110,7 +110,13 @@ def pack_payload_shards(
             for pdf in batches:
                 ids, offs, lens = [], [], []
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                    data = str(text).encode("utf-8")
+                    # binary columns pack as-is (real media payloads);
+                    # anything else is utf-8 text
+                    data = (
+                        bytes(text)
+                        if isinstance(text, (bytes, bytearray))
+                        else str(text).encode("utf-8")
+                    )
                     fh.write(data)
                     ids.append(int(doc_id))
                     offs.append(offset)
@@ -654,10 +660,37 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+def _media_meta_frame(doc_ids: pd.Series, payloads) -> pd.DataFrame:
+    metas = [decode_media(p) for p in payloads]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids.astype("int64"),
+            "kind": [m["kind"] for m in metas],
+            "n_bytes": [len(p) for p in payloads],
+            "width": pd.array(
+                [m.get("width") for m in metas], dtype="Int32"
+            ),
+            "height": pd.array(
+                [m.get("height") for m in metas], dtype="Int32"
+            ),
+            "n_channels": pd.array(
+                [m.get("n_channels") for m in metas], dtype="Int32"
+            ),
+            "sample_rate": pd.array(
+                [m.get("sample_rate") for m in metas], dtype="Int32"
+            ),
+            "duration_ms": pd.array(
+                [m.get("duration_ms") for m in metas], dtype="Int64"
+            ),
+            "decode_error": [m.get("decode_error") for m in metas],
+        }
+    )
+
+
 def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched REAL media metadata extraction (same mapInPandas
-    shape as :func:`extract_features`): WAV/BMP/PNG/y4m rows decode for
-    real, anything else degrades to the opaque path with its kind,
+    shape as :func:`extract_features`): WAV/BMP/PNG/JPEG/y4m rows decode
+    for real, anything else degrades to the opaque path with its kind,
     NULL media properties, and the ``decode_error`` reason recorded —
     so corpus-hygiene audits can count/classify degraded rows without
     re-decoding.  Swapping in a compressed-format codec later changes
@@ -665,33 +698,63 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_media(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "kind": [m["kind"] for m in metas],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": pd.array(
-                        [m.get("width") for m in metas], dtype="Int32"
-                    ),
-                    "height": pd.array(
-                        [m.get("height") for m in metas], dtype="Int32"
-                    ),
-                    "n_channels": pd.array(
-                        [m.get("n_channels") for m in metas], dtype="Int32"
-                    ),
-                    "sample_rate": pd.array(
-                        [m.get("sample_rate") for m in metas], dtype="Int32"
-                    ),
-                    "duration_ms": pd.array(
-                        [m.get("duration_ms") for m in metas], dtype="Int64"
-                    ),
-                    "decode_error": [m.get("decode_error") for m in metas],
-                }
-            )
+            yield _media_meta_frame(pdf["doc_id"], list(pdf["payload"]))
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         run, MEDIA_META_SCHEMA
+    )
+
+
+def extract_media_meta_ptr(pointers: DataFrame) -> DataFrame:
+    """Real-codec metadata extraction over (uri, offset, length)
+    pointers — the pointer twin of :func:`extract_media_meta`, mirroring
+    the :func:`extract_features` / :func:`extract_features_ptr` pair.
+    Payload bytes are range-fetched inside the Arrow kernel, so no
+    binary column ever exists in the plan; decode (zlib inflate,
+    Huffman+IDCT, PCM header walk) runs map-side, partition-parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _media_meta_frame(pdf["doc_id"], list(fetch_payloads(pdf)))
+
+    return pointers.select("doc_id", "uri", "offset", "length").mapInPandas(
+        run, MEDIA_META_SCHEMA
+    )
+
+
+def resize_media_ptr(
+    pointers: DataFrame, width: int, height: int, quality: int = 90
+) -> DataFrame:
+    """REAL resize over pointers: range-fetch the payload inside the
+    kernel, decode + nearest-neighbor resample + re-encode in the
+    payload's own container via :func:`resize_media` (BMP/PNG/baseline
+    JPEG; ``quality`` applies to the lossy JPEG re-encode only).  Rows
+    whose container :func:`resize_media` cannot handle degrade to a NULL
+    ``resized_payload`` rather than failing the batch — the same
+    per-row degrade contract as :func:`decode_media`.  Output schema is
+    :data:`RESIZE_SCHEMA`; rows stay 1:1 and nothing shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in fetch_payloads(pdf):
+                try:
+                    resized.append(
+                        resize_media(payload, width, height, quality=quality)
+                    )
+                except Exception:  # noqa: BLE001 — per-row degrade
+                    resized.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized_payload": pd.Series(resized, dtype="object"),
+                }
+            )
+
+    return pointers.select("doc_id", "uri", "offset", "length").mapInPandas(
+        run, RESIZE_SCHEMA
     )
 
 

@@ -483,3 +483,78 @@ def test_y4m_truncated_final_frame_raises_everywhere():
     degraded = mm.decode_media(truncated)
     assert degraded["kind"] == "opaque"
     assert "truncated y4m final frame" in degraded["decode_error"]
+
+
+def _mixed_pointer_corpus(spark, tmp_path):
+    """Mixed real-media corpus packed into shard files, returning both
+    the inline (doc_id, payload) frame and the checkpointed pointer
+    frame over the same bytes."""
+    import numpy as np
+
+    from foglamp_filter_python35_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, _wav_bytes(sample_rate=8000, n_frames=2000)),
+        (2, _bmp_bytes(16, 8, (10, 20, 30))),
+        (3, b"plain text payload"),
+        (4, mm.encode_png(rgb)),
+        (5, J.encode_jpeg(rgb, quality=90)),
+        (6, _y4m_bytes(width=8, height=6, n_frames=3)),
+    ]
+    inline = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ptrs = mm.pack_payload_shards(
+        inline, str(tmp_path / "shards"), text_col="payload"
+    ).localCheckpoint()
+    return inline, ptrs
+
+
+def test_media_meta_ptr_matches_inline(spark, tmp_path):
+    """extract_media_meta_ptr is the pointer twin of extract_media_meta:
+    identical real-decode output (PNG/JPEG/WAV/BMP/y4m + opaque), with
+    payload bytes packed binary-exact into shards (pack_payload_shards
+    must NOT round binary columns through str())."""
+    inline, ptrs = _mixed_pointer_corpus(spark, tmp_path)
+    got_inline = sorted(map(tuple, mm.extract_media_meta(inline).collect()))
+    got_ptr = sorted(map(tuple, mm.extract_media_meta_ptr(ptrs).collect()))
+    assert got_ptr == got_inline
+    kinds = {r[0]: r[1] for r in got_ptr}
+    assert kinds == {
+        1: "audio/wav",
+        2: "image/bmp",
+        3: "opaque",
+        4: "image/png",
+        5: "image/jpeg",
+        6: "video/y4m",
+    }
+    # pointer-path invariant: the kernel's input plan carries only the
+    # 4 pointer columns — no binary column exists anywhere in it
+    plan = (
+        mm.extract_media_meta_ptr(ptrs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "payload#" not in plan
+
+
+def test_resize_media_ptr_real_pixels_and_degrade(spark, tmp_path):
+    """resize_media_ptr decodes + resamples + re-encodes for real on
+    BMP/PNG/JPEG pointers and degrades row-wise (NULL payload) for
+    containers resize_media cannot handle."""
+    _, ptrs = _mixed_pointer_corpus(spark, tmp_path)
+    out = {r.doc_id: r for r in mm.resize_media_ptr(ptrs, 6, 4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # resizable containers: output decodes in its own container at 6x4
+    for doc_id, kind in ((2, "image/bmp"), (4, "image/png"), (5, "image/jpeg")):
+        m = mm.decode_media(bytes(out[doc_id].resized_payload))
+        assert m["kind"] == kind
+        assert (m["width"], m["height"]) == (6, 4)
+    # non-image containers degrade per-row, not per-batch
+    for doc_id in (1, 3, 6):
+        assert out[doc_id].resized_payload is None
+    # quality parameter reaches the JPEG re-encode
+    hi = {r.doc_id: r for r in mm.resize_media_ptr(ptrs, 6, 4, quality=100).collect()}
+    assert bytes(hi[5].resized_payload) != bytes(out[5].resized_payload)
+    assert bytes(hi[4].resized_payload) == bytes(out[4].resized_payload)
