@@ -1,21 +1,30 @@
-"""Baseline JPEG codec — stdlib + numpy only, no codec library.
+"""JPEG codec — stdlib + numpy only, no codec library.
 
 Closes the last X5 codec gap (SURVEY §2.5; VERDICT r9 called JPEG
 "genuinely needs a DCT codec" — it does, so this IS one): a complete
-baseline sequential JFIF encoder/decoder built from the public ITU T.81
-spec.  Scope and honesty notes:
+JFIF encoder/decoder built from the public ITU T.81 spec.  Scope and
+honesty notes:
 
-* decode: baseline sequential DCT (SOF0), 8-bit, 1-3 components, any
-  sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), Huffman tables
-  read from the stream's DHT segments (NOT assumed), 0xFF00 byte
-  unstuffing, nearest-neighbor chroma upsampling.  Progressive (SOF2),
-  arithmetic coding, 12-bit precision, and restart-marker scans raise
-  ``ValueError`` — callers degrade via ``decode_media``'s flagged
-  opaque path, same contract as every other unsupported container.
-* encode: 4:4:4 or 4:2:0, quality-scaled Annex-K-shaped quantization
-  tables, canonical Huffman tables emitted in DHT (the decoder never
-  relies on them being the exact Annex K ordering — tables travel in
-  the file, as the spec requires).
+* decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  spectral selection + successive approximation per Annex G — DC
+  first/refinement, AC first/refinement with EOBn runs and the
+  correction-bit walk), 8-bit, 1-3 components, any sampling factors up
+  to 2x2 (4:4:4 / 4:2:2 / 4:2:0), Huffman tables read from the
+  stream's DHT segments (NOT assumed), 0xFF00 byte unstuffing,
+  nearest-neighbor chroma upsampling.  Coefficients accumulate across
+  scans; dequant + IDCT run once, batched, at EOI.  Arithmetic coding,
+  12-bit precision, lossless/hierarchical processes, and
+  restart-marker scans raise ``ValueError`` — callers degrade via
+  ``decode_media``'s flagged opaque path, same contract as every other
+  unsupported container.
+* encode: baseline (4:4:4 or 4:2:0, quality-scaled Annex-K-shaped
+  quantization tables, canonical Huffman tables emitted in DHT — the
+  decoder never relies on them being the exact Annex K ordering;
+  tables travel in the file, as the spec requires), plus
+  :func:`encode_jpeg_progressive` emitting both progressive scan
+  scripts as decoder ground truth: completed successive approximation
+  reconstructs the quantized coefficients exactly, so progressive
+  decode must equal baseline decode byte-for-byte (tested).
 * performance: the entropy loop is per-symbol Python, suitable for the
   Arrow-kernel path where a batch of small images decodes inside one
   task (the same regime the PNG unfilter runs in).  The DCT/IDCT and
@@ -281,11 +290,13 @@ def _entropy_block(
 # ------------------------------------------------------------- encoder
 
 
-def encode_jpeg(
-    rgb_rows: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.  ``subsample=True``
-    emits 4:2:0 (2x2 luma MCUs, box-averaged chroma); default 4:4:4."""
+def _prepare_quantized(
+    rgb_rows: np.ndarray, quality: int, subsample: bool
+) -> dict:
+    """Shared encoder front half: RGB -> YCbCr -> (optional 4:2:0
+    chroma box-averaging) -> padded 8x8 blocks -> quantized DCT
+    coefficients, for both the baseline and progressive entropy
+    back halves."""
     arr = np.ascontiguousarray(rgb_rows, dtype=np.uint8).astype(np.float64)
     h, w = arr.shape[:2]
     r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
@@ -294,8 +305,6 @@ def encode_jpeg(
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
     q_lum, q_chr = _scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHR, quality)
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
     samp = 2 if subsample else 1
     if subsample:  # box-average chroma 2x2
@@ -322,14 +331,39 @@ def encode_jpeg(
             blocks.shape[0], blocks.shape[1], 8, 8
         )
 
-    yq, cbq, crq = quantized(yb, q_lum), quantized(cbb, q_chr), quantized(crb, q_chr)
+    mcuy, mcux = yrows // samp, ycols // samp
+    assert (mcuy, mcux) == (crows, ccols)
+    return {
+        "w": w,
+        "h": h,
+        "samp": samp,
+        "q_lum": q_lum,
+        "q_chr": q_chr,
+        "yq": quantized(yb, q_lum),
+        "cbq": quantized(cbb, q_chr),
+        "crq": quantized(crb, q_chr),
+        "mcuy": mcuy,
+        "mcux": mcux,
+    }
+
+
+def encode_jpeg(
+    rgb_rows: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.  ``subsample=True``
+    emits 4:2:0 (2x2 luma MCUs, box-averaged chroma); default 4:4:4."""
+    prep = _prepare_quantized(rgb_rows, quality, subsample)
+    w, h, samp = prep["w"], prep["h"], prep["samp"]
+    q_lum, q_chr = prep["q_lum"], prep["q_chr"]
+    yq, cbq, crq = prep["yq"], prep["cbq"], prep["crq"]
+    mcuy, mcux = prep["mcuy"], prep["mcux"]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
     writer = _BitWriter()
     pred = [0, 0, 0]  # DC predictors per component
 
     # interleaved MCU order
-    mcuy, mcux = yrows // samp, ycols // samp
-    assert (mcuy, mcux) == (crows, ccols)
     for my in range(mcuy):
         for mx in range(mcux):
             for by in range(samp):
@@ -424,12 +458,455 @@ def _assemble(
     return bytes(out)
 
 
+# -------------------------------------------------- progressive encoder
+
+# Progressive AC scans additionally need the EOBn symbols (run 1..14,
+# size 0) for end-of-band runs spanning several blocks.  A flat 8-bit
+# canonical table over all 176 symbols keeps the code space trivially
+# valid (codes 0..175 of length 8; the all-ones padding byte is never a
+# code) — compression is secondary to correctness here, and the tables
+# travel in the file's DHT so any consistent assignment decodes.
+_AC_VALS_PROG = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]  # EOBn
+    + [(run << 4) | size for size in range(1, 11) for run in range(16)]
+)
+_AC_BITS_PROG = [0] * 7 + [len(_AC_VALS_PROG)] + [0] * 8
+
+
+def _flush_eobrun(writer: _BitWriter, ac_codes: dict, state: dict) -> None:
+    """Emit the pending end-of-band run as EOBn symbols, followed by the
+    refinement correction bits buffered across the run's blocks
+    (T.81 G.1.2.2-3; the decoder reads them back per skipped block)."""
+    while state["eobrun"]:
+        run = state["eobrun"]
+        r = min(14, run.bit_length() - 1)
+        count = min(run, (1 << (r + 1)) - 1)
+        code, length = ac_codes[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(count - (1 << r), r)
+        state["eobrun"] -= count
+        for bit in state["bits"]:
+            writer.write(bit, 1)
+        state["bits"] = []
+
+
+def _encode_block_ac_first(
+    writer: _BitWriter,
+    ac_codes: dict,
+    tband: list[int],
+    ss: int,
+    state: dict,
+) -> None:
+    """AC first pass for one block: ``tband`` holds the band's
+    point-transformed values (trunc toward zero by 2^Al)."""
+    if not any(tband):
+        state["eobrun"] += 1
+        return
+    _flush_eobrun(writer, ac_codes, state)
+    r = 0
+    for v in tband:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(r << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        r = 0
+    if r:  # trailing zeros start/extend an end-of-band run
+        state["eobrun"] += 1
+
+
+def _encode_block_ac_refine(
+    writer: _BitWriter,
+    ac_codes: dict,
+    vband: list[int],
+    al: int,
+    state: dict,
+) -> None:
+    """AC refinement pass for one block (T.81 G.1.2.3, the buffered-
+    correction-bit structure): ``vband`` holds FULL-precision band
+    values; already-nonzero coefficients (|v| >> Al > 1) contribute one
+    correction bit each, newly-nonzero ones (|v| >> Al == 1) a
+    run/size-1 symbol plus a sign bit.  Correction bits are buffered and
+    flushed after the symbol whose decode walk consumes them; trailing
+    zeros and corrections fold into the cross-block EOB run."""
+    t = [abs(v) >> al for v in vband]
+    eob_k = max((i for i, tv in enumerate(t) if tv == 1), default=-1)
+    r = 0
+    br: list[int] = []
+    for i, tv in enumerate(t):
+        if tv == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_k:
+            _flush_eobrun(writer, ac_codes, state)
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if tv > 1:  # history-nonzero: correction bit only
+            br.append(tv & 1)
+            continue
+        _flush_eobrun(writer, ac_codes, state)
+        code, length = ac_codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if vband[i] > 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["bits"].extend(br)
+
+
+def encode_jpeg_progressive(
+    rgb_rows: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
+
+    ``successive=True`` uses the full scan script — DC first (Al=1), DC
+    refinement, per-component AC first (Al=1), per-component AC
+    refinement — exercising all four progressive scan procedures; the
+    completed refinement delivers every coefficient bit, so the decode
+    is EXACTLY the baseline decode of the same quantized data.
+    ``successive=False`` emits spectral selection only (DC, then AC
+    bands 1-5 and 6-63 per component at full precision), same exactness
+    property.  Ground-truth source for the progressive decoder tests."""
+    prep = _prepare_quantized(rgb_rows, quality, subsample)
+    w, h, samp = prep["w"], prep["h"], prep["samp"]
+    mcuy, mcux = prep["mcuy"], prep["mcux"]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    # per-component zigzag coefficient grids (rows, cols, 64)
+    comps = []
+    for cid, q, hh, vv in (
+        (1, prep["yq"], samp, samp),
+        (2, prep["cbq"], 1, 1),
+        (3, prep["crq"], 1, 1),
+    ):
+        zz = q.reshape(q.shape[0], q.shape[1], 64)[..., _ZZ]
+        # non-interleaved grid for AC scans (T.81 A.2.2)
+        ncols = -(-(-(-w * hh // samp)) // 8)
+        nrows = -(-(-(-h * vv // samp)) // 8)
+        comps.append({"id": cid, "zz": zz, "h": hh, "v": vv,
+                      "ncols": ncols, "nrows": nrows})
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        pred = {c["id"]: 0 for c in comps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = int(c["zz"][my * c["v"] + by,
+                                             mx * c["h"] + bx, 0])
+                            if refine:
+                                wtr.write((dc >> al) & 1, 1)
+                                continue
+                            v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                            size, bits = _magnitude(v - pred[c["id"]])
+                            pred[c["id"]] = v
+                            code, length = dc_codes[size]
+                            wtr.write(code, length)
+                            if size:
+                                wtr.write(bits, size)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan(c: dict, ss: int, se: int, al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(c["nrows"]):
+            for bx in range(c["ncols"]):
+                vband = [int(v) for v in c["zz"][by, bx, ss : se + 1]]
+                if refine:
+                    _encode_block_ac_refine(wtr, ac_codes, vband, al, state)
+                else:
+                    tband = [
+                        (abs(v) >> al) * (1 if v > 0 else -1) for v in vband
+                    ]
+                    _encode_block_ac_first(wtr, ac_codes, tband, ss, state)
+        _flush_eobrun(wtr, ac_codes, state)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(scan_comps)])
+        for cid in scan_comps:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | td])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(body))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(prep["q_lum"][_ZZ].tolist()))
+    out += _seg(0xDB, bytes([0x01]) + bytes(prep["q_chr"][_ZZ].tolist()))
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (samp << 4) | samp, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += _seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    out += _seg(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10] + _AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    out += _seg(0xC4, bytes([0x01] + _DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x11] + _AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+
+    all_ids = [c["id"] for c in comps]
+    if successive:
+        out += sos(all_ids, 0, 0, 0, 1) + dc_scan(1, refine=False)
+        out += sos(all_ids, 0, 0, 1, 0) + dc_scan(0, refine=True)
+        for c in comps:
+            out += sos([c["id"]], 1, 63, 0, 1) + ac_scan(c, 1, 63, 1, False)
+        for c in comps:
+            out += sos([c["id"]], 1, 63, 1, 0) + ac_scan(c, 1, 63, 0, True)
+    else:  # spectral selection only
+        out += sos(all_ids, 0, 0, 0, 0) + dc_scan(0, refine=False)
+        for c in comps:
+            out += sos([c["id"]], 1, 5, 0, 0) + ac_scan(c, 1, 5, 0, False)
+        for c in comps:
+            out += sos([c["id"]], 6, 63, 0, 0) + ac_scan(c, 6, 63, 0, False)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 
+def _read_symbol(reader: _BitReader, tbl: dict) -> int:
+    code, length = 0, 0
+    while length < 16:  # JPEG codes are at most 16 bits (T.81 C.2)
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = tbl.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _decode_block_full(
+    reader: _BitReader, coef: np.ndarray, dc_t: dict, ac_t: dict, pred: int
+) -> int:
+    """One sequential-mode block (differential DC + run-length AC) into
+    ``coef`` (zigzag order); returns the new DC predictor."""
+    size = _read_symbol(reader, dc_t)
+    pred += _receive_extend(reader, size)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_symbol(reader, ac_t)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _receive_extend(reader, rs & 0xF)
+        k += 1
+    return int(coef[0])
+
+
+def _decode_block_ac_first(
+    reader: _BitReader,
+    coef: np.ndarray,
+    ac_t: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first pass (Ah == 0, T.81 G.2.2): band Ss..Se of
+    one block, values scaled by 2^Al; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + bits end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        coef[k] = _receive_extend(reader, s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_block_ac_refine(
+    reader: _BitReader,
+    coef: np.ndarray,
+    ac_t: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement pass (Ah > 0, T.81 G.2.2 / flowcharts
+    G-14..G-17): appends one correction bit to every already-nonzero
+    coefficient it passes, and places newly-nonzero coefficients of
+    magnitude 1 << Al; returns the remaining EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            new_val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            elif s == 1:
+                new_val = p1 if reader.bit() else m1
+            else:
+                raise ValueError("invalid size in AC refinement scan")
+            # advance past r zero-history positions, correcting the
+            # nonzero ones encountered on the way
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.bit() and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new_val:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                coef[k] = new_val
+            k += 1
+    if eobrun > 0:
+        # end-of-band: the rest of this block still receives correction
+        # bits for its already-nonzero coefficients
+        while k <= se:
+            if coef[k] != 0 and reader.bit() and not (coef[k] & p1):
+                coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    reader: _BitReader,
+    frame: dict,
+    scan: list[tuple[dict, int, int]],
+    dc_tbl: dict,
+    ac_tbl: dict,
+    coefs: dict[int, np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Decode one scan's entropy data into the coefficient arrays.
+
+    Sequential scans and progressive DC scans may interleave several
+    components in MCU order; progressive AC scans carry exactly one
+    component over its non-interleaved block grid (T.81 G.2 / A.2.2).
+    """
+    if ss == 0 and se != 0 and frame["progressive"]:
+        raise ValueError("progressive scan mixing DC and AC bands")
+    if ss > 0:  # AC scan (progressive only)
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be non-interleaved")
+        c, _, ac_id = scan[0]
+        tbl = ac_tbl[ac_id]
+        decode = _decode_block_ac_refine if ah else _decode_block_ac_first
+        cz = coefs[c["id"]]
+        eobrun = 0
+        for by in range(c["nrows"]):
+            for bx in range(c["ncols"]):
+                eobrun = decode(reader, cz[by, bx], tbl, ss, se, al, eobrun)
+        return
+
+    # DC or full sequential scan: MCU-interleaved when ns > 1, the
+    # component's own grid when ns == 1
+    pred = {c["id"]: 0 for c, _, _ in scan}
+
+    def blocks_in_order():
+        if len(scan) == 1:
+            c, dc_id, ac_id = scan[0]
+            for by in range(c["nrows"]):
+                for bx in range(c["ncols"]):
+                    yield c, dc_id, ac_id, by, bx
+        else:
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    for c, dc_id, ac_id in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                yield (
+                                    c,
+                                    dc_id,
+                                    ac_id,
+                                    my * c["v"] + by,
+                                    mx * c["h"] + bx,
+                                )
+
+    if not frame["progressive"]:
+        for c, dc_id, ac_id, by, bx in blocks_in_order():
+            pred[c["id"]] = _decode_block_full(
+                reader,
+                coefs[c["id"]][by, bx],
+                dc_tbl[dc_id],
+                ac_tbl[ac_id],
+                pred[c["id"]],
+            )
+    elif ah == 0:  # DC first pass: differential, scaled by 2^Al
+        for c, dc_id, _, by, bx in blocks_in_order():
+            size = _read_symbol(reader, dc_tbl[dc_id])
+            pred[c["id"]] += _receive_extend(reader, size)
+            coefs[c["id"]][by, bx, 0] = pred[c["id"]] << al
+    else:  # DC refinement: one raw bit per block at position Al
+        for c, _, _, by, bx in blocks_in_order():
+            if reader.bit():
+                coefs[c["id"]][by, bx, 0] |= 1 << al
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First position >= pos of a real (non-stuffed, non-fill) marker."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
 def _jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> top-down (h, w, 3) uint8 RGB (grayscale expands
-    to 3 identical channels).  Tables come from the stream."""
+    """JFIF -> top-down (h, w, 3) uint8 RGB (grayscale expands to 3
+    identical channels).  Baseline sequential (SOF0) and progressive
+    (SOF2, spectral selection + successive approximation, T.81 Annex G)
+    frames; all tables come from the stream.  Coefficients accumulate
+    across scans and the dequant + IDCT runs once, batched, at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -437,7 +914,8 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
     dc_tbl: dict[int, dict] = {}
     ac_tbl: dict[int, dict] = {}
     frame = None
-    scan_comps = None
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -483,7 +961,7 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
                 tbl = _decode_table(bits, vals)
                 (dc_tbl if cls == 0 else ac_tbl)[tid] = tbl
                 b = b[17 + n :]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -496,93 +974,75 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": qid}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors above 2 unsupported")
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = -(-fw // (8 * hmax))
+            frame["mcuy"] = -(-fh // (8 * vmax))
+            for c in comps:
+                # full interleaved-padded block grid; non-interleaved
+                # scans cover the (possibly smaller) ceil'd sub-grid
+                # (T.81 A.2.2) and the padding blocks stay zero
+                c["brows"] = frame["mcuy"] * c["v"]
+                c["bcols"] = frame["mcux"] * c["h"]
+                c["nrows"] = -(-(-(-fh * c["v"] // vmax)) // 8)
+                c["ncols"] = -(-(-(-fw * c["h"] // hmax)) // 8)
+                coefs[c["id"]] = np.zeros(
+                    (c["brows"], c["bcols"], 64), dtype=np.int32
+                )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             if int.from_bytes(body[:2], "big") != 0:
                 raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:  # SOS: decode this scan's entropy data
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            scan = []
+            by_id = {c["id"]: c for c in frame["comps"]}
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
-                scan_comps.append(
-                    {"id": cid, "dc": tids >> 4, "ac": tids & 0xF}
-                )
-            pos = nxt
-            break
+                scan.append((by_id[cid], tids >> 4, tids & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("band-limited scan in a baseline frame")
+            reader = _BitReader(payload, nxt)
+            _decode_scan(
+                reader, frame, scan, dc_tbl, ac_tbl, coefs, ss, se, ah, al
+            )
+            saw_scan = True
+            pos = _next_marker(payload, reader.pos)
+            continue
         pos = nxt
-    if frame is None or scan_comps is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    for sc in scan_comps:
-        by_id[sc["id"]]["dc_t"] = dc_tbl[sc["dc"]]
-        by_id[sc["id"]]["ac_t"] = ac_tbl[sc["ac"]]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise ValueError("sampling factors above 2 unsupported")
-    h, w = frame["h"], frame["w"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
-        for c in comps
-    }
-
-    reader = _BitReader(payload, pos)
-    pred = {c["id"]: 0 for c in comps}
-
-    def read_symbol(tbl: dict) -> int:
-        code, length = 0, 0
-        while length < 16:  # JPEG codes are at most 16 bits (T.81 C.2)
-            code = (code << 1) | reader.bit()
-            length += 1
-            sym = tbl.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = read_symbol(c["dc_t"])
-                        pred[c["id"]] += _receive_extend(reader, size)
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(c["ac_t"])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _receive_extend(reader, rs & 0xF)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZZ] = zz * qts[c["q"]][_ZZ]
-                        block = _idct2(coef.reshape(8, 8)) + 128.0
-                        py = (my * c["v"] + by) * 8
-                        px = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][py : py + 8, px : px + 8] = block
-
-    # upsample to full resolution, crop, color-convert
+    # dequantize + batch IDCT + assemble each component plane
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    for c in frame["comps"]:
+        zz = coefs[c["id"]]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, :, _ZZ] = zz * qts[c["q"]][_ZZ]
+        blocks = _idct2(nat.reshape(-1, 8, 8)) + 128.0
+        p = (
+            blocks.reshape(c["brows"], c["bcols"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["brows"] * 8, c["bcols"] * 8)
+        )
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:

@@ -18,8 +18,10 @@ Design for 100 TB:
   unfilter — PNG's "compression" IS zlib), BASELINE JPEG (``jpeg.py``,
   a from-spec Huffman + DCT codec, round-trip ground-truth tested),
   and ``decode_y4m``, dispatched by magic bytes in ``decode_media``
-  and served Arrow-batched by ``extract_media_meta``.  Progressive/
-  arithmetic JPEG, H.264 and MP3 remain out of scope —
+  and served Arrow-batched by ``extract_media_meta``.  Round 11
+  added progressive (SOF2) JPEG to ``jpeg.py`` — spectral selection +
+  successive approximation per T.81 Annex G.  Arithmetic-coded JPEG,
+  H.264 and MP3 remain out of scope —
   ``decode_image`` raises NotImplementedError by contract, and
   ``pseudo_decode`` provides a deterministic stand-in (derived from
   the payload's md5) so the Spark-side plumbing — schema, batching,
@@ -151,17 +153,17 @@ def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decoder boundary for formats still out of scope: progressive/
-    arithmetic JPEG, H.264, MP3 (each needs machinery this repo hasn't
-    built).  Everything else decodes FOR REAL with zero codec
+    """Decoder boundary for formats still out of scope:
+    arithmetic-coded JPEG, H.264, MP3 (each needs machinery this repo
+    hasn't built).  Everything else decodes FOR REAL with zero codec
     libraries: :func:`decode_wav` (stdlib ``wave``), :func:`decode_bmp`
     (``struct`` + numpy), :func:`decode_png` (stdlib ``zlib`` inflate +
-    per-row unfilter), BASELINE JPEG (:mod:`.jpeg` — a from-spec
-    Huffman + DCT codec), :func:`decode_y4m`, with magic-byte dispatch
-    in :func:`decode_media`."""
+    per-row unfilter), baseline AND progressive JPEG (:mod:`.jpeg` — a
+    from-spec Huffman + DCT codec), :func:`decode_y4m`, with magic-byte
+    dispatch in :func:`decode_media`."""
     raise NotImplementedError(
-        "progressive/arithmetic JPEG, H.264 and MP3 are out of scope; "
-        "decode_media handles WAV/BMP/PNG/baseline-JPEG/y4m for real, "
+        "arithmetic-coded JPEG, H.264 and MP3 are out of scope; "
+        "decode_media handles WAV/BMP/PNG/JPEG(SOF0+SOF2)/y4m for real, "
         "and pseudo_decode provides the deterministic plumbing stand-in"
     )
 

@@ -81,11 +81,17 @@ def test_grayscale_single_component():
 
 def test_refuses_non_baseline_and_corrupt():
     good = J.encode_jpeg(_solid(8, 8, (1, 2, 3)))
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # progressive SOF
-    with pytest.raises(ValueError, match="non-baseline"):
-        J._jpeg_pixels(bytes(prog))
+    lossless = bytearray(good)
+    i = lossless.find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3  # lossless sequential SOF — out of scope
+    with pytest.raises(ValueError, match="unsupported JPEG coding process"):
+        J._jpeg_pixels(bytes(lossless))
+    # SOF2 is supported since r11, but a progressive frame whose scan
+    # spans DC and AC bands at once is malformed (T.81 G.1.1.1.1)
+    mixed = bytearray(good)
+    mixed[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixing DC and AC bands"):
+        J._jpeg_pixels(bytes(mixed))
     with pytest.raises(ValueError):
         J._jpeg_pixels(b"\xff\xd8garbage")
     with pytest.raises(ValueError):
@@ -218,3 +224,100 @@ def test_resize_media_jpeg_quality_sweep():
             assert abs(m[ch] - ref[ch]) < 6, (q, ch)
     # default stays quality=90
     assert mm.resize_media(src, 12, 12) == bytes(outs[90])
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _textured(h, w, seed=0):
+    """Gradient + planted rectangles: realistic AC density (noise is the
+    entropy worst case, gradients exercise long zero runs / EOB runs)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 // max(1, h)), (xx * 255 // max(1, w)), ((yy + xx) * 7) % 256],
+        axis=-1,
+    ).astype(np.int32)
+    for _ in range(3):
+        y0, x0 = rng.integers(0, max(1, h - 4), size=1)[0], rng.integers(0, max(1, w - 4), size=1)[0]
+        img[y0 : y0 + 6, x0 : x0 + 6] += rng.integers(-70, 70, size=3)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_decode_matches_baseline_exactly(subsample, successive):
+    """The progressive scripts (spectral selection; DC/AC successive
+    approximation with refinement) deliver every coefficient bit, so
+    decoding the SOF2 file must be BYTE-IDENTICAL to decoding the
+    baseline encoding of the same quantized data — one equality that
+    pins all four scan procedures (T.81 G.2), the EOBn run decode, the
+    ZRL-in-refinement walk, and the correction-bit ordering."""
+    for shape, seed in [((16, 16), 1), ((24, 17), 2), ((40, 33), 3)]:
+        rgb = _textured(*shape, seed=seed)
+        base = J._jpeg_pixels(J.encode_jpeg(rgb, quality=85, subsample=subsample))
+        prog = J._jpeg_pixels(
+            J.encode_jpeg_progressive(
+                rgb, quality=85, subsample=subsample, successive=successive
+            )
+        )
+        assert np.array_equal(base, prog), (shape, subsample, successive)
+
+
+def test_progressive_noise_and_solid_extremes():
+    """Noise maximizes symbol density (many refinement corrections);
+    solid color maximizes EOB runs (every AC scan is one EOBn spanning
+    all blocks, exercising the multi-block skip path)."""
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    solid = _solid(64, 64, (37, 201, 90))
+    for rgb in (noise, solid):
+        for successive in (False, True):
+            base = J._jpeg_pixels(J.encode_jpeg(rgb, quality=85))
+            prog = J._jpeg_pixels(
+                J.encode_jpeg_progressive(rgb, quality=85, successive=successive)
+            )
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_dispatches_through_decode_media_and_resize():
+    """SOF2 payloads now ride the real-decode path end to end: decode
+    via the magic-byte dispatch, resize via decode -> resample ->
+    baseline re-encode."""
+    rgb = _textured(20, 28, seed=4)
+    payload = J.encode_jpeg_progressive(rgb, quality=90)
+    m = mm.decode_media(payload)
+    assert m["kind"] == "image/jpeg"
+    assert (m["width"], m["height"]) == (28, 20)
+    small = mm.resize_media(payload, 14, 10)
+    sm = J.decode_jpeg(small)
+    assert (sm["width"], sm["height"]) == (14, 10)
+
+
+def test_progressive_truncated_scan_degrades():
+    payload = J.encode_jpeg_progressive(_textured(16, 16, seed=5))
+    with pytest.raises(ValueError):
+        J._jpeg_pixels(payload[: len(payload) - 30])
+    out = mm.decode_media(payload[: len(payload) - 30])
+    assert out["kind"] == "opaque" and out["decode_error"]
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=hst.integers(min_value=1, max_value=24),
+        w=hst.integers(min_value=1, max_value=24),
+        seed=hst.integers(min_value=0, max_value=2**31),
+        subsample=hst.booleans(),
+        successive=hst.booleans(),
+    )
+    def test_progressive_equals_baseline_property(h, w, seed, subsample, successive):
+        rgb = _textured(h, w, seed=seed)
+        base = J._jpeg_pixels(J.encode_jpeg(rgb, quality=85, subsample=subsample))
+        prog = J._jpeg_pixels(
+            J.encode_jpeg_progressive(
+                rgb, quality=85, subsample=subsample, successive=successive
+            )
+        )
+        assert np.array_equal(base, prog)
