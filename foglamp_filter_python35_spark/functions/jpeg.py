@@ -12,11 +12,12 @@ honesty notes:
   to 2x2 (4:4:4 / 4:2:2 / 4:2:0), Huffman tables read from the
   stream's DHT segments (NOT assumed), 0xFF00 byte unstuffing,
   nearest-neighbor chroma upsampling.  Coefficients accumulate across
-  scans; dequant + IDCT run once, batched, at EOI.  Arithmetic coding,
-  12-bit precision, lossless/hierarchical processes, and
-  restart-marker scans raise ``ValueError`` — callers degrade via
-  ``decode_media``'s flagged opaque path, same contract as every other
-  unsupported container.
+  scans; dequant + IDCT run once, batched, at EOI.  Restart intervals
+  (DRI/RSTm, the camera-JPEG error-resilience layout) are honored in
+  both frame types, with the cyclic index checked.  Arithmetic coding,
+  12-bit precision, and lossless/hierarchical processes raise
+  ``ValueError`` — callers degrade via ``decode_media``'s flagged
+  opaque path, same contract as every other unsupported container.
 * encode: baseline (4:4:4 or 4:2:0, quality-scaled Annex-K-shaped
   quantization tables, canonical Huffman tables emitted in DHT — the
   decoder never relies on them being the exact Annex K ordering;
@@ -198,6 +199,12 @@ class _BitWriter:
         if self._n:
             self.write((1 << (8 - self._n)) - 1, 8 - self._n)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-pad) and emit RSTm (T.81 E.1.4: markers are
+        byte-aligned inside the entropy stream, m cycles 0..7)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
@@ -217,8 +224,8 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(
-                    f"marker 0xFF{nxt:02X} inside scan (restart markers "
-                    "unsupported)" if nxt is not None else "truncated JPEG"
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy-coded "
+                    "data" if nxt is not None else "truncated JPEG"
                 )
         self._acc = (self._acc << 8) | b
         self._n += 8
@@ -234,6 +241,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, m: int) -> None:
+        """Consume a byte-aligned RSTm marker: discard the current
+        byte's pad bits, then require exactly RST(m & 7) (T.81 E.1.4 —
+        the cyclic index detects lost/duplicated restart intervals)."""
+        self._acc = 0
+        self._n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: missing restart marker")
+        got = self.data[self.pos : self.pos + 2]
+        if got[0] != 0xFF or not (0xD0 <= got[1] <= 0xD7):
+            raise ValueError("expected restart marker in scan")
+        if (got[1] - 0xD0) != (m & 7):
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
 
 
 def _receive_extend(reader: _BitReader, size: int) -> int:
@@ -348,10 +370,16 @@ def _prepare_quantized(
 
 
 def encode_jpeg(
-    rgb_rows: np.ndarray, quality: int = 90, subsample: bool = False
+    rgb_rows: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes.  ``subsample=True``
-    emits 4:2:0 (2x2 luma MCUs, box-averaged chroma); default 4:4:4."""
+    emits 4:2:0 (2x2 luma MCUs, box-averaged chroma); default 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every that many MCUs (DC predictors reset across it, T.81 E.1.4) —
+    the error-resilience layout camera JPEGs commonly use."""
     prep = _prepare_quantized(rgb_rows, quality, subsample)
     w, h, samp = prep["w"], prep["h"], prep["samp"]
     q_lum, q_chr = prep["q_lum"], prep["q_chr"]
@@ -364,8 +392,13 @@ def encode_jpeg(
     pred = [0, 0, 0]  # DC predictors per component
 
     # interleaved MCU order
+    n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n and n % restart_interval == 0:
+                writer.restart(n // restart_interval - 1)
+                pred = [0, 0, 0]
+            n += 1
             for by in range(samp):
                 for bx in range(samp):
                     pred[0] = _entropy_block(
@@ -380,7 +413,8 @@ def encode_jpeg(
     writer.flush()
 
     return _assemble(
-        w, h, samp, q_lum, q_chr, bytes(writer.out)
+        w, h, samp, q_lum, q_chr, bytes(writer.out),
+        restart_interval=restart_interval,
     )
 
 
@@ -433,7 +467,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _assemble(
-    w: int, h: int, samp: int, q_lum: np.ndarray, q_chr: np.ndarray, scan: bytes
+    w: int,
+    h: int,
+    samp: int,
+    q_lum: np.ndarray,
+    q_chr: np.ndarray,
+    scan: bytes,
+    restart_interval: int = 0,
 ) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -450,6 +490,8 @@ def _assemble(
     # chroma reuses the same tables under ids 1 (valid: ids are free)
     out += _seg(0xC4, bytes([0x01] + _DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, bytes([0x11] + _AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([3])
     sos += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += _seg(0xDA, bytes(sos))
@@ -574,6 +616,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: bool = False,
     successive: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
 
@@ -608,8 +651,13 @@ def encode_jpeg_progressive(
     def dc_scan(al: int, refine: bool) -> bytes:
         wtr = _BitWriter()
         pred = {c["id"]: 0 for c in comps}
+        n = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    wtr.restart(n // restart_interval - 1)
+                    pred = {c["id"]: 0 for c in comps}
+                n += 1
                 for c in comps:
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
@@ -631,8 +679,14 @@ def encode_jpeg_progressive(
     def ac_scan(c: dict, ss: int, se: int, al: int, refine: bool) -> bytes:
         wtr = _BitWriter()
         state = {"eobrun": 0, "bits": []}
+        n = 0  # non-interleaved: one block per MCU
         for by in range(c["nrows"]):
             for bx in range(c["ncols"]):
+                if restart_interval and n and n % restart_interval == 0:
+                    # an EOB run may not cross a restart boundary
+                    _flush_eobrun(wtr, ac_codes, state)
+                    wtr.restart(n // restart_interval - 1)
+                n += 1
                 vband = [int(v) for v in c["zz"][by, bx, ss : se + 1]]
                 if refine:
                     _encode_block_ac_refine(wtr, ac_codes, vband, al, state)
@@ -667,6 +721,8 @@ def encode_jpeg_progressive(
     out += _seg(0xC4, bytes([0x10] + _AC_BITS_PROG) + bytes(_AC_VALS_PROG))
     out += _seg(0xC4, bytes([0x01] + _DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, bytes([0x11] + _AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     all_ids = [c["id"] for c in comps]
     if successive:
@@ -826,12 +882,16 @@ def _decode_scan(
     se: int,
     ah: int,
     al: int,
+    ri: int = 0,
 ) -> None:
     """Decode one scan's entropy data into the coefficient arrays.
 
     Sequential scans and progressive DC scans may interleave several
     components in MCU order; progressive AC scans carry exactly one
     component over its non-interleaved block grid (T.81 G.2 / A.2.2).
+    ``ri`` is the restart interval in MCUs (0 = none): every ``ri``
+    MCUs the reader byte-aligns over an RSTm marker and the DC
+    predictors / EOB run reset (T.81 E.1.4, F.2.1.3.1).
     """
     if ss == 0 and se != 0 and frame["progressive"]:
         raise ValueError("progressive scan mixing DC and AC bands")
@@ -843,8 +903,16 @@ def _decode_scan(
         decode = _decode_block_ac_refine if ah else _decode_block_ac_first
         cz = coefs[c["id"]]
         eobrun = 0
+        n = 0  # non-interleaved: one block per MCU
         for by in range(c["nrows"]):
             for bx in range(c["ncols"]):
+                if ri and n and n % ri == 0:
+                    # restart resets ALL entropy state; a conforming
+                    # encoder never lets an EOB run cross the boundary,
+                    # and a tolerant decoder drops any remainder
+                    eobrun = 0
+                    reader.restart(n // ri - 1)
+                n += 1
                 eobrun = decode(reader, cz[by, bx], tbl, ss, se, al, eobrun)
         return
 
@@ -852,44 +920,52 @@ def _decode_scan(
     # component's own grid when ns == 1
     pred = {c["id"]: 0 for c, _, _ in scan}
 
-    def blocks_in_order():
+    def mcus_in_order():
+        """Yield one MCU's worth of (c, dc_id, ac_id, by, bx) at a time."""
         if len(scan) == 1:
             c, dc_id, ac_id = scan[0]
             for by in range(c["nrows"]):
                 for bx in range(c["ncols"]):
-                    yield c, dc_id, ac_id, by, bx
+                    yield [(c, dc_id, ac_id, by, bx)]
         else:
             for my in range(frame["mcuy"]):
                 for mx in range(frame["mcux"]):
-                    for c, dc_id, ac_id in scan:
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                yield (
-                                    c,
-                                    dc_id,
-                                    ac_id,
-                                    my * c["v"] + by,
-                                    mx * c["h"] + bx,
-                                )
+                    yield [
+                        (
+                            c,
+                            dc_id,
+                            ac_id,
+                            my * c["v"] + by,
+                            mx * c["h"] + bx,
+                        )
+                        for c, dc_id, ac_id in scan
+                        for by in range(c["v"])
+                        for bx in range(c["h"])
+                    ]
 
-    if not frame["progressive"]:
-        for c, dc_id, ac_id, by, bx in blocks_in_order():
-            pred[c["id"]] = _decode_block_full(
-                reader,
-                coefs[c["id"]][by, bx],
-                dc_tbl[dc_id],
-                ac_tbl[ac_id],
-                pred[c["id"]],
-            )
-    elif ah == 0:  # DC first pass: differential, scaled by 2^Al
-        for c, dc_id, _, by, bx in blocks_in_order():
-            size = _read_symbol(reader, dc_tbl[dc_id])
-            pred[c["id"]] += _receive_extend(reader, size)
-            coefs[c["id"]][by, bx, 0] = pred[c["id"]] << al
-    else:  # DC refinement: one raw bit per block at position Al
-        for c, _, _, by, bx in blocks_in_order():
-            if reader.bit():
-                coefs[c["id"]][by, bx, 0] |= 1 << al
+    n = 0
+    for mcu in mcus_in_order():
+        if ri and n and n % ri == 0:
+            reader.restart(n // ri - 1)
+            for cid in pred:
+                pred[cid] = 0
+        n += 1
+        for c, dc_id, ac_id, by, bx in mcu:
+            if not frame["progressive"]:
+                pred[c["id"]] = _decode_block_full(
+                    reader,
+                    coefs[c["id"]][by, bx],
+                    dc_tbl[dc_id],
+                    ac_tbl[ac_id],
+                    pred[c["id"]],
+                )
+            elif ah == 0:  # DC first pass: differential, scaled by 2^Al
+                size = _read_symbol(reader, dc_tbl[dc_id])
+                pred[c["id"]] += _receive_extend(reader, size)
+                coefs[c["id"]][by, bx, 0] = pred[c["id"]] << al
+            else:  # DC refinement: one raw bit per block at position Al
+                if reader.bit():
+                    coefs[c["id"]][by, bx, 0] |= 1 << al
 
 
 def _next_marker(payload: bytes, pos: int) -> int:
@@ -916,6 +992,7 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
     frame = None
     coefs: dict[int, np.ndarray] = {}
     saw_scan = False
+    ri = 0  # restart interval in MCUs (DRI; 0 = none)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -928,8 +1005,9 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone: no length field follows, so the
             # generic seg_len read below would parse entropy bytes as a
-            # segment length.  Reject explicitly (restart markers only
-            # appear with DRI != 0, which we already reject).
+            # segment length.  RSTn is legal only INSIDE entropy-coded
+            # data (consumed by _BitReader.restart during scan decode);
+            # at the marker-walk level it means a corrupt stream.
             raise ValueError(
                 f"standalone marker 0xFF{marker:02X} outside scan unsupported"
             )
@@ -1002,9 +1080,8 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
             )
-        elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[:2], "big") != 0:
-                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval for subsequent scans
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: decode this scan's entropy data
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1020,7 +1097,8 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("band-limited scan in a baseline frame")
             reader = _BitReader(payload, nxt)
             _decode_scan(
-                reader, frame, scan, dc_tbl, ac_tbl, coefs, ss, se, ah, al
+                reader, frame, scan, dc_tbl, ac_tbl, coefs, ss, se, ah, al,
+                ri=ri,
             )
             saw_scan = True
             pos = _next_marker(payload, reader.pos)

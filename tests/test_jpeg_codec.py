@@ -321,3 +321,42 @@ if _HAVE_HYPOTHESIS:
             )
         )
         assert np.array_equal(base, prog)
+
+
+# --------------------------------------------- restart markers (DRI/RSTn)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_restart_intervals_decode_identically(subsample):
+    """DRI/RSTm is pure error-resilience framing: any interval must
+    decode to exactly the no-restart pixels, in baseline AND in both
+    progressive scan scripts (DC predictors and EOB runs reset at each
+    boundary, readers byte-align over the marker)."""
+    rgb = _textured(40, 33, seed=8)
+    plain = J._jpeg_pixels(J.encode_jpeg(rgb, quality=85, subsample=subsample))
+    for ri in (1, 2, 5):
+        b = J.encode_jpeg(
+            rgb, quality=85, subsample=subsample, restart_interval=ri
+        )
+        assert b"\xff\xd0" in b  # RST0 actually present
+        assert np.array_equal(J._jpeg_pixels(b), plain)
+        for successive in (False, True):
+            p = J.encode_jpeg_progressive(
+                rgb,
+                quality=85,
+                subsample=subsample,
+                successive=successive,
+                restart_interval=ri,
+            )
+            assert np.array_equal(J._jpeg_pixels(p), plain)
+
+
+def test_out_of_sequence_restart_marker_rejected():
+    """The RSTm cyclic index detects lost/duplicated restart intervals
+    (T.81 E.1.4); a wrong index must fail loudly, not desync silently."""
+    b = bytearray(J.encode_jpeg(_textured(32, 32, seed=9), restart_interval=1))
+    i = b.find(b"\xff\xd0")
+    assert i > 0
+    b[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        J._jpeg_pixels(bytes(b))
