@@ -20,7 +20,9 @@ Design for 100 TB:
   and ``decode_y4m``, dispatched by magic bytes in ``decode_media``
   and served Arrow-batched by ``extract_media_meta``.  Round 11
   added progressive (SOF2) JPEG to ``jpeg.py`` — spectral selection +
-  successive approximation per T.81 Annex G.  Arithmetic-coded JPEG,
+  successive approximation per T.81 Annex G, plus DRI/RSTm restart
+  intervals — and a full GIF87a/89a codec (``gif.py``: from-spec LZW,
+  interlace, animation frames, transparency).  Arithmetic-coded JPEG,
   H.264 and MP3 remain out of scope —
   ``decode_image`` raises NotImplementedError by contract, and
   ``pseudo_decode`` provides a deterministic stand-in (derived from
@@ -159,12 +161,13 @@ def decode_image(payload: bytes) -> "object":
     libraries: :func:`decode_wav` (stdlib ``wave``), :func:`decode_bmp`
     (``struct`` + numpy), :func:`decode_png` (stdlib ``zlib`` inflate +
     per-row unfilter), baseline AND progressive JPEG (:mod:`.jpeg` — a
-    from-spec Huffman + DCT codec), :func:`decode_y4m`, with magic-byte
-    dispatch in :func:`decode_media`."""
+    from-spec Huffman + DCT codec), GIF87a/89a (:mod:`.gif` — from-spec
+    LZW), :func:`decode_y4m`, with magic-byte dispatch in
+    :func:`decode_media`."""
     raise NotImplementedError(
         "arithmetic-coded JPEG, H.264 and MP3 are out of scope; "
-        "decode_media handles WAV/BMP/PNG/JPEG(SOF0+SOF2)/y4m for real, "
-        "and pseudo_decode provides the deterministic plumbing stand-in"
+        "decode_media handles WAV/BMP/PNG/JPEG(SOF0+SOF2)/GIF/y4m for "
+        "real, and pseudo_decode provides the deterministic stand-in"
     )
 
 
@@ -508,6 +511,12 @@ def resize_media(
     """
     if payload[:2] == b"BM":
         return resize_bmp(payload, width, height)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+            gif as _gif,
+        )
+
+        return _gif.resize_gif(payload, width, height)
     if payload[:8] == _PNG_SIG:
         return resize_png(payload, width, height)
     if payload[:2] == b"\xff\xd8":
@@ -516,7 +525,7 @@ def resize_media(
         )
 
         return _jpeg.resize_jpeg(payload, width, height, quality=quality)
-    raise ValueError("resize_media handles BMP, PNG and baseline JPEG only")
+    raise ValueError("resize_media handles BMP, GIF, PNG and JPEG only")
 
 
 def _y4m_header(payload: bytes) -> tuple[int, int, int, dict, int]:
@@ -633,6 +642,12 @@ def decode_media(payload: bytes) -> dict:
             )
 
             return _jpeg.decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+                gif as _gif,
+            )
+
+            return _gif.decode_gif(payload)
         if payload[:9] == b"YUV4MPEG2":
             m = decode_y4m(payload)
             m.pop("luma_means", None)  # keep the meta row narrow
