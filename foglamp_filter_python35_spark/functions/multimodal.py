@@ -21,9 +21,12 @@ Design for 100 TB:
   and served Arrow-batched by ``extract_media_meta``.  Round 11
   added progressive (SOF2) JPEG to ``jpeg.py`` — spectral selection +
   successive approximation per T.81 Annex G, plus DRI/RSTm restart
-  intervals — and a full GIF87a/89a codec (``gif.py``: from-spec LZW,
-  interlace, animation frames, transparency).  Arithmetic-coded JPEG,
-  H.264 and MP3 remain out of scope —
+  intervals — a full GIF87a/89a codec (``gif.py``: from-spec LZW,
+  interlace, animation frames, transparency), G.711 mu-law/A-law WAV
+  (from-spec companding expansion), and the AU and AIFF audio
+  containers (manual big-endian chunk walks incl. the 80-bit extended
+  sample rate).  Arithmetic-coded JPEG, H.264 and MP3 remain out of
+  scope —
   ``decode_image`` raises NotImplementedError by contract, and
   ``pseudo_decode`` provides a deterministic stand-in (derived from
   the payload's md5) so the Spark-side plumbing — schema, batching,
@@ -171,26 +174,111 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def _g711_ulaw_to_linear(data: bytes) -> "object":
+    """ITU-T G.711 mu-law expansion (from the spec's segment layout):
+    byte -> 14-bit magnitude scaled to 16-bit.  Vectorized via a
+    256-entry table built from the formula, not hardcoded."""
+    import numpy as np  # noqa: PLC0415
+
+    b = ~np.arange(256, dtype=np.int32) & 0xFF
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = ((((mant << 1) + 33) << exp) - 33) << 2
+    table = np.where(b & 0x80, -mag, mag).astype(np.int16)
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _g711_alaw_to_linear(data: bytes) -> "object":
+    """ITU-T G.711 A-law expansion (even bits inverted on the wire;
+    sign bit 1 = positive; no true zero)."""
+    import numpy as np  # noqa: PLC0415
+
+    b = np.arange(256, dtype=np.int32) ^ 0x55
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (mant << 4) + 8
+    mag = np.where(exp > 0, (mag + 0x100) << np.maximum(exp - 1, 0), mag)
+    table = np.where(b & 0x80, mag, -mag).astype(np.int16)
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _audio_stats(samples, full_scale: float) -> tuple[float, float]:
+    import numpy as np  # noqa: PLC0415
+
+    if not samples.size:
+        return 0.0, 0.0
+    s = samples.astype(np.float64)
+    return (
+        float(np.abs(s).max() / full_scale),
+        float(np.sqrt(np.mean(s**2)) / full_scale),
+    )
+
+
+def _wav_g711(payload: bytes) -> dict:
+    """Manual RIFF walk for the G.711 companded WAV formats the stdlib
+    ``wave`` module refuses (fmt tag 6 = A-law, 7 = mu-law)."""
+    import struct  # noqa: PLC0415
+
+    pos, end = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    if tag == 7:
+        samples = _g711_ulaw_to_linear(data)
+    elif tag == 6:
+        samples = _g711_alaw_to_linear(data)
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    n_frames = len(data) // max(1, n_channels)
+    peak, rms = _audio_stats(samples, 32768.0)
+    return {
+        "kind": "audio/wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": int(round(1000.0 * n_frames / sample_rate))
+        if sample_rate
+        else 0,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
 def decode_wav(payload: bytes) -> dict:
-    """REAL audio decode of a PCM WAV payload — pure stdlib ``wave``
-    plus numpy over the sample buffer, no external codec.  Handles
-    8-bit unsigned and 16/24/32-bit signed integer PCM (24-bit is the
-    packed 3-bytes-per-sample studio format — assembled with numpy
-    shifts and sign-extended).  Returns typed media properties + signal
-    stats (peak/RMS), i.e. the same work a feature-extraction pass does
-    on real audio at 100 TB, just limited to the uncompressed container
-    this environment can parse."""
+    """REAL audio decode of a WAV payload — pure stdlib ``wave`` plus
+    numpy over the sample buffer, no external codec.  Handles 8-bit
+    unsigned and 16/24/32-bit signed integer PCM (24-bit is the packed
+    3-bytes-per-sample studio format — assembled with numpy shifts and
+    sign-extended), plus the G.711 companded telephony formats (mu-law
+    fmt tag 7, A-law tag 6) via a from-spec expansion.  Returns typed
+    media properties + signal stats (peak/RMS), i.e. the same work a
+    feature-extraction pass does on real audio at 100 TB."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
-    with wave.open(io.BytesIO(payload)) as w:
-        n_channels = w.getnchannels()
-        sample_rate = w.getframerate()
-        sample_width = w.getsampwidth()
-        n_frames = w.getnframes()
-        pcm = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            sample_width = w.getsampwidth()
+            n_frames = w.getnframes()
+            pcm = w.readframes(n_frames)
+    except wave.Error as exc:
+        if "unknown format" in str(exc):
+            return _wav_g711(payload)  # G.711 or an explicit refusal
+        raise
     if sample_width == 2:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
         full_scale = 32768.0
@@ -217,6 +305,124 @@ def decode_wav(payload: bytes) -> dict:
     )
     return {
         "kind": "audio/wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": int(round(1000.0 * n_frames / sample_rate))
+        if sample_rate
+        else 0,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL decode of a Sun/NeXT AU (``audio/basic``) payload — the
+    big-endian header is six u32 fields; sample encodings cover G.711
+    mu-law/A-law and 8/16/24/32-bit linear PCM."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, sample_rate, n_channels = struct.unpack_from(
+        ">IIIII", payload, 4
+    )
+    if off < 24 or off > len(payload):
+        raise ValueError("corrupt AU header")
+    data = payload[off : off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == 1:
+        samples, width, full = _g711_ulaw_to_linear(data), 1, 32768.0
+    elif enc == 27:
+        samples, width, full = _g711_alaw_to_linear(data), 1, 32768.0
+    elif enc == 2:
+        samples = np.frombuffer(data, dtype=np.int8)
+        width, full = 1, 128.0
+    elif enc == 3:
+        samples = np.frombuffer(data, dtype=">i2")
+        width, full = 2, 32768.0
+    elif enc == 5:
+        samples = np.frombuffer(data, dtype=">i4")
+        width, full = 4, float(1 << 31)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    n_frames = len(data) // max(1, width * n_channels)
+    peak, rms = _audio_stats(samples, full)
+    return {
+        "kind": "audio/basic",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": int(round(1000.0 * n_frames / sample_rate))
+        if sample_rate
+        else 0,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
+def _float80_to_int(b: bytes) -> int:
+    """IEEE 754 80-bit extended float -> int (AIFF sample rates are
+    whole numbers stored in this format; parsed from the spec layout:
+    1 sign + 15 exponent bits, then a 64-bit mantissa with an explicit
+    integer bit)."""
+    import struct  # noqa: PLC0415
+
+    se, mant = struct.unpack(">HQ", b)
+    sign = -1 if se & 0x8000 else 1
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0
+    return sign * int(mant * 2.0 ** (exp - 16383 - 63))
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """REAL decode of an AIFF payload — manual FORM/COMM/SSND chunk
+    walk (the stdlib ``aifc`` module is removed in Python 3.13, so the
+    parse is done from the spec: big-endian chunks, the sample rate as
+    an 80-bit extended float, big-endian signed PCM in SSND)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload")
+    form = payload[8:12]
+    if form == b"AIFC":
+        raise ValueError("AIFC compressed AIFF unsupported")
+    if form != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, end = 12, len(payload)
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            n_channels, n_frames, bits = struct.unpack_from(">hLh", body, 0)
+            comm = (n_channels, n_frames, bits, _float80_to_int(body[8:18]))
+        elif cid == b"SSND":
+            data_off = struct.unpack_from(">I", body, 0)[0]
+            ssnd = body[8 + data_off :]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    n_channels, n_frames, bits, sample_rate = comm
+    if bits == 16:
+        samples = np.frombuffer(ssnd, dtype=">i2")
+        full = 32768.0
+    elif bits == 8:
+        samples = np.frombuffer(ssnd, dtype=np.int8)  # AIFF 8-bit is signed
+        full = 128.0
+    elif bits == 32:
+        samples = np.frombuffer(ssnd, dtype=">i4")
+        full = float(1 << 31)
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    peak, rms = _audio_stats(samples, full)
+    return {
+        "kind": "audio/aiff",
         "n_channels": n_channels,
         "sample_rate": sample_rate,
         "n_frames": n_frames,
@@ -632,6 +838,10 @@ def decode_media(payload: bytes) -> dict:
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
+        if payload[:4] == b".snd":
+            return decode_au(payload)
+        if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+            return decode_aiff(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:8] == _PNG_SIG:

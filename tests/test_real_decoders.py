@@ -558,3 +558,127 @@ def test_resize_media_ptr_real_pixels_and_degrade(spark, tmp_path):
     hi = {r.doc_id: r for r in mm.resize_media_ptr(ptrs, 6, 4, quality=100).collect()}
     assert bytes(hi[5].resized_payload) != bytes(out[5].resized_payload)
     assert bytes(hi[4].resized_payload) == bytes(out[4].resized_payload)
+
+
+# ------------------------------------------ G.711 / AU / AIFF decoders
+
+
+def _g711_compress(samples, expand_table):
+    """Test-side compressor: nearest code under the module's own
+    expansion table (an independent inverse check, not a copied spec
+    table)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    expanded = expand_table(bytes(codes)).astype(np.int64)
+    order = np.argsort(expanded)
+    idx = np.searchsorted(expanded[order], samples)
+    idx = np.clip(idx, 0, 255)
+    lo = expanded[order][np.maximum(idx - 1, 0)]
+    hi = expanded[order][idx]
+    pick = np.where(np.abs(samples - lo) <= np.abs(hi - samples),
+                    np.maximum(idx - 1, 0), idx)
+    return bytes(codes[order][pick].tolist())
+
+
+def test_g711_expansion_spec_points():
+    import numpy as np
+
+    ulaw = mm._g711_ulaw_to_linear(bytes([0xFF, 0x7F, 0x80, 0x00]))
+    # 0xFF/0x7F are +0/-0 (the wire code is the COMPLEMENT of
+    # sign|exp|mant, so all-ones is silence); 0x80 is the most
+    # positive, 0x00 the most negative
+    assert ulaw[0] == 0 and ulaw[1] == 0
+    assert ulaw[2] == 8031 << 2 and ulaw[3] == -(8031 << 2)
+    alaw = mm._g711_alaw_to_linear(bytes([0xD5, 0x55, 0xAA, 0x2A]))
+    # A-law has no true zero: 0xD5/0x55 are +8/-8; 0xAA/0x2A are +/-max
+    assert alaw[0] == 8 and alaw[1] == -8
+    assert alaw[2] == 32256 and alaw[3] == -32256
+    # every code expands to a distinct value except the mu-law dual zero
+    assert len(set(mm._g711_ulaw_to_linear(bytes(range(256))).tolist())) == 255
+    assert len(set(mm._g711_alaw_to_linear(bytes(range(256))).tolist())) == 256
+
+
+def _riff_g711(tag, data, rate=8000):
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+@pytest.mark.parametrize(
+    "tag,expand", [(7, "_g711_ulaw_to_linear"), (6, "_g711_alaw_to_linear")]
+)
+def test_g711_wav_sine_statistics(tag, expand):
+    """Compress a known sine with the table inverse, decode through the
+    WAV path, and require the companded stats to match the PCM
+    reference within companding error."""
+    import numpy as np
+
+    n = 8000
+    pcm = (0.5 * 32124 * np.sin(2 * math.pi * 440 * np.arange(n) / 8000)).astype(
+        np.int64
+    )
+    data = _g711_compress(pcm, getattr(mm, expand))
+    m = mm.decode_wav(_riff_g711(tag, data))
+    assert m["kind"] == "audio/wav"
+    assert (m["sample_rate"], m["n_frames"], m["duration_ms"]) == (8000, n, 1000)
+    ref_rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
+    assert abs(m["rms"] - ref_rms) / ref_rms < 0.02  # companding error bound
+    assert abs(m["peak"] - 0.5 * 32124 / 32768.0) < 0.02
+    # decode_media dispatches the same bytes
+    assert mm.decode_media(_riff_g711(tag, data))["kind"] == "audio/wav"
+
+
+def test_au_decodes_pcm_and_g711():
+    import numpy as np
+
+    n = 4000
+    pcm = (0.25 * 32767 * np.sin(2 * math.pi * 220 * np.arange(n) / 8000)).astype(
+        np.int16
+    )
+    hdr = b".snd" + struct.pack(">IIIII", 24, 2 * n, 3, 8000, 1)
+    m = mm.decode_au(hdr + pcm.astype(">i2").tobytes())
+    assert m["kind"] == "audio/basic"
+    assert (m["sample_rate"], m["n_frames"], m["duration_ms"]) == (8000, n, 500)
+    assert abs(m["peak"] - 0.25) < 0.01
+    # mu-law AU of the same sine
+    data = _g711_compress(pcm.astype(np.int64), mm._g711_ulaw_to_linear)
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data), 1, 8000, 1)
+    mu = mm.decode_au(hdr + data)
+    assert abs(mu["peak"] - m["peak"]) < 0.02
+    # dispatch + degrade
+    assert mm.decode_media(hdr + data)["kind"] == "audio/basic"
+    bad = mm.decode_media(b".snd" + struct.pack(">IIIII", 24, 4, 99, 8000, 1) + b"abcd")
+    assert bad["kind"] == "opaque" and "unsupported AU encoding" in bad["decode_error"]
+
+
+def _float80(value: int) -> bytes:
+    exp = value.bit_length() - 1
+    mant = value << (63 - exp)
+    return struct.pack(">HQ", 16383 + exp, mant)
+
+
+def test_aiff_decodes_16bit_pcm():
+    import numpy as np
+
+    n = 6000
+    pcm = (0.4 * 32767 * np.sin(2 * math.pi * 330 * np.arange(n) / 12000)).astype(
+        ">i2"
+    )
+    comm = struct.pack(">hLh", 1, n, 16) + _float80(12000)
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    m = mm.decode_aiff(payload)
+    assert m["kind"] == "audio/aiff"
+    assert (m["sample_rate"], m["n_frames"], m["duration_ms"]) == (12000, n, 500)
+    assert abs(m["peak"] - 0.4) < 0.01
+    assert mm.decode_media(payload)["kind"] == "audio/aiff"
+    # AIFC (compressed) refuses -> opaque degrade with reason
+    aifc = payload.replace(b"AIFF", b"AIFC", 1)
+    out = mm.decode_media(aifc)
+    assert out["kind"] == "opaque" and "AIFC" in out["decode_error"]
