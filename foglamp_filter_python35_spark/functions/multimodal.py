@@ -25,8 +25,10 @@ Design for 100 TB:
   interlace, animation frames, transparency), G.711 mu-law/A-law WAV
   (from-spec companding expansion), and the AU and AIFF audio
   containers (manual big-endian chunk walks incl. the 80-bit extended
-  sample rate).  Arithmetic-coded JPEG, H.264 and MP3 remain out of
-  scope —
+  sample rate), and baseline TIFF 6.0 (``tiff.py``: both byte orders,
+  none/PackBits/TIFF-LZW with the early-change quirk, predictor 2,
+  gray/RGB/palette).  Arithmetic-coded JPEG, H.264 and MP3 remain out
+  of scope —
   ``decode_image`` raises NotImplementedError by contract, and
   ``pseudo_decode`` provides a deterministic stand-in (derived from
   the payload's md5) so the Spark-side plumbing — schema, batching,
@@ -723,6 +725,12 @@ def resize_media(
         )
 
         return _gif.resize_gif(payload, width, height)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+            tiff as _tiff,
+        )
+
+        return _tiff.resize_tiff(payload, width, height)
     if payload[:8] == _PNG_SIG:
         return resize_png(payload, width, height)
     if payload[:2] == b"\xff\xd8":
@@ -731,7 +739,7 @@ def resize_media(
         )
 
         return _jpeg.resize_jpeg(payload, width, height, quality=quality)
-    raise ValueError("resize_media handles BMP, GIF, PNG and JPEG only")
+    raise ValueError("resize_media handles BMP, GIF, TIFF, PNG and JPEG only")
 
 
 def _y4m_header(payload: bytes) -> tuple[int, int, int, dict, int]:
@@ -858,6 +866,12 @@ def decode_media(payload: bytes) -> dict:
             )
 
             return _gif.decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from foglamp_filter_python35_spark.functions import (  # noqa: PLC0415
+                tiff as _tiff,
+            )
+
+            return _tiff.decode_tiff(payload)
         if payload[:9] == b"YUV4MPEG2":
             m = decode_y4m(payload)
             m.pop("luma_means", None)  # keep the meta row narrow
