@@ -358,6 +358,22 @@ def encode_gif(
     return bytes(out)
 
 
+def sample_gif_frames(payload: bytes, k: int) -> list[tuple[int, bytes]]:
+    """REAL frame sampling from an animated GIF: ``k`` evenly-spaced
+    (frame_idx, raw RGB bytes) pairs of the composited canvas — the
+    GIF twin of :func:`multimodal.sample_y4m_frames`.  Unlike y4m,
+    frames cannot be sliced by offset (each depends on LZW state and
+    the compositing history), so the walk decodes sequentially."""
+    _, frames = gif_frames(payload)
+    n = len(frames)
+    if n == 0 or k <= 0:
+        return []
+    want = (
+        list(range(n)) if k >= n else sorted({(i * n) // k for i in range(k)})
+    )
+    return [(i, frames[i].tobytes()) for i in want]
+
+
 def resize_gif(payload: bytes, width: int, height: int) -> bytes:
     """decode first frame -> nearest-neighbor -> re-encode (single
     frame).  Lossless beyond the resample when the source palette fits

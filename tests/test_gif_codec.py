@@ -147,3 +147,23 @@ if _HAVE_HYPOTHESIS:
         img = _paletted(h, w, n_colors, seed=seed)
         out, _ = G.gif_frames(G.encode_gif(img, interlace=interlace))
         assert np.array_equal(out, img)
+
+
+def test_sample_gif_frames_even_spacing():
+    """The GIF twin of sample_y4m_frames: evenly-spaced composited
+    frames as raw RGB bytes."""
+    frames = []
+    for i in range(6):
+        f = np.zeros((4, 4, 3), np.uint8)
+        f[:] = (i * 40, 0, 255 - i * 40)
+        frames.append(f)
+    payload = G.encode_gif(frames)
+    got = G.sample_gif_frames(payload, 3)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, raw in got:
+        assert np.array_equal(
+            np.frombuffer(raw, np.uint8).reshape(4, 4, 3), frames[i]
+        )
+    # k >= n degrades to every frame once
+    assert [i for i, _ in G.sample_gif_frames(payload, 99)] == list(range(6))
+    assert G.sample_gif_frames(payload, 0) == []
