@@ -493,8 +493,14 @@ def _mixed_pointer_corpus(spark, tmp_path):
 
     from foglamp_filter_python35_spark.functions import jpeg as J
 
+    from foglamp_filter_python35_spark.functions import gif as G
+    from foglamp_filter_python35_spark.functions import tiff as TF
+
     rng = np.random.default_rng(3)
     rgb = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    few = (rng.integers(0, 5, size=(9, 7, 1)) * 50).astype(np.uint8).repeat(
+        3, axis=2
+    )
     rows = [
         (1, _wav_bytes(sample_rate=8000, n_frames=2000)),
         (2, _bmp_bytes(16, 8, (10, 20, 30))),
@@ -502,6 +508,9 @@ def _mixed_pointer_corpus(spark, tmp_path):
         (4, mm.encode_png(rgb)),
         (5, J.encode_jpeg(rgb, quality=90)),
         (6, _y4m_bytes(width=8, height=6, n_frames=3)),
+        (7, J.encode_jpeg_progressive(rgb, quality=90)),
+        (8, G.encode_gif(few)),
+        (9, TF.encode_tiff(rgb, compression="lzw")),
     ]
     inline = spark.createDataFrame(rows, "doc_id long, payload binary")
     ptrs = mm.pack_payload_shards(
@@ -527,6 +536,9 @@ def test_media_meta_ptr_matches_inline(spark, tmp_path):
         4: "image/png",
         5: "image/jpeg",
         6: "video/y4m",
+        7: "image/jpeg",
+        8: "image/gif",
+        9: "image/tiff",
     }
     # pointer-path invariant: the kernel's input plan carries only the
     # 4 pointer columns — no binary column exists anywhere in it
@@ -545,9 +557,17 @@ def test_resize_media_ptr_real_pixels_and_degrade(spark, tmp_path):
     containers resize_media cannot handle."""
     _, ptrs = _mixed_pointer_corpus(spark, tmp_path)
     out = {r.doc_id: r for r in mm.resize_media_ptr(ptrs, 6, 4).collect()}
-    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
     # resizable containers: output decodes in its own container at 6x4
-    for doc_id, kind in ((2, "image/bmp"), (4, "image/png"), (5, "image/jpeg")):
+    # (progressive JPEG re-encodes through the baseline encoder)
+    for doc_id, kind in (
+        (2, "image/bmp"),
+        (4, "image/png"),
+        (5, "image/jpeg"),
+        (7, "image/jpeg"),
+        (8, "image/gif"),
+        (9, "image/tiff"),
+    ):
         m = mm.decode_media(bytes(out[doc_id].resized_payload))
         assert m["kind"] == kind
         assert (m["width"], m["height"]) == (6, 4)
