@@ -436,6 +436,92 @@ def decode_aiff(payload: bytes) -> dict:
     }
 
 
+def _pnm_pixels(payload: bytes) -> "object":
+    """netpbm (PGM P2/P5, PPM P3/P6) -> (h, w, 3) uint8 RGB.  Header
+    tokens may be separated by any whitespace and ``#`` comments; raw
+    variants carry binary samples after a single whitespace byte."""
+    import numpy as np  # noqa: PLC0415
+
+    magic = payload[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a PGM/PPM payload")
+    # tokenize the header: magic, width, height, maxval
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos]
+        if c == ord(b"#"):
+            pos = payload.index(b"\n", pos) + 1
+        elif c in b" \t\r\n":
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end] not in b" \t\r\n#":
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    spp = 3 if magic in (b"P3", b"P6") else 1
+    n = w * h * spp
+    if magic in (b"P5", b"P6"):  # raw: exactly one whitespace then data
+        pos += 1
+        data = np.frombuffer(payload[pos : pos + n], dtype=np.uint8)
+    else:  # plain: ascii sample values
+        data = np.array(payload[pos:].split()[:n], dtype=np.int64)
+    if data.size != n:
+        raise ValueError("truncated PNM pixel data")
+    if maxval != 255:
+        data = (data.astype(np.int64) * 255) // maxval
+    px = data.astype(np.uint8).reshape(h, w, spp)
+    return px if spp == 3 else np.repeat(px, 3, axis=2)
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """Same output shape as the other image decoders."""
+    import numpy as np  # noqa: PLC0415
+
+    px = _pnm_pixels(payload)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "kind": "image/x-portable-pixmap"
+        if payload[:2] in (b"P3", b"P6")
+        else "image/x-portable-graymap",
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "n_channels": 3,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+def encode_pnm(rgb_rows: "object", plain: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> PPM (P6 raw, or P3 plain ascii)."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.ascontiguousarray(rgb_rows, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    if plain:
+        body = "\n".join(
+            " ".join(str(v) for v in row) for row in arr.reshape(h, -1)
+        )
+        return f"P3\n{w} {h}\n255\n{body}\n".encode()
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
+    import numpy as np  # noqa: PLC0415
+
+    px = _pnm_pixels(payload)
+    ys = (np.arange(height) * px.shape[0]) // height
+    xs = (np.arange(width) * px.shape[1]) // width
+    return encode_pnm(px[ys][:, xs])
+
+
 def decode_bmp(payload: bytes) -> dict:
     """REAL image decode of an uncompressed 24/32-bit BMP — ``struct``
     over the BITMAPFILEHEADER/BITMAPINFOHEADER plus numpy over the
@@ -731,6 +817,14 @@ def resize_media(
         )
 
         return _tiff.resize_tiff(payload, width, height)
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and payload[2:3] in (
+        b" ",
+        b"\t",
+        b"\r",
+        b"\n",
+        b"#",
+    ):
+        return resize_pnm(payload, width, height)
     if payload[:8] == _PNG_SIG:
         return resize_png(payload, width, height)
     if payload[:2] == b"\xff\xd8":
@@ -872,6 +966,14 @@ def decode_media(payload: bytes) -> dict:
             )
 
             return _tiff.decode_tiff(payload)
+        if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and payload[2:3] in (
+            b" ",
+            b"\t",
+            b"\r",
+            b"\n",
+            b"#",
+        ):
+            return decode_pnm(payload)
         if payload[:9] == b"YUV4MPEG2":
             m = decode_y4m(payload)
             m.pop("luma_means", None)  # keep the meta row narrow

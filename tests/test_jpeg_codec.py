@@ -1,12 +1,14 @@
-"""Baseline JPEG codec ground truth — the from-spec Huffman+DCT codec
-that closes the last X5 format gap (VERDICT r9 "What's missing" #2 said
+"""JPEG codec ground truth — the from-spec Huffman+DCT codec that
+closes the last X5 format gap (VERDICT r9 "What's missing" #2 said
 JPEG "genuinely needs a DCT codec"; functions/jpeg.py IS one, stdlib +
-numpy only).
+numpy only).  Covers baseline sequential (SOF0), progressive (SOF2,
+spectral selection + successive approximation), and DRI/RSTm restart
+intervals.
 
 The decoder builds its quantization and Huffman tables from the file's
 own DQT/DHT segments, so encoder/decoder round-trips are spec-valid
 evidence, not shared-constant tautologies: a file our encoder emits is
-a legal baseline JFIF any compliant decoder accepts.
+a legal JFIF any compliant decoder accepts.
 """
 
 from __future__ import annotations

@@ -702,3 +702,36 @@ def test_aiff_decodes_16bit_pcm():
     aifc = payload.replace(b"AIFF", b"AIFC", 1)
     out = mm.decode_media(aifc)
     assert out["kind"] == "opaque" and "AIFC" in out["decode_error"]
+
+
+# ----------------------------------------------------- netpbm (PGM/PPM)
+
+
+def test_pnm_roundtrip_and_variants():
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    # raw P6 round-trips exactly
+    assert np.array_equal(mm._pnm_pixels(mm.encode_pnm(rgb)), rgb)
+    # plain P3 round-trips exactly too
+    assert np.array_equal(mm._pnm_pixels(mm.encode_pnm(rgb, plain=True)), rgb)
+    # header comments and arbitrary whitespace are legal
+    weird = b"P6 # comment\n# another\n 7\t9 # dims\n255\n" + rgb.tobytes()
+    assert np.array_equal(mm._pnm_pixels(weird), rgb)
+    # grayscale P5 expands to 3 identical channels, maxval rescales
+    g = rng.integers(0, 16, size=(4, 5), dtype=np.uint8)
+    p5 = b"P5\n5 4\n15\n" + g.tobytes()
+    px = mm._pnm_pixels(p5)
+    assert np.array_equal(px[:, :, 0], (g.astype(np.int64) * 255 // 15))
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])
+    # dispatch + resize + degrade
+    m = mm.decode_media(mm.encode_pnm(rgb))
+    assert m["kind"] == "image/x-portable-pixmap"
+    assert (m["width"], m["height"]) == (7, 9)
+    small = mm.decode_media(mm.resize_media(mm.encode_pnm(rgb), 3, 4))
+    assert (small["width"], small["height"]) == (3, 4)
+    bad = mm.decode_media(mm.encode_pnm(rgb)[:-5])
+    assert bad["kind"] == "opaque" and "truncated PNM" in bad["decode_error"]
+    # "P2..." as ordinary text must not be misdetected as an image
+    assert mm.decode_media(b"P2P is a protocol")["kind"] == "opaque"
