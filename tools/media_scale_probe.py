@@ -52,9 +52,13 @@ SIDE = 48  # base image side in px
 
 
 def _base_images() -> list[bytes]:
-    """BASE_N deterministic images, alternating PNG / baseline JPEG."""
+    """BASE_N deterministic images cycling PNG / baseline JPEG / GIF /
+    TIFF-LZW — every real image codec in the repo pays its decode bill
+    in the probe."""
+    from foglamp_filter_python35_spark.functions import gif as G
     from foglamp_filter_python35_spark.functions import jpeg as J
     from foglamp_filter_python35_spark.functions import multimodal as M
+    from foglamp_filter_python35_spark.functions import tiff as T
 
     rng = np.random.default_rng(20260815)
     payloads: list[bytes] = []
@@ -74,10 +78,17 @@ def _base_images() -> list[bytes]:
             h, w = rng.integers(4, 16, size=2)
             img[y0 : y0 + h, x0 : x0 + w] += rng.integers(-60, 60, size=3)
         rgb = np.clip(img, 0, 255).astype(np.uint8)
-        if i % 2 == 0:
+        kind = i % 4
+        if kind == 0:
             payloads.append(M.encode_png(rgb))
-        else:
+        elif kind == 1:
             payloads.append(J.encode_jpeg(rgb, quality=85))
+        elif kind == 2:
+            # GIF needs <= 256 colors: 2-bit-per-channel quantization
+            # (4^3 = 64 possible colors)
+            payloads.append(G.encode_gif((rgb >> 6) << 6))
+        else:
+            payloads.append(T.encode_tiff(rgb, compression="lzw"))
     return payloads
 
 
