@@ -8,11 +8,11 @@ GIF87a/89a from the public spec (W3C/CompuServe GIF89a specification):
   (sub-block chains), and the variable-code-width LZW decompressor
   (LSB-first packing, CLEAR/END codes, code width growth to the 12-bit
   cap, deferred-clear tolerant).  Frames after the first composite
-  draw-over onto the canvas at their own (left, top) offset — the
-  common disposal-0/1 semantics; restore-to-background/previous
-  (disposal 2/3) is approximated by draw-over and noted here rather
-  than hidden.  Transparent pixels (GCE flag) leave the canvas
-  untouched.
+  onto the canvas at their own (left, top) offset with full GCE
+  disposal semantics: 0/1 leave the region in place, 2 restores the
+  region to the logical-screen background color after display, 3
+  restores the pre-render canvas.  Transparent pixels (GCE flag) leave
+  the canvas untouched.
 * encode (ground truth for the decoder tests): global palette built
   from the frames' distinct colors (<= 256, else ValueError), optional
   interlacing, multi-frame output with per-frame GCE delays, real LZW
@@ -187,9 +187,10 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def gif_frames(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Decode every frame, compositing draw-over onto the logical
-    screen; returns (canvas_after_last_frame, [per-frame canvas copies])
-    as (h, w, 3) uint8 arrays."""
+    """Decode every frame, compositing onto the logical screen with
+    GCE disposal semantics (0/1 keep, 2 restore-to-background, 3
+    restore-to-previous); returns (last_displayed_canvas, [per-frame
+    canvas copies]) as (h, w, 3) uint8 arrays."""
     if payload[:6] not in _MAGICS:
         raise ValueError("not a GIF payload")
     w = int.from_bytes(payload[6:8], "little")
@@ -208,8 +209,14 @@ def gif_frames(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     if gct is not None and bg_index < gct.shape[0]:
         canvas[:] = gct[bg_index]
+    bg_rgb = (
+        gct[bg_index]
+        if gct is not None and bg_index < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
     frames: list[np.ndarray] = []
     transparent: int | None = None
+    disposal = 0
     while True:
         if pos >= len(payload):
             raise ValueError("GIF missing trailer")
@@ -225,6 +232,7 @@ def gif_frames(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             body, pos = _sub_blocks(payload, pos)
             if label == 0xF9 and len(body) >= 4:  # graphic control
                 transparent = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
@@ -260,16 +268,28 @@ def gif_frames(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             idx = _deinterlace(idx)
         rgb = pal[idx]
         region = canvas[it : it + ih, il : il + iw]
+        # disposal applies AFTER the frame is displayed: 3 needs the
+        # pre-render region saved now, 2 clears the region to the
+        # logical-screen background before the next frame draws
+        prev_region = region.copy() if disposal == 3 else None
         if transparent is not None:
             mask = idx != transparent
             region[mask] = rgb[mask]
         else:
             region[:] = rgb
         frames.append(canvas.copy())
+        if disposal == 2:
+            region[:] = bg_rgb
+        elif disposal == 3:
+            region[:] = prev_region
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image")
-    return canvas, frames
+    # frames[-1] is the last DISPLAYED canvas; `canvas` itself may have
+    # had the final frame's disposal applied (spec-correct but never
+    # shown), so the displayed state is the useful return
+    return frames[-1], frames
 
 
 def decode_gif(payload: bytes) -> dict:

@@ -519,7 +519,14 @@ _AC_BITS_PROG = [0] * 7 + [len(_AC_VALS_PROG)] + [0] * 8
 def _flush_eobrun(writer: _BitWriter, ac_codes: dict, state: dict) -> None:
     """Emit the pending end-of-band run as EOBn symbols, followed by the
     refinement correction bits buffered across the run's blocks
-    (T.81 G.1.2.2-3; the decoder reads them back per skipped block)."""
+    (T.81 G.1.2.2-3; the decoder reads them back per skipped block).
+
+    ``state["bits"]`` is a list of per-block bit lists, one entry per
+    block in the run: a run longer than 32767 blocks splits into
+    several EOBn symbols, and each chunk must carry ONLY the correction
+    bits of the blocks it covers — the decoder consumes them block by
+    block as the run is walked, so flushing all buffered bits after the
+    first symbol would desynchronize the stream."""
     while state["eobrun"]:
         run = state["eobrun"]
         r = min(14, run.bit_length() - 1)
@@ -529,9 +536,10 @@ def _flush_eobrun(writer: _BitWriter, ac_codes: dict, state: dict) -> None:
         if r:
             writer.write(count - (1 << r), r)
         state["eobrun"] -= count
-        for bit in state["bits"]:
-            writer.write(bit, 1)
-        state["bits"] = []
+        for blk in state["bits"][:count]:
+            for bit in blk:
+                writer.write(bit, 1)
+        state["bits"] = state["bits"][count:]
 
 
 def _encode_block_ac_first(
@@ -608,7 +616,7 @@ def _encode_block_ac_refine(
         r = 0
     if r > 0 or br:
         state["eobrun"] += 1
-        state["bits"].extend(br)
+        state["bits"].append(br)  # one entry per block joining the run
 
 
 def encode_jpeg_progressive(

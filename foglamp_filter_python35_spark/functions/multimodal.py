@@ -100,19 +100,28 @@ def pack_payload_shards(
     This is the ingest-side boundary job: run it once (materialize the
     pointer table), then every downstream operator fetches bytes
     executor-side inside its Arrow kernel via :func:`fetch_payloads`.
-    Shard files are named by partition id, so a task retry rewrites the
-    same file with the same bytes (deterministic input order); in
-    production the storage layer's atomic rename provides commit, and
-    the uri scheme would be s3://... range reads instead of local files.
+    Shard files are named by (partition id, task attempt id): a retried
+    or speculative attempt writes its OWN file, and since the pointer
+    rows Spark commits are the ones emitted by the committed attempt,
+    they always reference that attempt's bytes — no reliance on
+    deterministic input order, no window where a re-run rewrites a file
+    another attempt's committed offsets point into.  Losing attempts
+    leave orphan shards; they are unreferenced (harmless) and a vacuum
+    pass can drop any shard whose uri no longer appears in the pointer
+    table.  In production the uri scheme would be s3://... range reads
+    instead of local files.
     """
     import os  # noqa: PLC0415
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext  # noqa: PLC0415
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(shard_dir, exist_ok=True)
-        path = os.path.join(shard_dir, f"shard-{pid:05d}.bin")
+        path = os.path.join(
+            shard_dir, f"shard-{pid:05d}-{ctx.taskAttemptId()}.bin"
+        )
         uri = "file://" + path
         offset = 0
         with open(path, "wb") as fh:
@@ -344,6 +353,12 @@ def decode_au(payload: bytes) -> dict:
     elif enc == 3:
         samples = np.frombuffer(data, dtype=">i2")
         width, full = 2, 32768.0
+    elif enc == 4:  # 24-bit packed big-endian signed (AU is network order)
+        data = data[: (len(data) // 3) * 3]
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        raw = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        samples = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+        width, full = 3, float(1 << 23)
     elif enc == 5:
         samples = np.frombuffer(data, dtype=">i4")
         width, full = 4, float(1 << 31)
@@ -470,8 +485,13 @@ def _pnm_pixels(payload: bytes) -> "object":
     if magic in (b"P5", b"P6"):  # raw: exactly one whitespace then data
         pos += 1
         data = np.frombuffer(payload[pos : pos + n], dtype=np.uint8)
-    else:  # plain: ascii sample values
-        data = np.array(payload[pos:].split()[:n], dtype=np.int64)
+    else:  # plain: ascii sample values ('#' comments are legal mid-raster)
+        raster = payload[pos:]
+        if b"#" in raster:
+            import re  # noqa: PLC0415
+
+            raster = re.sub(rb"#[^\n]*", b" ", raster)
+        data = np.array(raster.split()[:n], dtype=np.int64)
     if data.size != n:
         raise ValueError("truncated PNM pixel data")
     if maxval != 255:

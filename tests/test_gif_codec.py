@@ -104,6 +104,63 @@ def test_hand_assembled_partial_frame_with_transparency():
     assert np.array_equal(canvas, expect)
 
 
+def test_disposal_methods_restore_background_and_previous():
+    """GCE disposal 2 clears the frame rect to the logical-screen
+    background color after display; disposal 3 restores the pre-render
+    canvas — the next frame must composite onto the restored state, not
+    draw-over (GIF89a spec, Graphic Control Extension)."""
+    # palette: 0=black 1=red 2=green 3=blue; screen 8x8, background=3
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += (8).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    out += bytes([0x80 | 1, 3, 0]) + gct  # bg_index=3 (blue)
+
+    def image(left, top, w, h, indices):
+        seg = bytearray(b"\x2c")
+        seg += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        seg += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        seg += b"\x00"
+        lzw = G._lzw_encode(2, indices)
+        seg += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            seg += bytes([len(chunk)]) + chunk
+        seg += b"\x00"
+        return seg
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, (disposal & 7) << 2, 0, 0, 0, 0])
+
+    # frame 1 (disposal 2): all red -> cleared to bg blue afterwards
+    out += gce(2)
+    out += image(0, 0, 8, 8, [1] * 64)
+    # frame 2 (disposal 3): 2x2 green at (0,0) -> restored afterwards
+    out += gce(3)
+    out += image(0, 0, 2, 2, [2] * 4)
+    # frame 3: 1x1 red at (4,4), default disposal
+    out += image(4, 4, 1, 1, [1])
+    out += b"\x3b"
+
+    canvas, frames = G.gif_frames(bytes(out))
+    assert len(frames) == 3
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    all_red = np.zeros((8, 8, 3), np.uint8)
+    all_red[:] = red
+    assert np.array_equal(frames[0], all_red)
+    # disposal 2 on frame 1: frame 2 composites onto a BLUE canvas
+    f2 = np.zeros((8, 8, 3), np.uint8)
+    f2[:] = blue
+    f2[:2, :2] = green
+    assert np.array_equal(frames[1], f2)
+    # disposal 3 on frame 2: its region reverts to blue before frame 3
+    f3 = np.zeros((8, 8, 3), np.uint8)
+    f3[:] = blue
+    f3[4, 4] = red
+    assert np.array_equal(frames[2], f3)
+    # the returned canvas is the last DISPLAYED state
+    assert np.array_equal(canvas, frames[2])
+
+
 def test_decode_media_and_resize_dispatch(spark):
     img = _paletted(12, 10, 4, seed=3)
     payload = G.encode_gif(img)

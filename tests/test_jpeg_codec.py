@@ -362,3 +362,44 @@ def test_out_of_sequence_restart_marker_rejected():
     b[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker out of sequence"):
         J._jpeg_pixels(bytes(b))
+
+
+def test_eob_run_over_32767_blocks_keeps_per_block_correction_bits():
+    """T.81 G.1.2.2-3: an EOB run longer than 32767 blocks splits into
+    several EOBn symbols, and each chunk must carry ONLY the correction
+    bits of the blocks it covers — the decoder consumes one bit per
+    history-nonzero coefficient as it walks each skipped block, so
+    flushing every buffered bit after the first symbol desynchronizes
+    the stream (images >2 MP of near-flat content hit this).  Encoder
+    and decoder halves are independently written, so agreement here is
+    evidence, not tautology."""
+    N = 33500  # > 32767 -> the run needs two EOBn chunks
+    ss, se, al = 1, 5, 0
+    rng = np.random.default_rng(7)
+    # refinement pass, Al=0: history value 2 refines to 2 or 3 via one
+    # correction bit; no coefficient ever reaches |t| == 1, so every
+    # block folds into one giant cross-block EOB run
+    vals = rng.integers(2, 4, size=N).astype(np.int64)
+    ac_codes = J._canonical_codes(J._AC_BITS_PROG, J._AC_VALS_PROG)
+    wtr = J._BitWriter()
+    state = {"eobrun": 0, "bits": []}
+    for v in vals:
+        J._encode_block_ac_refine(
+            wtr, ac_codes, [int(v), 0, 0, 0, 0], al, state
+        )
+    assert state["eobrun"] == N  # the run really spans every block
+    J._flush_eobrun(wtr, ac_codes, state)
+    assert state["bits"] == [] and state["eobrun"] == 0
+    wtr.flush()
+
+    dec_tbl = {(ln, code): sym for sym, (code, ln) in ac_codes.items()}
+    rdr = J._BitReader(bytes(wtr.out), 0)
+    eobrun = 0
+    coef = np.zeros((N, se + 1), dtype=np.int64)
+    coef[:, 1] = 2  # first-pass history: (v >> 1) << 1 == 2
+    for i in range(N):
+        eobrun = J._decode_block_ac_refine(
+            rdr, coef[i], dec_tbl, ss, se, al, eobrun
+        )
+    assert eobrun == 0
+    assert np.array_equal(coef[:, 1], vals)

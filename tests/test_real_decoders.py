@@ -674,6 +674,29 @@ def test_au_decodes_pcm_and_g711():
     assert bad["kind"] == "opaque" and "unsupported AU encoding" in bad["decode_error"]
 
 
+def test_au_decodes_24bit_linear_pcm():
+    """AU encoding 4 is 24-bit big-endian linear PCM — 3-byte samples,
+    sign-extended, full scale 2^23 (the docstring's 8/16/24/32 claim)."""
+    import numpy as np
+
+    n = 4000
+    full = float(1 << 23)
+    pcm = (0.25 * (full - 1) * np.sin(
+        2 * math.pi * 220 * np.arange(n) / 8000
+    )).astype(np.int64)
+    raw = bytearray()
+    for v in pcm:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "big")
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(raw), 4, 8000, 1)
+    m = mm.decode_au(hdr + bytes(raw))
+    assert m["kind"] == "audio/basic"
+    assert (m["sample_rate"], m["n_frames"], m["duration_ms"]) == (8000, n, 500)
+    assert abs(m["peak"] - 0.25) < 0.01
+    # sign extension: a single full-negative sample peaks at 1.0
+    neg = b".snd" + struct.pack(">IIIII", 24, 3, 4, 8000, 1) + b"\x80\x00\x00"
+    assert abs(mm.decode_au(neg)["peak"] - 1.0) < 1e-9
+
+
 def _float80(value: int) -> bytes:
     exp = value.bit_length() - 1
     mant = value << (63 - exp)
@@ -735,3 +758,21 @@ def test_pnm_roundtrip_and_variants():
     assert bad["kind"] == "opaque" and "truncated PNM" in bad["decode_error"]
     # "P2..." as ordinary text must not be misdetected as an image
     assert mm.decode_media(b"P2P is a protocol")["kind"] == "opaque"
+
+
+def test_pnm_plain_raster_comments_are_stripped():
+    """'#' comments are legal anywhere in PLAIN (P2/P3) netpbm files,
+    including inside the pixel raster — they must not be parsed as
+    sample values."""
+    import numpy as np
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    toks = [str(v) for v in g.flatten()]
+    head, tail = " ".join(toks[:6]), " ".join(toks[6:])
+    p2 = f"P2\n4 3\n255\n{head} # mid-raster comment 999\n{tail}\n".encode()
+    px = mm._pnm_pixels(p2)
+    assert np.array_equal(px[:, :, 0], g)
+    # P3 with a comment splitting an RGB triple
+    rgb = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    p3 = b"P3\n2 1\n255\n10 20 # r g then comment\n30 40 50 60\n"
+    assert np.array_equal(mm._pnm_pixels(p3), rgb)

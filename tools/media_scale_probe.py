@@ -122,9 +122,16 @@ def _build(spark, mults: list[int]) -> None:
             # base set instead of a column
             from pyspark import TaskContext  # noqa: PLC0415
 
-            pid = TaskContext.get().partitionId()
+            # shard named by (partition, task attempt): a retry or
+            # speculative duplicate writes its own file, so committed
+            # pointer rows always reference the committing attempt's
+            # bytes (mirrors pack_payload_shards)
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
             os.makedirs(shard_dir, exist_ok=True)
-            path = os.path.join(shard_dir, f"shard-{pid:05d}.bin")
+            path = os.path.join(
+                shard_dir, f"shard-{pid:05d}-{ctx.taskAttemptId()}.bin"
+            )
             uri = "file://" + path
             offset = 0
             with open(path, "wb") as fh:
