@@ -204,65 +204,69 @@ def o_ordstat_quantile(sorted_expr: str, n_expr: str, q: float) -> str:
 
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r10 driver evidence covers all
-# 153 catalog queries, so the round-11 window (tools/rotate_window.py
-# output after CORRECTNESS_r10) re-confirms the 50 LEAST-RECENTLY-
-# verified greens: the three r7 leftovers (vocab_coverage, ngram_novelty,
-# corpus_pipeline_e2e) plus 47 of the r8-era signal/text/audit cohort.
-# This keeps the rolling guarantee — every catalog query has driver
-# evidence within the last three rounds.  Queries not listed keep module
-# order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r11 driver evidence covers all
+# 153 catalog queries.  The round-12 window (tools/rotate_window.py, now
+# CHANGE-AWARE) leads with the 5 multimodal queries FORCE-INCLUDED
+# because their backing modules (functions/{gif,jpeg,multimodal}.py)
+# changed this round, then re-confirms the 50 least-recently-verified
+# greens: the three r8 leftovers (click_view_reconciliation,
+# sequence_packing, sliding_unique_users) plus 42 of the r9-era
+# T-operator/relational/TPC-H cohort.  This keeps the rolling guarantee
+# — every catalog query has driver evidence within the last three
+# rounds AND every code-touched query is sampled in the round that
+# touched it.  Queries not listed keep module order after the
+# prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "vocab_coverage",  # green r7
-    "ngram_novelty",  # green r7
-    "corpus_pipeline_e2e",  # green r7
-    "spc_control_chart",  # green r8
-    "value_delta",  # green r8
-    "change_detect",  # green r8
-    "threshold_alarm",  # green r8
-    "zscore_anomaly",  # green r8
-    "downsample_1h",  # green r8
-    "locf_gap_fill",  # green r8
-    "session_rollup",  # green r8
-    "percentile_summary",  # green r8
-    "deadband_suppress",  # green r8
-    "interp_gap_fill",  # green r8
-    "winsorize_clip",  # green r8
-    "asset_correlation",  # green r8
-    "mad_outliers",  # green r8
-    "text_stats",  # green r8
-    "token_fertility",  # green r8
-    "quality_score",  # green r8
-    "language_id",  # green r8
-    "token_count_total",  # green r8
-    "doc_fingerprint",  # green r8
-    "tfidf_top_terms",  # green r8
-    "bigram_topk",  # green r8
-    "train_test_split",  # green r8
-    "doc_chunking",  # green r8
-    "lang_mismatch",  # green r8
-    "corpus_prefilter",  # green r8
-    "stratified_sample",  # green r8
-    "pii_redact",  # green r8
-    "benchmark_contamination",  # green r8
-    "doc_repetition",  # green r8
-    "top_bigram_fraction",  # green r8
-    "pretokenize_counts",  # green r8
-    "doc_length_histogram",  # green r8
-    "minhash_accuracy",  # green r8
-    "dedup_cluster_histogram",  # green r8
-    "ivf_recall_audit",  # green r8
-    "embedding_label_margin",  # green r8
-    "ivf_train_kmeans",  # green r8
-    "embedding_pca_power",  # green r8
-    "span_dedup",  # green r8
-    "trigram_lm",  # green r8
-    "event_disorder_audit",  # green r8
-    "bloom_filter_audit",  # green r8
-    "ab_test_readout",  # green r8
-    "hll_distinct_audit",  # green r8
-    "source_vocab_divergence",  # green r8
-    "value_drift_chi2",  # green r8
+    "multimodal_dedup",  # green r10 FORCED(changed)
+    "multimodal_meta",  # green r10 FORCED(changed)
+    "multimodal_features",  # green r10 FORCED(changed)
+    "multimodal_resize",  # green r10 FORCED(changed)
+    "multimodal_frames",  # green r10 FORCED(changed)
+    "click_view_reconciliation",  # green r8
+    "sequence_packing",  # green r8
+    "sliding_unique_users",  # green r8
+    "scale35",  # green r9
+    "python_filter_scale35",  # green r9
+    "readings35_add100",  # green r9
+    "asset_filter",  # green r9
+    "payload_projection",  # green r9
+    "empty_payload_drop",  # green r9
+    "metadata_carry",  # green r9
+    "type_coercion",  # green r9
+    "pricing_summary",  # green r9
+    "revenue_by_nation",  # green r9
+    "top_orders_per_segment",  # green r9
+    "order_priority_semijoin",  # green r9
+    "sessionization",  # green r9
+    "hourly_event_rollup",  # green r9
+    "rollup_revenue",  # green r9
+    "set_ops_users",  # green r9
+    "distinct_users",  # green r9
+    "event_type_pivot",  # green r9
+    "top_parts_by_revenue",  # green r9
+    "asof_last_signup",  # green r9
+    "value_band_join",  # green r9
+    "customers_without_orders",  # green r9
+    "cube_revenue",  # green r9
+    "orders_above_cust_avg",  # green r9
+    "skewed_asset_rollup",  # green r9
+    "shipping_priority",  # green r9
+    "forecast_revenue",  # green r9
+    "event_funnel",  # green r9
+    "top_suppliers",  # green r9
+    "returned_items",  # green r9
+    "priority_by_linestatus",  # green r9
+    "volume_shipping",  # green r9
+    "market_share",  # green r9
+    "product_profit",  # green r9
+    "important_parts",  # green r9
+    "custdist",  # green r9
+    "promo_revenue",  # green r9
+    "small_qty_revenue",  # green r9
+    "large_orders",  # green r9
+    "disjunctive_filter",  # green r9
+    "sales_opportunity",  # green r9
+    "props_json_stats",  # green r9
 )
 
 

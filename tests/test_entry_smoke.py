@@ -34,11 +34,13 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r10 evidence covers all 153 queries, so the round-11
-    window re-confirms the LEAST-recently-verified greens (the three r7
-    leftovers + 47 of the r8-era signal/text/audit cohort).  Guard the
-    ordering so an innocent module reshuffle can't silently evict
-    them."""
+    Cumulative r1-r11 evidence covers all 153 queries, so the round-12
+    window leads with the 5 multimodal queries FORCE-INCLUDED by the
+    change-aware rotation (their backing codec modules changed in r12),
+    then re-confirms the LEAST-recently-verified greens (the three r8
+    leftovers + 42 of the r9-era T-operator/relational/TPC-H cohort).
+    Guard the ordering so an innocent module reshuffle can't silently
+    evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -48,24 +50,30 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r7": ("vocab_coverage", "ngram_novelty",
-                     "corpus_pipeline_e2e"),
-        "signal-r8": ("spc_control_chart", "value_delta", "change_detect",
-                      "threshold_alarm", "zscore_anomaly", "downsample_1h",
-                      "locf_gap_fill", "session_rollup",
-                      "percentile_summary", "deadband_suppress",
-                      "interp_gap_fill", "winsorize_clip",
-                      "asset_correlation", "mad_outliers"),
-        "text-r8": ("text_stats", "token_fertility", "quality_score",
-                    "language_id", "token_count_total", "doc_fingerprint",
-                    "tfidf_top_terms", "bigram_topk", "train_test_split",
-                    "doc_chunking", "pretokenize_counts"),
-        "vector-r8": ("embedding_label_margin", "ivf_train_kmeans",
-                      "embedding_pca_power", "ivf_recall_audit"),
-        "audit-r8": ("minhash_accuracy", "dedup_cluster_histogram",
-                     "event_disorder_audit", "bloom_filter_audit",
-                     "ab_test_readout", "hll_distinct_audit",
-                     "source_vocab_divergence", "value_drift_chi2"),
+        "forced-changed": ("multimodal_dedup", "multimodal_meta",
+                           "multimodal_features", "multimodal_resize",
+                           "multimodal_frames"),
+        "stale-r8": ("click_view_reconciliation", "sequence_packing",
+                     "sliding_unique_users"),
+        "t-operators-r9": ("scale35", "python_filter_scale35",
+                           "readings35_add100", "asset_filter",
+                           "payload_projection", "empty_payload_drop",
+                           "metadata_carry", "type_coercion"),
+        "tpch-r9": ("pricing_summary", "revenue_by_nation",
+                    "shipping_priority", "volume_shipping", "market_share",
+                    "product_profit", "custdist", "promo_revenue",
+                    "important_parts", "large_orders", "top_suppliers",
+                    "returned_items", "priority_by_linestatus",
+                    "small_qty_revenue", "orders_above_cust_avg"),
+        "relational-r9": ("top_orders_per_segment", "order_priority_semijoin",
+                          "sessionization", "hourly_event_rollup",
+                          "rollup_revenue", "set_ops_users", "distinct_users",
+                          "event_type_pivot", "event_funnel",
+                          "skewed_asset_rollup", "cube_revenue",
+                          "customers_without_orders", "asof_last_signup",
+                          "value_band_join", "top_parts_by_revenue",
+                          "forecast_revenue", "disjunctive_filter",
+                          "sales_opportunity", "props_json_stats"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"

@@ -1,0 +1,85 @@
+"""Change-aware window rotation (VERDICT r11 "What's wrong" #1).
+
+``tools/rotate_window.py`` must force-include any catalog query whose
+backing module set changed since the previous round boundary, so the
+driver's 50-query CORRECTNESS window always samples code the round
+actually touched — staleness-only rotation let r11's multimodal codec
+rewrites miss the r11 window."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "rotate_window.py",
+)
+_spec = importlib.util.spec_from_file_location("rotate_window", _TOOL)
+rw = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rw)
+
+
+def test_synthetic_diff_forces_dependent_queries():
+    # gif.py is imported by functions/multimodal.py which backs the
+    # catalog/multimodal.py queries — a gif.py edit must force all of
+    # them, and ONLY modules that transitively reach gif.py
+    forced = rw.forced_queries(
+        ["foglamp_filter_python35_spark/functions/gif.py"]
+    )
+    assert {"multimodal_meta", "multimodal_frames", "multimodal_resize",
+            "multimodal_dedup", "multimodal_features"} <= set(forced)
+    assert "pricing_summary" not in forced
+    assert "moving_average" not in forced
+
+
+def test_catalog_module_edit_forces_only_its_queries():
+    forced = rw.forced_queries(
+        ["foglamp_filter_python35_spark/catalog/signal.py"]
+    )
+    assert "moving_average" in forced and "zscore_anomaly" in forced
+    assert "multimodal_meta" not in forced
+
+
+def test_non_package_files_force_nothing():
+    assert rw.forced_queries(["tools/media_scale_probe.py", "bench.py"]) == []
+
+
+def test_init_edit_forces_everything_but_is_not_traversed():
+    # a catalog/__init__.py change touches every query (dsum etc.)...
+    from foglamp_filter_python35_spark.catalog import all_queries
+
+    forced = rw.forced_queries(
+        ["foglamp_filter_python35_spark/catalog/__init__.py"]
+    )
+    assert len(forced) == len(all_queries())
+    # ...but an unrelated leaf edit must NOT fan out through the lazy
+    # all-catalog imports inside catalog/__init__.all_queries()
+    forced = rw.forced_queries(
+        ["foglamp_filter_python35_spark/functions/tiff.py"]
+    )
+    assert set(forced) <= {
+        "multimodal_meta", "multimodal_frames", "multimodal_resize",
+        "multimodal_dedup", "multimodal_features",
+    }
+
+
+def test_forced_queries_displace_freshest_greens_only():
+    names = [f"q{i}" for i in range(8)]
+    latest_green = {n: i for i, n in enumerate(names)}  # q0 stalest
+    window = rw.suggest_window(
+        names, latest_green, set(names), forced=["q7"], window=4
+    )
+    # forced q7 leads, then the three stalest greens; the freshest
+    # non-forced greens (q4..q6) are the ones displaced
+    assert window == ["q7", "q0", "q1", "q2"]
+
+
+def test_never_green_still_outranks_forced():
+    names = ["a", "b", "c"]
+    latest_green = {"b": 5, "c": 9}
+    window = rw.suggest_window(
+        names, latest_green, {"a", "b", "c"}, forced=["c"], window=2
+    )
+    assert window == ["a", "c"]

@@ -1,40 +1,49 @@
-"""Suggest the next round's driver window.
+"""Suggest the next round's driver window (change-aware).
 
 The round driver's CORRECTNESS gate verifies only the FIRST 50 entries
 of ``queries()``.  This tool unions every ``CORRECTNESS_r*.json`` in the
 repo, reports which catalog queries have (a) never been sampled, (b)
 been sampled but never green, and prints a suggested
-``_DRIVER_WINDOW_ORDER`` prefix for ``catalog/__init__.py`` —
-never-sampled and never-green first (catalog order), then the
-least-recently-verified green queries to re-confirm.
+``_DRIVER_WINDOW_ORDER`` prefix for ``catalog/__init__.py``.
 
-Usage: python tools/rotate_window.py
+Priority order (earlier displaces later when the 50 slots run out):
+
+1. never-green, then never-sampled queries;
+2. **force-included changed queries** — any catalog query whose backing
+   module set (the catalog module plus everything it transitively
+   imports from the package) contains a file changed since the previous
+   round boundary (the latest ``round N: verdict...`` commit).  The r11
+   judge flagged that staleness-only rotation let the only code-touched
+   queries of that round (multimodal) miss the window; this closes it.
+3. the least-recently-verified greens (stalest first, catalog order as
+   tie-break).
+
+Usage: python tools/rotate_window.py [--since <rev>] [--changed f1 f2 ...]
 """
 
 from __future__ import annotations
 
+import argparse
+import ast
 import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 WINDOW = 50
+_PKG = "foglamp_filter_python35_spark"
 
 
-def main() -> None:
-    from foglamp_filter_python35_spark.catalog import all_queries
-
-    names = list(all_queries())
+def latest_green_map() -> tuple[dict[str, int], set[str]]:
+    """(query -> newest green round, set of ever-sampled queries)."""
     latest_green: dict[str, int] = {}
     sampled: set[str] = set()
-    rounds = sorted(
-        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
-    )
-    for path in rounds:
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         for name, row in json.load(open(path)).items():
             sampled.add(name)
@@ -46,23 +55,188 @@ def main() -> None:
             )
             if ok:
                 latest_green[name] = max(latest_green.get(name, -1), rnd)
+    return latest_green, sampled
 
+
+# ------------------------------------------------- change -> query map
+
+
+def _module_file(name: str) -> str | None:
+    """Dotted package module name -> repo-relative file, if it exists."""
+    rel = name.replace(".", os.sep)
+    for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+        if os.path.isfile(os.path.join(_REPO, cand)):
+            return cand
+    return None
+
+
+def _direct_imports(relpath: str) -> set[str]:
+    """Repo-relative package files imported directly by ``relpath``
+    (module- and function-level imports both appear in the AST)."""
+    try:
+        tree = ast.parse(open(os.path.join(_REPO, relpath)).read())
+    except (OSError, SyntaxError):
+        return set()
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        names: list[str] = []
+        if isinstance(node, ast.Import):
+            names = [a.name for a in node.names if a.name.startswith(_PKG)]
+        elif isinstance(node, ast.ImportFrom) and (
+            node.module or ""
+        ).startswith(_PKG):
+            # the module itself, plus any imported names that are
+            # themselves submodules (``from pkg.functions import dedup``)
+            names = [node.module] + [
+                f"{node.module}.{a.name}" for a in node.names
+            ]
+        for n in names:
+            f = _module_file(n)
+            if f:
+                out.add(f)
+    return out
+
+
+def transitive_modules(relpath: str) -> set[str]:
+    """``relpath`` plus every package file it transitively imports.
+
+    ``__init__.py`` files are leaves: they are INCLUDED (a change to
+    one affects every importer) but not traversed — ``catalog/__init__``
+    lazily imports every catalog module inside ``all_queries()``, so
+    walking through it would mark all 153 queries changed on any edit."""
+    seen: set[str] = set()
+    todo = [relpath]
+    while todo:
+        cur = todo.pop()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        if cur.endswith("__init__.py") and cur != relpath:
+            continue
+        todo.extend(_direct_imports(cur) - seen)
+    return seen
+
+
+def query_module_map() -> dict[str, str]:
+    """query name -> repo-relative catalog module file defining it."""
+    import importlib  # noqa: PLC0415
+
+    out: dict[str, str] = {}
+    cat_dir = os.path.join(_PKG, "catalog")
+    for fname in sorted(os.listdir(os.path.join(_REPO, cat_dir))):
+        if not fname.endswith(".py") or fname == "__init__.py":
+            continue
+        mod = importlib.import_module(f"{_PKG}.catalog.{fname[:-3]}")
+        for spec in getattr(mod, "SPECS", ()):
+            out[spec.name] = os.path.join(cat_dir, fname)
+    return out
+
+
+def forced_queries(changed_files: list[str]) -> list[str]:
+    """Catalog queries whose transitive module set intersects the
+    changed files (catalog order preserved by the caller)."""
+    changed = {f for f in changed_files if f.startswith(_PKG)}
+    if not changed:
+        return []
+    qmap = query_module_map()
+    closure: dict[str, set[str]] = {}
+    forced: list[str] = []
+    for name, cat_file in qmap.items():
+        if cat_file not in closure:
+            closure[cat_file] = transitive_modules(cat_file)
+        if closure[cat_file] & changed:
+            forced.append(name)
+    return forced
+
+
+def round_boundary_rev() -> str | None:
+    """SHA of the latest driver round-boundary commit."""
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*: verdict", "-n", "1",
+             "--format=%H"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return sha or None
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def changed_since(rev: str) -> list[str]:
+    """Files changed between ``rev`` and the working tree (committed
+    AND uncommitted — mid-round runs see their own edits)."""
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", rev],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout
+        return [ln.strip() for ln in out.splitlines() if ln.strip()]
+    except (subprocess.CalledProcessError, OSError):
+        return []
+
+
+def suggest_window(
+    names: list[str],
+    latest_green: dict[str, int],
+    sampled: set[str],
+    forced: list[str],
+    window: int = WINDOW,
+) -> list[str]:
+    """Assemble the window: never-green + never-sampled first, then the
+    forced (code-changed) queries, then stalest greens; the forced block
+    displaces the freshest greens, never the never-green/never-sampled
+    block."""
     never_sampled = [n for n in names if n not in sampled]
-    never_green = [
-        n for n in names if n in sampled and n not in latest_green
-    ]
-    # stale-first among the greens: oldest verification round first,
-    # catalog order as tie-break
+    never_green = [n for n in names if n in sampled and n not in latest_green]
+    forced_set = set(forced)
+    head = never_green + never_sampled
+    head += [n for n in names if n in forced_set and n not in head]
     greens = sorted(
-        (n for n in names if n in latest_green),
+        (n for n in names if n in latest_green and n not in set(head)),
         key=lambda n: (latest_green[n], names.index(n)),
     )
-    suggestion = (never_green + never_sampled + greens)[:WINDOW]
+    return (head + greens)[:window]
+
+
+def main() -> None:
+    from foglamp_filter_python35_spark.catalog import all_queries
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--since", default=None,
+        help="rev to diff against (default: latest 'round N: verdict' commit)",
+    )
+    ap.add_argument(
+        "--changed", nargs="*", default=None,
+        help="explicit changed-file list (overrides the git diff)",
+    )
+    args = ap.parse_args()
+
+    names = list(all_queries())
+    latest_green, sampled = latest_green_map()
+
+    if args.changed is not None:
+        changed = args.changed
+        boundary = "(explicit --changed list)"
+    else:
+        boundary = args.since or round_boundary_rev()
+        changed = changed_since(boundary) if boundary else []
+    forced = forced_queries(changed)
+
+    never_sampled = [n for n in names if n not in sampled]
+    never_green = [n for n in names if n in sampled and n not in latest_green]
+    suggestion = suggest_window(names, latest_green, sampled, forced)
 
     print(f"catalog queries: {len(names)}")
     print(f"ever sampled:    {len(sampled)}")
     print(f"never sampled:   {len(never_sampled)} -> {never_sampled}")
     print(f"sampled, never green: {len(never_green)} -> {never_green}")
+    print(f"round boundary:  {boundary}")
+    pkg_changed = sorted(f for f in changed if f.startswith(_PKG))
+    print(f"changed package files since boundary: {len(pkg_changed)}")
+    for f in pkg_changed:
+        print(f"    {f}")
+    print(f"FORCED (code-changed) queries: {len(forced)} -> {forced}")
     print("\nsuggested _DRIVER_WINDOW_ORDER (first %d):" % WINDOW)
     for n in suggestion:
         tag = (
@@ -72,6 +246,8 @@ def main() -> None:
             if n in never_sampled
             else f"green r{latest_green[n]}"
         )
+        if n in forced:
+            tag += " FORCED(changed)"
         print(f'    "{n}",  # {tag}')
 
 
