@@ -8,7 +8,10 @@ storage until LRU eviction.  Every persist now routes through
 asserted here via the JVM cache manager across repeated calls.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -30,6 +33,7 @@ def _centroids(spark):
     return spark.createDataFrame(rows, "cid long, cv array<double>")
 
 
+@pytest.mark.slow
 def test_repeated_ivf_calls_do_not_accumulate_cached_rdds(spark):
     cache.release()
     base = _n_cached(spark)
@@ -44,6 +48,7 @@ def test_repeated_ivf_calls_do_not_accumulate_cached_rdds(spark):
         )
 
 
+@pytest.mark.slow
 def test_release_before_action_is_correctness_safe(spark):
     """Unpersisting a registered frame BEFORE its plan's action runs must
     not change results — the shared subtree just recomputes."""

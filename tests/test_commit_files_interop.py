@@ -83,6 +83,7 @@ def _view(spark, view):
     }
 
 
+@pytest.mark.slow
 def test_commit_files_rows_flow_to_read_changes(spark, tmp_path):
     base = str(tmp_path / "base")
     st.commit(_kv(spark, [(1, "a", 1.0)]), base)
@@ -101,6 +102,7 @@ def test_commit_files_rows_flow_to_read_changes(spark, tmp_path):
     assert got == {(2, "insert"), (3, "insert")}
 
 
+@pytest.mark.slow
 def test_commit_files_feeds_streaming_source(spark, tmp_path):
     base = str(tmp_path / "base")
     out = str(tmp_path / "out")
@@ -139,6 +141,7 @@ def test_commit_files_feeds_streaming_source(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_commit_files_epochs_wake_stream_stats_view(spark, tmp_path):
     """The full interop: bulk-ingest epochs drive a running
     stream_stats_view; after each publish the view converges to a full

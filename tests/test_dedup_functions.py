@@ -49,6 +49,7 @@ def test_shingles_and_signature_shape(spark):
     assert rows[1] != rows[4]
 
 
+@pytest.mark.slow
 def test_ivf_multiprobe_recall_improves_and_converges(spark, sf_smoke):
     """nprobe is the recall dial: probing more cells can only add
     candidates, and probing every cell IS brute force."""
@@ -94,6 +95,7 @@ def test_word_ngrams_short_doc_is_empty_not_crash(spark):
     assert sorted(r.n for r in out) == [0, 1]
 
 
+@pytest.mark.slow
 def test_doc_set_signatures_match_exploded_path(spark):
     """The map-side array-fold signatures (minhash_doc_sets) must be
     bit-identical to the exploded groupBy path (minhash_signatures) —
@@ -125,6 +127,7 @@ def test_doc_set_signatures_match_exploded_path(spark):
     assert sset == {d: sorted(v) for d, v in by_doc.items()}
 
 
+@pytest.mark.slow
 def test_ngram_candidates_bounded_under_ubiquitous_shingle(spark):
     """One corpus-common shingle must not pair every doc with every other
     doc: with the DF cutoff, candidates come only from rare shingles, so
@@ -179,6 +182,7 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     assert rows[0] == 1.0
 
 
+@pytest.mark.slow
 def test_rp_lsh_pairs_subset_of_brute_force_with_equal_scores(spark, sf_correct):
     from foglamp_filter_python35_spark.catalog import load
     from foglamp_filter_python35_spark.functions.similarity import (
@@ -201,6 +205,7 @@ def test_rp_lsh_pairs_subset_of_brute_force_with_equal_scores(spark, sf_correct)
         assert pair in exact and s == exact[pair]
 
 
+@pytest.mark.slow
 def test_ivf_cell_pairs_subset_of_brute_force_with_equal_scores(
     spark, sf_correct
 ):
@@ -230,6 +235,7 @@ def test_ivf_cell_pairs_subset_of_brute_force_with_equal_scores(
         assert pair in exact and s == exact[pair]
 
 
+@pytest.mark.slow
 def test_builders_launch_no_jobs_at_plan_build(spark):
     """Query builders are pure plan construction: no Spark job may run
     until the caller acts.  Guards against eager count()/first() creeping
@@ -281,6 +287,7 @@ def test_builders_launch_no_jobs_at_plan_build(spark):
     assert jobs == [], f"plan construction launched Spark jobs: {jobs}"
 
 
+@pytest.mark.slow
 def test_connected_components_vs_union_find(spark):
     # random sparse graph (long paths possible -> explicit iteration
     # budget) + a deliberate 8-node chain; labels must equal true
@@ -326,6 +333,7 @@ def test_connected_components_vs_union_find(spark):
     assert star == want
 
 
+@pytest.mark.slow
 def test_star_cc_converges_on_deep_chain_where_hashmin_cannot(spark):
     # a 200-hop chain: diameter >> any sane fixed HashMin round count.
     # Star contraction halves structure per round (O(log^2 n) total) and

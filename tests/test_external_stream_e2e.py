@@ -93,6 +93,7 @@ def _wait_for(predicate, timeout: float = 60.0, poll: float = 0.5):
     return None
 
 
+@pytest.mark.slow
 def test_socket_source_through_pipeline_into_snapshot_sink(spark, tmp_path):
     """A real localhost TCP stream (JSONL readings, one malformed line)
     flows through the registered scale filter into the ACID snapshot
@@ -134,6 +135,7 @@ def test_socket_source_through_pipeline_into_snapshot_sink(spark, tmp_path):
         assert r["asset_code"] == f"asset{i % 3}"
 
 
+@pytest.mark.slow
 def test_rate_source_restart_is_exactly_once_into_snapshot_sink(
     spark, tmp_path
 ):

@@ -157,6 +157,7 @@ def test_fast_sketch_matches_exact_bands(spark):
     assert exact == fast
 
 
+@pytest.mark.slow
 def test_fast_lsh_near_dups_same_pairs(spark):
     emb = load(spark, _SF, "embeddings")
     exact = {

@@ -51,6 +51,7 @@ def _view(spark, view):
     }
 
 
+@pytest.mark.slow
 def test_ivm_tracks_appends_updates_deletes_and_compaction(spark, tmp_path):
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     st.commit(
@@ -106,6 +107,7 @@ def test_ivm_noop_when_current(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_fed_base_keeps_view_consistent_across_replay(
     spark, tmp_path
 ):
@@ -152,6 +154,7 @@ def test_streaming_fed_base_keeps_view_consistent_across_replay(
     assert n == 31  # exactly once end to end
 
 
+@pytest.mark.slow
 def test_ivm_random_commit_sequences_match_recompute(spark, tmp_path):
     """Model-based: random append/upsert/delete/compact sequences with a
     refresh after EVERY op — the incrementally maintained view must be
@@ -341,6 +344,7 @@ def test_stats_view_min_max_survive_retraction_of_the_extreme(spark, tmp_path):
     assert got["b"] == (1, 1, 2_000_000, 2.0, 2.0)
 
 
+@pytest.mark.slow
 def test_stats_view_insert_only_refresh_merges_monotonically(spark, tmp_path):
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     st.commit(_kv(spark, [(1, "a", 3.0)]), base)
@@ -353,6 +357,7 @@ def test_stats_view_insert_only_refresh_merges_monotonically(spark, tmp_path):
     assert got["b"] == (1, 1, 7_000_000, 7.0, 7.0)  # brand-new group
 
 
+@pytest.mark.slow
 def test_stats_view_idempotent_and_noop(spark, tmp_path):
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     st.commit(_kv(spark, [(1, "a", 1.0)]), base)
@@ -364,6 +369,7 @@ def test_stats_view_idempotent_and_noop(spark, tmp_path):
     assert _stats_view(spark, view) == _recompute_stats(spark, base)
 
 
+@pytest.mark.slow
 def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
     """Model-based twin of the count/sum test, now over all four
     aggregates: random append/upsert/delete/compact sequences with a
@@ -431,6 +437,7 @@ def test_stats_view_random_commit_sequences_match_recompute(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_stats_view_refresh_survives_concurrent_refresh(
     spark, tmp_path, monkeypatch
 ):
@@ -469,6 +476,7 @@ def test_stats_view_refresh_survives_concurrent_refresh(
     assert got["a"] == (3, 3, 15_000_000, 1.0, 9.0)
 
 
+@pytest.mark.slow
 def test_stats_view_retracting_one_of_a_duplicated_extreme(spark, tmp_path):
     """Two rows share the group minimum; deleting ONE of them must keep
     the min (the recompute fallback sees the surviving duplicate —
@@ -486,6 +494,7 @@ def test_stats_view_retracting_one_of_a_duplicated_extreme(spark, tmp_path):
     assert got["a"] == (2, 2, 9_000_000, 1.0, 8.0)  # min survives
 
 
+@pytest.mark.slow
 def test_stats_view_upsert_moves_extreme_between_groups(spark, tmp_path):
     """An upsert whose preimage was group a's max and whose postimage
     becomes group b's min touches BOTH groups in one delta window:
@@ -503,6 +512,7 @@ def test_stats_view_upsert_moves_extreme_between_groups(spark, tmp_path):
     assert got["b"] == (2, 2, 6_000_000, 1.0, 5.0)  # new min arrived
 
 
+@pytest.mark.slow
 def test_stats_view_refresh_plan_semi_joins_touched_groups(
     spark, tmp_path, monkeypatch
 ):
@@ -545,6 +555,7 @@ def test_read_stats_view_decodes_sum(spark, tmp_path):
     assert (row["min_v"], row["max_v"]) == (1.25, 2.25)
 
 
+@pytest.mark.slow
 def test_stats_view_hypothesis_sequences_match_recompute(spark, tmp_path):
     """Hypothesis-driven twin of the model-based stats test: generated
     op sequences (append / upsert / delete-by-index / compact) with
@@ -621,6 +632,7 @@ def test_stats_view_hypothesis_sequences_match_recompute(spark, tmp_path):
     run()
 
 
+@pytest.mark.slow
 def test_streaming_fed_base_keeps_stats_view_consistent(spark, tmp_path):
     """Streaming loop + the 4-aggregate view: snapshot-table stream ->
     exactly-once sink -> refresh_stats_view after each drain; replayed
@@ -665,6 +677,7 @@ def test_streaming_fed_base_keeps_stats_view_consistent(spark, tmp_path):
     assert st.read_snapshot(spark, base).count() == 26
 
 
+@pytest.mark.slow
 def test_refresh_under_real_thread_contention(spark, tmp_path):
     """Two driver threads refresh the SAME view concurrently, repeatedly,
     while a third appends to the base between waves — no monkeypatch,
@@ -708,6 +721,7 @@ def test_refresh_under_real_thread_contention(spark, tmp_path):
         assert mv.maintained_base_version(view) == st.current_version(base)
 
 
+@pytest.mark.slow
 def test_refresh_spans_additive_base_schema_evolution(spark, tmp_path):
     """An append that ADDS a column to the base must not break a view
     keyed on the original columns: the change feed spans the evolution
@@ -783,6 +797,7 @@ def test_txn_marker_forgotten_past_retention_floor(spark, tmp_path):
 # --- SQL NULL-measure semantics (n_vals third aggregate) -------------------
 
 
+@pytest.mark.slow
 def test_agg_view_null_measures_follow_sql_sum(spark, tmp_path):
     """SUM over a group whose values are all NULL must surface NULL —
     incrementally: a group can be born all-NULL, gain a value (sum
@@ -883,6 +898,7 @@ def test_pre_nvals_view_fails_with_actionable_error(spark, tmp_path):
         mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
 
 
+@pytest.mark.slow
 def test_stream_fed_stats_view_tracks_changelog(spark, tmp_path):
     """VERDICT r6 #6: drive the stats view from the snapshot table's
     manifest-log stream — append, upsert, and delete commits each wake
@@ -948,6 +964,7 @@ def test_stream_fed_stats_view_tracks_changelog(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_fed_view_resumes_from_marker_chain(spark, tmp_path):
     """Commits that land while no stream is running are picked up on
     restart: the refresh window comes from the ivm@N marker chain, the
@@ -983,6 +1000,7 @@ def test_stream_fed_view_resumes_from_marker_chain(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_fed_agg_view_tracks_changelog(spark, tmp_path):
     """stream_agg_view (the count/sum twin) follows the changelog with
     the same exactly-once contract."""

@@ -52,8 +52,19 @@ _GATED = (
     "pricing_summary",
 )
 
+# the dedup-cluster family's plan BUILD alone costs 2-3s each (three
+# banded candidate pipelines + CC iterations); their audit runs in the
+# full suite, the fast gate keeps the other 23 plans
+_HEAVY_BUILD = {"dedup_ensemble", "dedup_clusters", "dedup_apply",
+                "semantic_dedup"}
+_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY_BUILD
+    else pytest.param(n)
+    for n in _GATED
+]
 
-@pytest.mark.parametrize("name", _GATED)
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_plan_has_no_hard_anti_patterns(spark, name):
     spec = all_queries()[name]
     try:

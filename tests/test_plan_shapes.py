@@ -5,7 +5,10 @@ reaching the parquet scan, pruned read schemas, broadcast joins for dims,
 partial aggregation, no stray cartesian products.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 from foglamp_filter_python35_spark.catalog.events import (
     q_asset_filter,
@@ -324,6 +327,7 @@ def test_dedup_ensemble_stays_candidate_pruned(spark):
     assert E.has_partial_aggregate(df)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_pairs_are_cell_pruned(spark):
     # G72 candidate generation must be the equi-join on the quantizer
     # cell, never the all-pairs theta join; nested-loop joins are only
@@ -663,6 +667,7 @@ def test_spc_fences_broadcast_to_audit_window(spark):
     assert E.is_fully_jvm(df)
 
 
+@pytest.mark.slow
 def test_no_catalog_query_plans_a_cartesian_product(spark):
     """Catalog-wide sweep: every cross join in every catalog query must
     be an explicit broadcast of a tiny (<=1-row aggregate / centroid)
@@ -681,6 +686,7 @@ def test_no_catalog_query_plans_a_cartesian_product(spark):
     assert offenders == []
 
 
+@pytest.mark.slow
 def test_python_nodes_only_in_documented_arrow_surfaces(spark):
     """Catalog-wide sweep: row-at-a-time Python (BatchEvalPython) never
     appears anywhere, and Arrow-batched Python nodes appear ONLY in the

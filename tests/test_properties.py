@@ -12,7 +12,10 @@ Spark round-trips cost ~100ms per example, so examples are capped low —
 these are contract probes, not fuzzing marathons.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 import math
@@ -90,6 +93,7 @@ def _transform(batch):
 
 @settings(**_SETTINGS)
 @given(st.lists(_reading, min_size=0, max_size=12))
+@pytest.mark.slow
 def test_python_filter_matches_local_application(spark, readings):
     # unique ids keep the comparison well-defined
     seen = set()
@@ -127,6 +131,7 @@ def test_python_filter_matches_local_application(spark, readings):
     st.lists(_finite, min_size=0, max_size=30),
     st.floats(min_value=0.1, max_value=100.0),
 )
+@pytest.mark.slow
 def test_deadband_matches_serial_scan(spark, values, tol):
     base = dt.datetime(2024, 1, 1)
     rows = [
@@ -158,6 +163,7 @@ def test_deadband_matches_serial_scan(spark, values, tol):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_salted_agg_matches_plain_agg(spark, rows):
     df = spark.createDataFrame(
         [(i, k, v) for i, (k, v) in enumerate(rows)],
@@ -203,6 +209,7 @@ _vocab = st.sampled_from(["red", "green", "blue", "cyan", "teal"])
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

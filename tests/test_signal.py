@@ -163,6 +163,7 @@ def _chunked_vs_plain(spark, rows, tolerance, chunk_micros):
     return a
 
 
+@pytest.mark.slow
 def test_deadband_chunked_matches_plain_adversarial(spark):
     # monotone ramps (every changepoint is a prefix-extreme), plateaus,
     # random walk, nulls, NaNs, and ts ties across three assets; chunk
@@ -223,6 +224,7 @@ def test_deadband_chunked_null_asset_state_crosses_chunks(spark):
     assert [r[0] for r in kept] == [0, 2, 4]
 
 
+@pytest.mark.slow
 def test_deadband_chunked_hot_asset_parallelizes(spark):
     # one asset spanning many chunk intervals: the rescan stage must have
     # one group per (asset, chunk) — >1 task utilized for a single asset

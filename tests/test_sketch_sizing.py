@@ -127,6 +127,7 @@ def _ivf_candidates(emb, n: int) -> int:
     return int(row["pairs"] or 0)
 
 
+@pytest.mark.slow
 def test_default_sketch_keeps_candidates_linear_at_10x(spark):
     """The Done criterion for VERDICT r6 #2: with NO hand tuning, 10x
     the vectors must grow candidate pairs ~O(n), not O(n^2).  The fixed
@@ -187,6 +188,7 @@ def test_default_sketch_keeps_candidates_linear_at_10x(spark):
     assert frozen_ivf / n10 > bound, (frozen_ivf, frozen_ivf / n10)
 
 
+@pytest.mark.slow
 def test_rp_lsh_defaults_flow_through_lsh_config(spark):
     """Calling the production entry point with NO sketch params must be
     exactly the explicit-lsh_config call (same pair set)."""

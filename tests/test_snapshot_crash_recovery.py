@@ -30,6 +30,8 @@ import sys
 import textwrap
 import time
 
+import pytest
+
 from foglamp_filter_python35_spark.sources import snapshot_table as st
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -87,6 +89,7 @@ def _commit_dirs(table: str) -> set[str]:
     return set(os.listdir(ddir)) if os.path.isdir(ddir) else set()
 
 
+@pytest.mark.slow
 def test_sigkill_between_data_write_and_publish(spark, tmp_path):
     table = str(tmp_path / "tbl")
     marker = str(tmp_path / "marker")

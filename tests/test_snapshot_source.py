@@ -45,6 +45,7 @@ def test_batch_format_matches_read_snapshot(spark, tmp_path):
     assert v0.count() == 50
 
 
+@pytest.mark.slow
 def test_streaming_source_tails_commits_exactly_once(spark, tmp_path):
     t = str(tmp_path / "tbl")
     st.commit(_df(spark, 0, 10), t)
@@ -79,6 +80,7 @@ def test_streaming_source_tails_commits_exactly_once(spark, tmp_path):
     assert sorted(got) == list(range(10, 20))  # no re-delivery of v0
 
 
+@pytest.mark.slow
 def test_streaming_source_rejects_rewrites_without_optin(spark, tmp_path):
     t = str(tmp_path / "tbl")
     st.commit(_df(spark, 0, 5), t)
@@ -114,6 +116,7 @@ def test_streaming_source_rejects_rewrites_without_optin(spark, tmp_path):
     assert ks == [0, 1, 2, 3, 4, 100, 101]
 
 
+@pytest.mark.slow
 def test_table_to_table_pipeline_is_exactly_once_across_restart(
     spark, tmp_path
 ):

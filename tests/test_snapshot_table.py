@@ -269,6 +269,7 @@ def test_stats_based_file_skipping(spark, tmp_path):
     assert _keys(conservative) == list(range(120, 131))
 
 
+@pytest.mark.slow
 def test_zorder_gives_multi_column_file_skipping(spark):
     """Z-order rewrite: after clustering on (x, y), a narrow range probe
     on EITHER column must open strictly fewer files than the unclustered
@@ -375,6 +376,7 @@ def test_read_changes_append_only_fast_path(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_commit_under_real_thread_contention_loses_nothing(spark, tmp_path):
     """Optimistic concurrency under GENUINE contention (prior coverage
     staged conflicts via monkeypatch): four driver threads race 3

@@ -37,6 +37,7 @@ def test_readings_parquet_rejects_wrong_schema(spark, sf_smoke, tmp_path):
         R.read_readings_parquet(spark, path)
 
 
+@pytest.mark.slow
 def test_partitioned_writer_enables_pruning(spark, sf_smoke, tmp_path):
     readings = events_to_readings(load(spark, sf_smoke, "events"))
     path = str(tmp_path / "parts")

@@ -84,6 +84,7 @@ def _wait_rows(spark, ann_path: str, want: int) -> None:
     )
 
 
+@pytest.mark.slow
 def test_streamed_assignment_matches_one_shot_ingest(spark, tmp_path):
     raw_path = str(tmp_path / "raw_embeddings")
     ann_path = str(tmp_path / "ann")

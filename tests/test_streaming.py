@@ -311,6 +311,7 @@ def test_set_filter_config_runs_once_across_micro_batches(
     assert len(calls) == 1  # callback ran once, before data flowed
 
 
+@pytest.mark.slow
 def test_stateful_buffer_evicts_idle_asset_state(spark, tmp_path):
     """EventTimeTimeout bounds T10b state: an asset idle past the TTL is
     evicted once the watermark passes, so when it reappears its running
@@ -360,6 +361,7 @@ def test_stateful_buffer_evicts_idle_asset_state(spark, tmp_path):
     assert b_counts[-1] == 3
 
 
+@pytest.mark.slow
 def test_stateful_buffer_survives_null_event_times(spark, tmp_path):
     """A micro-batch whose rows for an asset all carry NULL user_ts must
     not kill the query: pandas max() yields NaT there, and an unguarded
@@ -685,6 +687,7 @@ def test_stream_deadband_matches_batch_across_batches(spark, tmp_path):
     assert [v for _, v in got] == [0.0, 100.0, 300.0]
 
 
+@pytest.mark.slow
 def test_stream_deadband_evicts_idle_state(spark, tmp_path):
     """An asset idle past the TTL loses its last-emitted state: on
     reappearing, its first reading emits even though it is within
@@ -810,6 +813,7 @@ def test_stream_enrich_join_accepts_singular_units(spark, events_stream_dir):
         assert stream_enrich_join(readings, ann, join_window=win).count() >= 0
 
 
+@pytest.mark.slow
 def test_stream_enrich_left_outer_emits_unmatched_after_watermark(
     spark, tmp_path
 ):

@@ -48,6 +48,7 @@ def test_roundtrip_exact_all_variants(compression, big_endian):
                 assert np.array_equal(T._tiff_pixels(payload), want)
 
 
+@pytest.mark.slow
 def test_lzw_width_growth_and_early_change():
     """256x256 noise pushes the TIFF-LZW table through every code width
     to the 12-bit cap and across a CLEAR reset; smooth gradients under
