@@ -27,6 +27,14 @@ Usage (run alone — co-tenant Spark sessions contaminate timings):
     python tools/media_scale_probe.py --build             # ~1 min
     python tools/media_scale_probe.py --run               # JSON + md table
     python tools/media_scale_probe.py --run --mults 1,10
+    python tools/media_scale_probe.py --build --run --media audio
+
+``--media audio`` swaps the corpus for 1k ~0.25s clips cycling WAV
+PCM16 / WAV G.711 mu-law / AU 24-bit PCM / AIFF and probes
+``extract_media_meta_ptr`` only (resize is image-only) — the audio
+decoders dispatch through the same pointer kernels, and this measures
+that the claim holds with their (numpy-vectorized, cheaper) CPU
+profile too.
 """
 
 from __future__ import annotations
@@ -92,7 +100,82 @@ def _base_images() -> list[bytes]:
     return payloads
 
 
-def _build(spark, mults: list[int]) -> None:
+def _base_clips() -> list[bytes]:
+    """BASE_N deterministic ~0.25s audio clips cycling WAV PCM16 /
+    WAV G.711 mu-law / AU 24-bit PCM / AIFF PCM16 — every audio
+    container+codec in the repo pays its decode bill in the probe.
+    Containers are assembled here from the public specs (the package
+    ships decoders only), mirroring tests/test_real_decoders.py."""
+    import io
+    import struct
+    import wave
+
+    from foglamp_filter_python35_spark.functions import multimodal as M
+
+    def g711_ulaw(samples: np.ndarray) -> bytes:
+        codes = np.arange(256, dtype=np.uint8)
+        expanded = M._g711_ulaw_to_linear(bytes(codes)).astype(np.int64)
+        order = np.argsort(expanded)
+        idx = np.clip(np.searchsorted(expanded[order], samples), 0, 255)
+        lo = expanded[order][np.maximum(idx - 1, 0)]
+        hi = expanded[order][idx]
+        pick = np.where(
+            np.abs(samples - lo) <= np.abs(hi - samples),
+            np.maximum(idx - 1, 0),
+            idx,
+        )
+        return bytes(codes[order][pick].tolist())
+
+    def float80(value: int) -> bytes:
+        exp = value.bit_length() - 1
+        return struct.pack(">HQ", 16383 + exp, value << (63 - exp))
+
+    rng = np.random.default_rng(20260815)
+    rate, n = 8000, 2000  # 0.25 s
+    t = np.arange(n) / rate
+    payloads: list[bytes] = []
+    for i in range(BASE_N):
+        f0, f1 = rng.uniform(100, 900, size=2)
+        amp = rng.uniform(0.2, 0.8)
+        sig = amp * (0.7 * np.sin(2 * np.pi * f0 * t)
+                     + 0.3 * np.sin(2 * np.pi * f1 * t))
+        pcm16 = (sig * 32000).astype(np.int64)
+        kind = i % 4
+        if kind == 0:  # WAV PCM16 via stdlib wave
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm16.astype("<i2").tobytes())
+            payloads.append(buf.getvalue())
+        elif kind == 1:  # WAV G.711 mu-law (fmt tag 7)
+            data = g711_ulaw(pcm16)
+            fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+            body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            payloads.append(
+                b"RIFF" + struct.pack("<I", len(body)) + body
+            )
+        elif kind == 2:  # AU 24-bit big-endian linear PCM (enc 4)
+            pcm24 = (sig * (1 << 22)).astype(np.int64)
+            raw = b"".join(
+                int(v & 0xFFFFFF).to_bytes(3, "big") for v in pcm24
+            )
+            payloads.append(
+                b".snd" + struct.pack(">IIIII", 24, len(raw), 4, rate, 1)
+                + raw
+            )
+        else:  # AIFF PCM16
+            comm = struct.pack(">hLh", 1, n, 16) + float80(rate)
+            ssnd = struct.pack(">II", 0, 0) + pcm16.astype(">i2").tobytes()
+            body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+                    + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+            payloads.append(b"FORM" + struct.pack(">I", len(body)) + body)
+    return payloads
+
+
+def _build(spark, mults: list[int], media: str = "image") -> None:
     from pyspark.sql import functions as F
 
     from foglamp_filter_python35_spark.functions.multimodal import (
@@ -100,9 +183,9 @@ def _build(spark, mults: list[int]) -> None:
     )
 
     t0 = time.perf_counter()
-    base = _base_images()
+    base = _base_images() if media == "image" else _base_clips()
     print(
-        f"base set: {BASE_N} images, "
+        f"base set: {BASE_N} {media}s, "
         f"{sum(len(p) for p in base) / 1e6:.1f} MB encoded in "
         f"{time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
@@ -111,7 +194,7 @@ def _build(spark, mults: list[int]) -> None:
     import pandas as pd  # noqa: PLC0415
 
     for mult in mults:
-        out = os.path.join(PROBE_ROOT, f"x{mult}")
+        out = os.path.join(PROBE_ROOT, media, f"x{mult}")
         shutil.rmtree(out, ignore_errors=True)
         shard_dir = os.path.join(out, "shards")
         n = BASE_N * mult
@@ -164,17 +247,20 @@ def _build(spark, mults: list[int]) -> None:
         print(f"built x{mult}: {n} rows, {n_part} shards", file=sys.stderr)
 
 
-def _run(spark, mults: list[int]) -> dict:
+def _run(spark, mults: list[int], media: str = "image") -> dict:
     from foglamp_filter_python35_spark.functions import multimodal as M
 
     probes = {
         "meta_real": lambda ptr: M.extract_media_meta_ptr(ptr),
-        "resize_real": lambda ptr: M.resize_media_ptr(ptr, 24, 24),
     }
+    if media == "image":  # resize is an image-only operator
+        probes["resize_real"] = lambda ptr: M.resize_media_ptr(ptr, 24, 24)
     results: dict[str, dict] = {name: {} for name in probes}
     plans_ok = True
     for mult in mults:
-        ptr_path = os.path.join(PROBE_ROOT, f"x{mult}", "pointers.parquet")
+        ptr_path = os.path.join(
+            PROBE_ROOT, media, f"x{mult}", "pointers.parquet"
+        )
         if not os.path.isdir(ptr_path):
             print(f"missing {ptr_path} — run --build first", file=sys.stderr)
             sys.exit(2)
@@ -214,6 +300,11 @@ def main() -> None:
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument(
+        "--media", choices=("image", "audio"), default="image",
+        help="corpus type: image (PNG/JPEG/GIF/TIFF) or audio "
+        "(WAV PCM16 / WAV G.711 / AU 24-bit / AIFF)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -222,9 +313,9 @@ def main() -> None:
     spark = get_spark(app_name="media_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if args.build:
-        _build(spark, mults)
+        _build(spark, mults, args.media)
     if args.run:
-        out = _run(spark, mults)
+        out = _run(spark, mults, args.media)
         print(json.dumps(out))
         # markdown table for SCALE.md
         for name, rows in out["probes"].items():
