@@ -65,6 +65,15 @@ def test_init_edit_forces_everything_but_is_not_traversed():
     }
 
 
+def test_window_rotation_edits_do_not_force_anything():
+    # catalog/window.py is rotation bookkeeping: each round edits it,
+    # and that edit must not mark every query changed (which would
+    # degrade r(N+1)'s rotation back to staleness-only)
+    assert rw.forced_queries(
+        ["foglamp_filter_python35_spark/catalog/window.py"]
+    ) == []
+
+
 def test_forced_queries_displace_freshest_greens_only():
     names = [f"q{i}" for i in range(8)]
     latest_green = {n: i for i, n in enumerate(names)}  # q0 stalest

@@ -132,10 +132,19 @@ def query_module_map() -> dict[str, str]:
     return out
 
 
+# rotation bookkeeping, not query semantics: editing the window order
+# itself must not mark every query "changed" (else each round's
+# rotation commit would force the next round back to staleness-only)
+_NON_SEMANTIC = {os.path.join(_PKG, "catalog", "window.py")}
+
+
 def forced_queries(changed_files: list[str]) -> list[str]:
     """Catalog queries whose transitive module set intersects the
     changed files (catalog order preserved by the caller)."""
-    changed = {f for f in changed_files if f.startswith(_PKG)}
+    changed = {
+        f for f in changed_files
+        if f.startswith(_PKG) and f not in _NON_SEMANTIC
+    }
     if not changed:
         return []
     qmap = query_module_map()
