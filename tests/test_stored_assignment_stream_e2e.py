@@ -73,7 +73,10 @@ def _ann_rows(spark, ann_path: str) -> int:
 
 
 def _wait_rows(spark, ann_path: str, want: int) -> None:
-    deadline = time.time() + 90
+    # generous: on a heavily co-tenanted box a single micro-batch
+    # (assign + snapshot commit) has been observed to stall past 90s
+    # (r12 full-suite flake); the loop exits as soon as rows land
+    deadline = time.time() + 240
     while time.time() < deadline:
         if _ann_rows(spark, ann_path) == want:
             return
