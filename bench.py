@@ -370,6 +370,54 @@ def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
 
     print(f"bench: timed sweep {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
 
+    # dedicated headline re-pass (r11 verdict ask #5): the in-sweep
+    # headline samples run under full-catalog GC/cache pressure, and the
+    # box's single-sample noise envelope is up to 4x on sub-2s plans
+    # (SCALE.md).  Two more samples per headline query on a quiet JVM —
+    # ~10s/pass for all 12 — cost little against the 420s budget and
+    # tighten the min-of-N the `queries` block reports.  Skipped under
+    # budget pressure; the extra samples show up in all_queries_runs.
+    t_phase = time.perf_counter()
+    spark._jvm.System.gc()  # noqa: SLF001
+    extra = 0
+    for _ in range(2):
+        for spec in specs:
+            if not spec.headline or all_times.get(spec.name) is None:
+                continue
+            if _GOT_TERM:
+                raise _Terminated
+            # leave ~120s for the throughput probe: on a loaded box the
+            # sweep alone can eat the budget (r12 smoke: 300s to get
+            # here) and the probe's control number is what norm_wall
+            # needs — the re-pass is the first thing to give way
+            if _elapsed() > _BUDGET - 120:
+                break
+            try:
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                all_times[spec.name] = round(
+                    min(all_times[spec.name], dt), 3
+                )
+                all_runs[spec.name] += 1
+                extra += 1
+                cache.release(blocking=False)
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"bench: headline re-pass {spec.name} FAILED: {exc}",
+                    file=sys.stderr,
+                )
+        else:
+            continue
+        break
+    print(
+        f"bench: headline re-pass {time.perf_counter()-t_phase:.1f}s"
+        f" ({extra} extra samples)",
+        file=sys.stderr,
+    )
+
 
 def _emit(payload: dict) -> None:
     """Persist the full payload and print the compact stdout line.
