@@ -121,7 +121,7 @@ def test_commit_files_feeds_streaming_source(spark, tmp_path):
     try:
         files = _land_files(spark, base, [(2, "b", 2.0), (3, "b", 3.0)])
         st.commit_files(base, files)
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # loaded-box headroom; exits as soon as rows land
         want = {1, 2, 3}
         while time.time() < deadline:
             try:
@@ -161,7 +161,7 @@ def test_commit_files_epochs_wake_stream_stats_view(spark, tmp_path):
 
     def wait_maintained():
         target = st.current_version(base)
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # loaded-box headroom; exits as soon as rows land
         while time.time() < deadline:
             if mv.maintained_base_version(view) == target:
                 return

@@ -925,7 +925,7 @@ def test_stream_fed_stats_view_tracks_changelog(spark, tmp_path):
 
     def wait_maintained():
         target = st.current_version(base)
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # loaded-box headroom; exits as soon as rows land
         while time.time() < deadline:
             if mv.maintained_base_version(view) == target:
                 return
@@ -989,7 +989,7 @@ def test_stream_fed_view_resumes_from_marker_chain(spark, tmp_path):
     )
     try:
         target = st.current_version(base)
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # loaded-box headroom; exits as soon as rows land
         while time.time() < deadline:
             if mv.maintained_base_version(view) == target:
                 break
@@ -1022,7 +1022,7 @@ def test_stream_fed_agg_view_tracks_changelog(spark, tmp_path):
         st.commit(_kv(spark, [(3, "c", 7.0)]), base, mode="append")
         st.merge_upsert(_kv(spark, [(2, "b", 20.0)]), base, key="rk")
         target = st.current_version(base)
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # loaded-box headroom; exits as soon as rows land
         while time.time() < deadline:
             if mv.maintained_base_version(view) == target:
                 break
