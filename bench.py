@@ -386,11 +386,16 @@ def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
                 continue
             if _GOT_TERM:
                 raise _Terminated
-            # leave ~120s for the throughput probe: on a loaded box the
-            # sweep alone can eat the budget (r12 smoke: 300s to get
-            # here) and the probe's control number is what norm_wall
-            # needs — the re-pass is the first thing to give way
-            if _elapsed() > _BUDGET - 120:
+            # yield to the throughput probe before the SOFT budget
+            # pinches: the probe needs ~110s (quiet) to ~165s (loaded)
+            # and its control number is what norm_wall needs, but the
+            # external kill line is ~580s vs the 420s soft budget, and
+            # the probe self-squeezes past budget-60 — so budget-90
+            # here still cannot starve it (overshoot past this guard is
+            # bounded by one headline query, ~3s).  r12 measured
+            # elapsed ~305s at this point even on a quiet box (session
+            # + warmup + 240s sweep), which a budget-120 guard skipped.
+            if _elapsed() > _BUDGET - 90:
                 break
             try:
                 t0 = time.perf_counter()
