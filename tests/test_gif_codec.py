@@ -161,6 +161,55 @@ def test_disposal_methods_restore_background_and_previous():
     assert np.array_equal(canvas, frames[2])
 
 
+def test_disposal_2_composes_with_transparency():
+    """A frame can be BOTH transparent-masked and disposal-2: its
+    transparent pixels leave the canvas untouched while displayed, and
+    after display the whole frame RECT (not just drawn pixels) clears
+    to the background color."""
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    out += bytes([0x80 | 1, 3, 0]) + gct  # bg = blue
+
+    def image(left, top, w, h, indices):
+        seg = bytearray(b"\x2c")
+        seg += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        seg += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        seg += b"\x00"
+        lzw = G._lzw_encode(2, indices)
+        seg += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            seg += bytes([len(chunk)]) + chunk
+        seg += b"\x00"
+        return seg
+
+    out += image(0, 0, 4, 4, [1] * 16)  # frame 1: all red, no GCE
+    # frame 2 GCE: transparency ON (index 0) AND disposal 2
+    out += bytes([0x21, 0xF9, 4, (2 << 2) | 0x01, 0, 0, 0, 0])
+    # frame 2 at (1,1) 2x2: [green, transparent; transparent, green]
+    out += image(1, 1, 2, 2, [2, 0, 0, 2])
+    # frame 3: single black pixel at (0,0), default disposal
+    out += image(0, 0, 1, 1, [0])
+    out += b"\x3b"
+
+    canvas, frames = G.gif_frames(bytes(out))
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    f2 = np.zeros((4, 4, 3), np.uint8)
+    f2[:] = red
+    f2[1, 1] = green
+    f2[2, 2] = green  # transparent holes keep red underneath
+    assert np.array_equal(frames[1], f2)
+    # after display the whole 2x2 rect clears to bg blue, including
+    # the pixels transparency never drew
+    f3 = np.zeros((4, 4, 3), np.uint8)
+    f3[:] = red
+    f3[1:3, 1:3] = blue
+    f3[0, 0] = (0, 0, 0)
+    assert np.array_equal(frames[2], f3)
+    assert np.array_equal(canvas, frames[2])
+
+
 def test_decode_media_and_resize_dispatch(spark):
     img = _paletted(12, 10, 4, seed=3)
     payload = G.encode_gif(img)

@@ -403,3 +403,45 @@ def test_eob_run_over_32767_blocks_keeps_per_block_correction_bits():
         )
     assert eobrun == 0
     assert np.array_equal(coef[:, 1], vals)
+
+
+def test_eob_run_chunking_with_mixed_per_block_correction_widths():
+    """Same split-EOBn ordering invariant, but blocks contribute 0, 1,
+    or 2 correction bits each — so any off-by-one in the per-block
+    bookkeeping shifts every later block's bits and cannot cancel out
+    the way a uniform 1-bit-per-block pattern might."""
+    N = 33000
+    ss, se, al = 1, 5, 0
+    rng = np.random.default_rng(11)
+    ac_codes = J._canonical_codes(J._AC_BITS_PROG, J._AC_VALS_PROG)
+    wtr = J._BitWriter()
+    state = {"eobrun": 0, "bits": []}
+    bands = []
+    for i in range(N):
+        kind = i % 3
+        if kind == 0:  # no history: contributes zero correction bits
+            band = [0, 0, 0, 0, 0]
+        elif kind == 1:  # one history coefficient -> one bit
+            band = [int(rng.integers(2, 4)), 0, 0, 0, 0]
+        else:  # two history coefficients -> two bits
+            band = [int(rng.integers(2, 4)), int(rng.integers(6, 8)),
+                    0, 0, 0]
+        bands.append(band)
+        J._encode_block_ac_refine(wtr, ac_codes, band, al, state)
+    assert state["eobrun"] == N
+    J._flush_eobrun(wtr, ac_codes, state)
+    wtr.flush()
+
+    dec_tbl = {(ln, code): sym for sym, (code, ln) in ac_codes.items()}
+    rdr = J._BitReader(bytes(wtr.out), 0)
+    eobrun = 0
+    for i, band in enumerate(bands):
+        coef = np.zeros(se + 1, dtype=np.int64)
+        for k, v in enumerate(band, start=ss):
+            if v:  # first-pass history: (v >> 1) << 1
+                coef[k] = (v >> 1) << 1
+        eobrun = J._decode_block_ac_refine(
+            rdr, coef, dec_tbl, ss, se, al, eobrun
+        )
+        assert list(coef[ss : se + 1]) == band, f"block {i} diverged"
+    assert eobrun == 0
