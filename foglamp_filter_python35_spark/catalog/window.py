@@ -10,67 +10,67 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r11 driver evidence covers all
-# 153 catalog queries.  The round-12 window (tools/rotate_window.py, now
-# CHANGE-AWARE) leads with the 5 multimodal queries FORCE-INCLUDED
-# because their backing modules (functions/{gif,jpeg,multimodal}.py)
-# changed this round, then re-confirms the 50 least-recently-verified
-# greens: the three r8 leftovers (click_view_reconciliation,
-# sequence_packing, sliding_unique_users) plus 42 of the r9-era
-# T-operator/relational/TPC-H cohort.  This keeps the rolling guarantee
-# — every catalog query has driver evidence within the last three
-# rounds AND every code-touched query is sampled in the round that
-# touched it.  Queries not listed keep module order after the
-# prioritized block.
+# ``queries()`` each round.  Cumulative r1-r12 driver evidence covers all
+# 153 catalog queries.  The round-13 window (tools/rotate_window.py,
+# change-aware; no package code had changed at rotation time, so no
+# forced block) re-confirms the 50 least-recently-verified greens: the
+# eight r9 leftovers (revenue_deciles, name_fuzzy_match,
+# grouping_sets_revenue, value_histogram, retention_cohorts,
+# top_session_paths, corpus_rebalance, event_path_transitions) plus 42
+# of the r10-era dedup/vector/pipeline cohort.  After r13 every catalog
+# query's driver evidence is r10 or newer (three leftovers —
+# minhash_accuracy, dedup_cluster_histogram, spc_control_chart and the
+# rest of the r10/r11 tail — roll to r14).  Queries not listed keep
+# module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "multimodal_dedup",  # green r10 FORCED(changed)
-    "multimodal_meta",  # green r10 FORCED(changed)
-    "multimodal_features",  # green r10 FORCED(changed)
-    "multimodal_resize",  # green r10 FORCED(changed)
-    "multimodal_frames",  # green r10 FORCED(changed)
-    "click_view_reconciliation",  # green r8
-    "sequence_packing",  # green r8
-    "sliding_unique_users",  # green r8
-    "scale35",  # green r9
-    "python_filter_scale35",  # green r9
-    "readings35_add100",  # green r9
-    "asset_filter",  # green r9
-    "payload_projection",  # green r9
-    "empty_payload_drop",  # green r9
-    "metadata_carry",  # green r9
-    "type_coercion",  # green r9
-    "pricing_summary",  # green r9
-    "revenue_by_nation",  # green r9
-    "top_orders_per_segment",  # green r9
-    "order_priority_semijoin",  # green r9
-    "sessionization",  # green r9
-    "hourly_event_rollup",  # green r9
-    "rollup_revenue",  # green r9
-    "set_ops_users",  # green r9
-    "distinct_users",  # green r9
-    "event_type_pivot",  # green r9
-    "top_parts_by_revenue",  # green r9
-    "asof_last_signup",  # green r9
-    "value_band_join",  # green r9
-    "customers_without_orders",  # green r9
-    "cube_revenue",  # green r9
-    "orders_above_cust_avg",  # green r9
-    "skewed_asset_rollup",  # green r9
-    "shipping_priority",  # green r9
-    "forecast_revenue",  # green r9
-    "event_funnel",  # green r9
-    "top_suppliers",  # green r9
-    "returned_items",  # green r9
-    "priority_by_linestatus",  # green r9
-    "volume_shipping",  # green r9
-    "market_share",  # green r9
-    "product_profit",  # green r9
-    "important_parts",  # green r9
-    "custdist",  # green r9
-    "promo_revenue",  # green r9
-    "small_qty_revenue",  # green r9
-    "large_orders",  # green r9
-    "disjunctive_filter",  # green r9
-    "sales_opportunity",  # green r9
-    "props_json_stats",  # green r9
+    "revenue_deciles",  # green r9
+    "name_fuzzy_match",  # green r9
+    "grouping_sets_revenue",  # green r9
+    "value_histogram",  # green r9
+    "retention_cohorts",  # green r9
+    "top_session_paths",  # green r9
+    "corpus_rebalance",  # green r9
+    "event_path_transitions",  # green r9
+    "latest_event_per_user",  # green r10
+    "waiting_suppliers",  # green r10
+    "min_cost_supplier",  # green r10
+    "dominant_part_suppliers",  # green r10
+    "salted_enrich_rollup",  # green r10
+    "column_profile",  # green r10
+    "snapshot_diff",  # green r10
+    "weekday_hour_heatmap",  # green r10
+    "parts_supplier_counts",  # green r10
+    "moving_average",  # green r10
+    "median_filter",  # green r10
+    "ema_smooth",  # green r10
+    "deadband_chunked",  # green r10
+    "dedup_exact",  # green r10
+    "minhash_lsh_dedup",  # green r10
+    "ngram_jaccard_pairs",  # green r10
+    "doc_containment",  # green r10
+    "simhash_dedup",  # green r10
+    "dedup_clusters",  # green r10
+    "dedup_apply",  # green r10
+    "dedup_ensemble",  # green r10
+    "embedding_norm_outliers",  # green r10
+    "embedding_topk",  # green r10
+    "embedding_cosine_dup",  # green r10
+    "embedding_ivf_topk",  # green r10
+    "embedding_knn_join",  # green r10
+    "embedding_lsh_dup",  # green r10
+    "embedding_centroids",  # green r10
+    "embedding_quantize",  # green r10
+    "semantic_dedup",  # green r10
+    "knn_label_purity",  # green r10
+    "embedding_dim_stats",  # green r10
+    "ivf_cell_histogram",  # green r10
+    "domain_quota_sample",  # green r10
+    "incremental_dedup",  # green r10
+    "sliding_window_rate",  # green r10
+    "bm25_retrieval",  # green r10
+    "token_pmi",  # green r10
+    "text_normalize",  # green r10
+    "conversion_latency",  # green r10
+    "error_burst_join",  # green r10
+    "weighted_sample",  # green r10
 )

@@ -34,13 +34,12 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r11 evidence covers all 153 queries, so the round-12
-    window leads with the 5 multimodal queries FORCE-INCLUDED by the
-    change-aware rotation (their backing codec modules changed in r12),
-    then re-confirms the LEAST-recently-verified greens (the three r8
-    leftovers + 42 of the r9-era T-operator/relational/TPC-H cohort).
-    Guard the ordering so an innocent module reshuffle can't silently
-    evict them."""
+    Cumulative r1-r12 evidence covers all 153 queries, so the round-13
+    window re-confirms the LEAST-recently-verified greens: the eight r9
+    leftovers plus 42 of the r10-era dedup/vector/pipeline cohort (no
+    package code had changed at rotation time, so the change-aware
+    forcing contributed nothing).  Guard the ordering so an innocent
+    module reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -50,30 +49,31 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "forced-changed": ("multimodal_dedup", "multimodal_meta",
-                           "multimodal_features", "multimodal_resize",
-                           "multimodal_frames"),
-        "stale-r8": ("click_view_reconciliation", "sequence_packing",
-                     "sliding_unique_users"),
-        "t-operators-r9": ("scale35", "python_filter_scale35",
-                           "readings35_add100", "asset_filter",
-                           "payload_projection", "empty_payload_drop",
-                           "metadata_carry", "type_coercion"),
-        "tpch-r9": ("pricing_summary", "revenue_by_nation",
-                    "shipping_priority", "volume_shipping", "market_share",
-                    "product_profit", "custdist", "promo_revenue",
-                    "important_parts", "large_orders", "top_suppliers",
-                    "returned_items", "priority_by_linestatus",
-                    "small_qty_revenue", "orders_above_cust_avg"),
-        "relational-r9": ("top_orders_per_segment", "order_priority_semijoin",
-                          "sessionization", "hourly_event_rollup",
-                          "rollup_revenue", "set_ops_users", "distinct_users",
-                          "event_type_pivot", "event_funnel",
-                          "skewed_asset_rollup", "cube_revenue",
-                          "customers_without_orders", "asof_last_signup",
-                          "value_band_join", "top_parts_by_revenue",
-                          "forecast_revenue", "disjunctive_filter",
-                          "sales_opportunity", "props_json_stats"),
+        "stale-r9": ("revenue_deciles", "name_fuzzy_match",
+                     "grouping_sets_revenue", "value_histogram",
+                     "retention_cohorts", "top_session_paths",
+                     "corpus_rebalance", "event_path_transitions"),
+        "dedup-r10": ("dedup_exact", "minhash_lsh_dedup",
+                      "ngram_jaccard_pairs", "doc_containment",
+                      "simhash_dedup", "dedup_clusters", "dedup_apply",
+                      "dedup_ensemble", "incremental_dedup"),
+        "vector-r10": ("embedding_norm_outliers", "embedding_topk",
+                       "embedding_cosine_dup", "embedding_ivf_topk",
+                       "embedding_knn_join", "embedding_lsh_dup",
+                       "embedding_centroids", "embedding_quantize",
+                       "semantic_dedup", "knn_label_purity",
+                       "embedding_dim_stats", "ivf_cell_histogram"),
+        "pipeline-r10": ("domain_quota_sample", "sliding_window_rate",
+                         "bm25_retrieval", "token_pmi", "text_normalize",
+                         "conversion_latency", "error_burst_join",
+                         "weighted_sample"),
+        "relational-r10": ("latest_event_per_user", "waiting_suppliers",
+                           "min_cost_supplier", "dominant_part_suppliers",
+                           "salted_enrich_rollup", "column_profile",
+                           "snapshot_diff", "weekday_hour_heatmap",
+                           "parts_supplier_counts"),
+        "signal-r10": ("moving_average", "median_filter", "ema_smooth",
+                       "deadband_chunked"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"

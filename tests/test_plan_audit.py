@@ -84,3 +84,56 @@ def test_plan_has_no_hard_anti_patterns(spark, name):
     # anything beyond that bound means a new unreviewed cross join
     n_bnlj = len(re.findall("BroadcastNestedLoopJoin", plan))
     assert n_bnlj <= 6, f"{name}: {n_bnlj} broadcast nested loops"
+
+
+def _load_tool():
+    import importlib.util
+    import os
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "plan_audit.py",
+    )
+    spec = importlib.util.spec_from_file_location("plan_audit", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_allowlisted_full_scan_is_separated_and_new_wide_scan_trips():
+    """r12 verdict ask #3: the audit output must be empty-when-clean —
+    python_filter_scale35's by-contract 6/6-column events scan goes to
+    the allowlist bucket with its reason, while a synthetic NEW
+    full-width scan of a wide table still lands in unpruned."""
+    pa = _load_tool()
+    widths = {"events": 6, "lineitem": 16, "region": 3}
+
+    # the T9 contract scan: allowlisted, with a reason, NOT in unexpected
+    plan = ("FileScan parquet [asset,ts,a,b,c,d] Batched: true, "
+            "Location: [/root/testdata/sf0.001/events.parquet]")
+    unexpected, allowed = pa.classify_full_scans(
+        "python_filter_scale35", plan, widths)
+    assert unexpected == []
+    assert set(allowed) == {"events"} and "T9 contract" in allowed["events"]
+
+    # the SAME scan under any other query name trips the audit
+    unexpected, allowed = pa.classify_full_scans("some_new_query", plan, widths)
+    assert unexpected == [("events", 6, 6)] and allowed == {}
+
+    # a synthetic full-width lineitem scan trips even for the
+    # allowlisted query (allowlist is per-(query, table), not per-query)
+    plan2 = plan + ("\nFileScan parquet [" + ",".join(f"c{i}" for i in range(16))
+                    + "] Location: [/x/lineitem.parquet]")
+    unexpected, allowed = pa.classify_full_scans(
+        "python_filter_scale35", plan2, widths)
+    assert ("lineitem", 16, 16) in unexpected
+    assert set(allowed) == {"events"}
+
+    # pruned scans and narrow tables never flag
+    plan3 = ("FileScan parquet [l_orderkey,l_quantity] Location: "
+             "[/x/lineitem.parquet]\n"
+             "FileScan parquet [r_regionkey,r_name,r_comment] Location: "
+             "[/x/region.parquet]")
+    unexpected, allowed = pa.classify_full_scans("q", plan3, widths)
+    assert unexpected == [] and allowed == {}

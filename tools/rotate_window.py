@@ -138,24 +138,71 @@ def query_module_map() -> dict[str, str]:
 _NON_SEMANTIC = {os.path.join(_PKG, "catalog", "window.py")}
 
 
-def forced_queries(changed_files: list[str]) -> list[str]:
-    """Catalog queries whose transitive module set intersects the
-    changed files (catalog order preserved by the caller)."""
-    changed = {
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    """Remove bare string-constant expression statements (docstrings)."""
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if isinstance(body, list):
+            node.body = [  # type: ignore[attr-defined]
+                st for st in body
+                if not (
+                    isinstance(st, ast.Expr)
+                    and isinstance(st.value, ast.Constant)
+                    and isinstance(st.value.value, str)
+                )
+            ] or body[:1]
+    return tree
+
+
+def is_semantic_change(relpath: str, rev: str | None) -> bool:
+    """True if ``relpath`` differs from its ``rev`` version beyond
+    comments/docstrings (AST-equality after docstring stripping).
+
+    A comment-only or docstring-only edit to a widely-imported file
+    (e.g. catalog/__init__.py) must not force every query into the
+    window — the r12 advisor showed that degenerates into truncating
+    the forced block and stalling staleness rotation."""
+    if rev is None:
+        return True
+    try:
+        old_src = subprocess.run(
+            ["git", "show", f"{rev}:{relpath}"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout
+        new_src = open(os.path.join(_REPO, relpath)).read()
+        old = ast.dump(_strip_docstrings(ast.parse(old_src)))
+        new = ast.dump(_strip_docstrings(ast.parse(new_src)))
+        return old != new
+    except (subprocess.CalledProcessError, OSError, SyntaxError, ValueError):
+        return True  # added/unparseable file: assume semantic
+
+
+def forced_queries(
+    changed_files: list[str], boundary: str | None = None
+) -> tuple[list[str], dict[str, list[str]], list[str]]:
+    """(forced queries, changed-file -> forced-query attribution,
+    non-semantic changed files skipped).  Catalog order preserved."""
+    candidates = [
         f for f in changed_files
         if f.startswith(_PKG) and f not in _NON_SEMANTIC
-    }
+    ]
+    skipped = [f for f in candidates if not is_semantic_change(f, boundary)]
+    changed = set(candidates) - set(skipped)
     if not changed:
-        return []
+        return [], {}, skipped
     qmap = query_module_map()
     closure: dict[str, set[str]] = {}
     forced: list[str] = []
+    attribution: dict[str, list[str]] = {}
     for name, cat_file in qmap.items():
         if cat_file not in closure:
             closure[cat_file] = transitive_modules(cat_file)
-        if closure[cat_file] & changed:
+        hits = closure[cat_file] & changed
+        if hits:
             forced.append(name)
-    return forced
+            for f in hits:
+                attribution.setdefault(f, []).append(name)
+    return forced, attribution, skipped
 
 
 def round_boundary_rev() -> str | None:
@@ -194,12 +241,22 @@ def suggest_window(
     """Assemble the window: never-green + never-sampled first, then the
     forced (code-changed) queries, then stalest greens; the forced block
     displaces the freshest greens, never the never-green/never-sampled
-    block."""
+    block.
+
+    The forced block itself is ordered by STALENESS (oldest driver
+    evidence first), not catalog order: when a widely-imported file
+    forces more queries than the window holds, the truncation then
+    drops the freshest-evidence forced queries — rotation still
+    advances — instead of silently repeating the current prefix
+    (r12 advisor finding)."""
     never_sampled = [n for n in names if n not in sampled]
     never_green = [n for n in names if n in sampled and n not in latest_green]
     forced_set = set(forced)
     head = never_green + never_sampled
-    head += [n for n in names if n in forced_set and n not in head]
+    head += sorted(
+        (n for n in names if n in forced_set and n not in set(head)),
+        key=lambda n: (latest_green.get(n, -1), names.index(n)),
+    )
     greens = sorted(
         (n for n in names if n in latest_green and n not in set(head)),
         key=lambda n: (latest_green[n], names.index(n)),
@@ -226,11 +283,13 @@ def main() -> None:
 
     if args.changed is not None:
         changed = args.changed
+        boundary_rev = args.since or round_boundary_rev()
         boundary = "(explicit --changed list)"
     else:
-        boundary = args.since or round_boundary_rev()
-        changed = changed_since(boundary) if boundary else []
-    forced = forced_queries(changed)
+        boundary_rev = args.since or round_boundary_rev()
+        boundary = boundary_rev
+        changed = changed_since(boundary_rev) if boundary_rev else []
+    forced, attribution, skipped = forced_queries(changed, boundary_rev)
 
     never_sampled = [n for n in names if n not in sampled]
     never_green = [n for n in names if n in sampled and n not in latest_green]
@@ -244,8 +303,27 @@ def main() -> None:
     pkg_changed = sorted(f for f in changed if f.startswith(_PKG))
     print(f"changed package files since boundary: {len(pkg_changed)}")
     for f in pkg_changed:
-        print(f"    {f}")
+        note = " [non-semantic: comment/docstring-only, skipped]" \
+            if f in skipped else ""
+        print(f"    {f}{note}")
     print(f"FORCED (code-changed) queries: {len(forced)} -> {forced}")
+    if attribution:
+        print("forcing attribution (changed file -> #queries forced):")
+        for f, qs in sorted(attribution.items(), key=lambda kv: -len(kv[1])):
+            print(f"    {f}: {len(qs)}")
+    dropped_forced = [n for n in forced if n not in set(suggestion)]
+    if dropped_forced:
+        print(
+            "\n" + "!" * 72
+            + f"\n!! WARNING: {len(dropped_forced)} FORCED (code-changed) "
+            f"queries DO NOT FIT the {WINDOW}-slot window\n"
+            "!! and will NOT be driver-sampled this round (freshest "
+            "evidence dropped first):\n!!   "
+            + ", ".join(dropped_forced)
+            + "\n!! If a single widely-imported file caused this, check the "
+            "attribution above;\n!! re-run with --changed excluding it if "
+            "the edit was window bookkeeping.\n" + "!" * 72
+        )
     print("\nsuggested _DRIVER_WINDOW_ORDER (first %d):" % WINDOW)
     for n in suggestion:
         tag = (
