@@ -218,6 +218,17 @@ def main() -> None:
                 sum(t for t in times.values() if t is not None), 3
             ),
             "unit": "sec",
+            # PRIMARY cross-round metric (r12 verdict ask #2): the sum of
+            # per-query min-of-N headline walls.  min-of-N is monotone
+            # under box noise (contention only ever ADDS time), so this
+            # sum is the honest cross-round comparator; norm_wall below
+            # is a secondary band only — r12 showed asymmetric sys-time
+            # storms move the single-threaded control and the parallel
+            # walls independently, so it no longer cancels the noise it
+            # was built to cancel.  Same number as "value".
+            "headline_min_of_n_sum": round(
+                sum(t for t in times.values() if t is not None), 3
+            ),
             "queries": times,
             "all_queries": all_times,
             # timing regime per query: headline entries are warmed
@@ -443,6 +454,7 @@ def _emit(payload: dict) -> None:
             "metric",
             "value",
             "unit",
+            "headline_min_of_n_sum",
             "queries",
             "all_queries_total_wall",
             "python_filter_throughput",
