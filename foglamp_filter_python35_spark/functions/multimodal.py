@@ -106,9 +106,9 @@ def pack_payload_shards(
     they always reference that attempt's bytes — no reliance on
     deterministic input order, no window where a re-run rewrites a file
     another attempt's committed offsets point into.  Losing attempts
-    leave orphan shards; they are unreferenced (harmless) and a vacuum
-    pass can drop any shard whose uri no longer appears in the pointer
-    table.  In production the uri scheme would be s3://... range reads
+    leave orphan shards; they are unreferenced (harmless) and
+    :func:`vacuum_payload_shards` drops any shard whose uri no longer
+    appears in the pointer table.  In production the uri scheme would be s3://... range reads
     instead of local files.
     """
     import os  # noqa: PLC0415
@@ -150,6 +150,39 @@ def pack_payload_shards(
                 )
 
     return docs.select("doc_id", text_col).mapInPandas(run, POINTER_SCHEMA)
+
+
+def vacuum_payload_shards(pointers: DataFrame, shard_dir: str) -> list[str]:
+    """Drop orphan shard files left by losing/speculative task attempts.
+
+    :func:`pack_payload_shards` names shard files by (partition id, task
+    attempt id), so a retried attempt's file is never referenced by the
+    committed pointer rows — harmless, but it leaks storage over a
+    long-running ingest with retries (r12 ADVICE).  This pass deletes
+    every ``shard-*.bin`` in ``shard_dir`` whose uri does not appear in
+    the pointer table, returning the deleted paths.
+
+    Scale note: the referenced-uri set is one row per committed task
+    attempt (O(partitions), ~60 bytes each — millions of shards collect
+    in MBs), so the distinct+collect is driver-safe at 100 TB; the
+    directory listing, not the pointer scan, is the large side and stays
+    a local/object-store LIST.  Run it only AFTER the pointer table is
+    fully committed — vacuuming concurrently with an ingest would race
+    writers whose pointers are not yet visible.
+    """
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    referenced = {
+        row["uri"].removeprefix("file://")
+        for row in pointers.select("uri").distinct().collect()
+    }
+    deleted: list[str] = []
+    for path in sorted(_glob.glob(os.path.join(shard_dir, "shard-*.bin"))):
+        if path not in referenced:
+            os.remove(path)
+            deleted.append(path)
+    return deleted
 
 
 def fetch_payloads(pdf: pd.DataFrame) -> pd.Series:
@@ -354,7 +387,13 @@ def decode_au(payload: bytes) -> dict:
         samples = np.frombuffer(data, dtype=">i2")
         width, full = 2, 32768.0
     elif enc == 4:  # 24-bit packed big-endian signed (AU is network order)
-        data = data[: (len(data) // 3) * 3]
+        if len(data) % 3:
+            # match the np.frombuffer strictness of the 16/32-bit paths:
+            # a truncated buffer is a decode error, not a silently
+            # shorter clip (r12 ADVICE)
+            raise ValueError(
+                f"AU 24-bit data not a multiple of 3 bytes ({len(data)})"
+            )
         b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         raw = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
         samples = np.where(raw >= 1 << 23, raw - (1 << 24), raw)

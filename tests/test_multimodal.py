@@ -132,3 +132,38 @@ def test_no_binary_column_crosses_an_exchange(spark, sf_smoke):
         .count()
     )
     assert E.binary_crosses_exchange(bad)
+
+
+def test_vacuum_drops_orphan_shards_only(spark, sf_smoke, tmp_path):
+    """r12 ADVICE: losing/speculative attempts leave orphan shard files;
+    the vacuum pass must delete exactly the shards whose uri is absent
+    from the committed pointer table, and fetches must still work."""
+    import os
+
+    docs = load(spark, sf_smoke, "documents")
+    shard_dir = str(tmp_path / "shards")
+    ptrs = M.pack_payload_shards(docs, shard_dir).localCheckpoint()
+    live = {
+        r.uri.removeprefix("file://")
+        for r in ptrs.select("uri").distinct().collect()
+    }
+    # simulate two losing attempts: same partition ids, different attempt
+    orphan_a = os.path.join(shard_dir, "shard-00000-99999.bin")
+    orphan_b = os.path.join(shard_dir, "shard-00003-99998.bin")
+    for p in (orphan_a, orphan_b):
+        with open(p, "wb") as fh:
+            fh.write(b"stale attempt bytes")
+    deleted = M.vacuum_payload_shards(ptrs, shard_dir)
+    assert sorted(deleted) == sorted([orphan_a, orphan_b])
+    remaining = {
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+    }
+    assert remaining == live
+    # referenced payloads are untouched — full round-trip still lossless
+    raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in ptrs.collect():
+        with open(r.uri.removeprefix("file://"), "rb") as fh:
+            fh.seek(r.offset)
+            assert fh.read(r.length) == raw[r.doc_id]
+    # idempotent: a second vacuum deletes nothing
+    assert M.vacuum_payload_shards(ptrs, shard_dir) == []

@@ -776,3 +776,22 @@ def test_pnm_plain_raster_comments_are_stripped():
     rgb = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
     p3 = b"P3\n2 1\n255\n10 20 # r g then comment\n30 40 50 60\n"
     assert np.array_equal(mm._pnm_pixels(p3), rgb)
+
+
+def test_au_24bit_misaligned_buffer_is_a_decode_error():
+    """r12 ADVICE: a truncated 24-bit AU buffer must raise (and degrade
+    to opaque+decode_error through decode_media), matching the
+    np.frombuffer strictness of the 16/32-bit paths — not silently
+    decode with an understated n_frames."""
+    good = b"\x00\x10\x00" * 4
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(good) + 2, 4, 8000, 1)
+    truncated = hdr + good + b"\x00\x10"  # 14 bytes: not a multiple of 3
+    with pytest.raises(ValueError, match="multiple of 3"):
+        mm.decode_au(truncated)
+    m = mm.decode_media(truncated)
+    assert m["kind"] == "opaque" and "multiple of 3" in m["decode_error"]
+    # the aligned prefix still decodes
+    ok = mm.decode_au(
+        b".snd" + struct.pack(">IIIII", 24, len(good), 4, 8000, 1) + good
+    )
+    assert ok["n_frames"] == 4
