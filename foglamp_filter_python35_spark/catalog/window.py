@@ -12,17 +12,24 @@ from __future__ import annotations
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
 # ``queries()`` each round.  Cumulative r1-r12 driver evidence covers all
 # 153 catalog queries.  The round-13 window (tools/rotate_window.py,
-# change-aware; no package code had changed at rotation time, so no
-# forced block) re-confirms the 50 least-recently-verified greens: the
-# eight r9 leftovers (revenue_deciles, name_fuzzy_match,
-# grouping_sets_revenue, value_histogram, retention_cohorts,
-# top_session_paths, corpus_rebalance, event_path_transitions) plus 42
-# of the r10-era dedup/vector/pipeline cohort.  After r13 every catalog
-# query's driver evidence is r10 or newer (three leftovers —
-# minhash_accuracy, dedup_cluster_histogram, spc_control_chart and the
-# rest of the r10/r11 tail — roll to r14).  Queries not listed keep
-# module order after the prioritized block.
+# change-aware) leads with the 5 multimodal queries FORCE-INCLUDED
+# because functions/multimodal.py changed this round (AU 24-bit
+# strictness + shard vacuum), then re-confirms the 45
+# least-recently-verified greens: the eight r9 leftovers
+# (revenue_deciles, name_fuzzy_match, grouping_sets_revenue,
+# value_histogram, retention_cohorts, top_session_paths,
+# corpus_rebalance, event_path_transitions) plus 37 of the r10-era
+# dedup/vector/pipeline cohort.  After r13 every catalog query's
+# driver evidence is r10 or newer (the displaced r10 greens —
+# conversion_latency, error_burst_join, text_normalize, token_pmi,
+# weighted_sample — plus the r10/r11 tail roll to r14).  Queries not
+# listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
+    "multimodal_dedup",  # green r12 FORCED(changed)
+    "multimodal_meta",  # green r12 FORCED(changed)
+    "multimodal_features",  # green r12 FORCED(changed)
+    "multimodal_resize",  # green r12 FORCED(changed)
+    "multimodal_frames",  # green r12 FORCED(changed)
     "revenue_deciles",  # green r9
     "name_fuzzy_match",  # green r9
     "grouping_sets_revenue",  # green r9
@@ -68,9 +75,4 @@ _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     "incremental_dedup",  # green r10
     "sliding_window_rate",  # green r10
     "bm25_retrieval",  # green r10
-    "token_pmi",  # green r10
-    "text_normalize",  # green r10
-    "conversion_latency",  # green r10
-    "error_burst_join",  # green r10
-    "weighted_sample",  # green r10
 )

@@ -35,11 +35,12 @@ def test_queries_and_oracles_aligned(spark):
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
     Cumulative r1-r12 evidence covers all 153 queries, so the round-13
-    window re-confirms the LEAST-recently-verified greens: the eight r9
-    leftovers plus 42 of the r10-era dedup/vector/pipeline cohort (no
-    package code had changed at rotation time, so the change-aware
-    forcing contributed nothing).  Guard the ordering so an innocent
-    module reshuffle can't silently evict them."""
+    window leads with the 5 multimodal queries FORCE-INCLUDED by the
+    change-aware rotation (functions/multimodal.py changed in r13), then
+    re-confirms the LEAST-recently-verified greens: the eight r9
+    leftovers plus 37 of the r10-era dedup/vector/pipeline cohort.
+    Guard the ordering so an innocent module reshuffle can't silently
+    evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -49,6 +50,9 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
+        "forced-changed": ("multimodal_dedup", "multimodal_meta",
+                           "multimodal_features", "multimodal_resize",
+                           "multimodal_frames"),
         "stale-r9": ("revenue_deciles", "name_fuzzy_match",
                      "grouping_sets_revenue", "value_histogram",
                      "retention_cohorts", "top_session_paths",
@@ -64,9 +68,7 @@ def test_driver_window_order_is_pinned():
                        "semantic_dedup", "knn_label_purity",
                        "embedding_dim_stats", "ivf_cell_histogram"),
         "pipeline-r10": ("domain_quota_sample", "sliding_window_rate",
-                         "bm25_retrieval", "token_pmi", "text_normalize",
-                         "conversion_latency", "error_burst_join",
-                         "weighted_sample"),
+                         "bm25_retrieval"),
         "relational-r10": ("latest_event_per_user", "waiting_suppliers",
                            "min_cost_supplier", "dominant_part_suppliers",
                            "salted_enrich_rollup", "column_profile",
