@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -317,6 +318,16 @@ def _publish(
 
     for _ in range(max_retries):
         parent = current_version(path)
+        # Re-check the txn EVERY attempt, after the parent read: two
+        # concurrent committers replaying the same txn can otherwise
+        # both land (A publishes v_k while B is between its entry check
+        # and its parent read; B then targets v_{k+1}, whose link
+        # succeeds — double commit, caught by the r13 restart-storm
+        # test).  With the check ordered after the parent read, any
+        # same-txn winner is either ≤ parent (seen here) or raced us to
+        # OUR version number (seen in the FileExistsError handler).
+        if txn is not None and (seen := _txn_version(path, txn)) is not None:
+            return seen
         if require_parent is not None:
             # -1 = "the table must still be empty" (first-writer guard)
             expected = None if require_parent < 0 else require_parent
@@ -346,9 +357,19 @@ def _publish(
         target = os.path.join(_manifest_dir(path), f"v{version}.json")
         try:
             # atomic create-if-absent IS the commit: exactly one writer
-            # can create v{N}.json
-            with open(target, "x") as f:
+            # can link v{N}.json into existence.  The content is written
+            # to a private temp file FIRST and published via os.link —
+            # open(target, "x") + write would make the claim atomic but
+            # not the content, and a racing reader/vacuum would see a
+            # torn manifest (caught by the r13 restart-storm test as
+            # JSONDecodeError mid-publish).
+            tmp = target + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
                 json.dump(manifest, f)
+            try:
+                os.link(tmp, target)
+            finally:
+                os.unlink(tmp)
             _write_last_checkpoint(path, version, len(files))
             return version
         except FileExistsError:
@@ -746,12 +767,41 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def _is_young_dir(cdir: str, now: float, min_age_seconds: float) -> bool:
+    """True when the commit dir itself (or anything in it) is younger
+    than the vacuum retention — i.e. may belong to an in-flight commit."""
+    try:
+        if now - os.path.getmtime(cdir) < min_age_seconds:
+            return True
+        for root, dirs, fnames in os.walk(cdir):
+            for entry in dirs + fnames:
+                if now - os.path.getmtime(
+                    os.path.join(root, entry)
+                ) < min_age_seconds:
+                    return True
+    except OSError:
+        return True  # something is moving under us: treat as in-flight
+    return False
+
+
+def vacuum(
+    path: str, keep_versions: int = 1, min_age_seconds: float = 0.0
+) -> list[str]:
     """Delete data files not referenced by any of the newest
     ``keep_versions`` manifests (orphans from failed jobs, and files
     only visible to expired versions); drops the expired manifests too.
     Returns the deleted file paths.  Never touches files referenced by
     a retained version, so readers of those snapshots are unaffected.
+
+    ``min_age_seconds`` is the in-flight-commit guard: a committer
+    writes its data files BEFORE publishing the manifest that
+    references them, so to a concurrent vacuum those files look like
+    orphans.  Only unreferenced files older (by mtime) than
+    ``min_age_seconds`` are deleted — run concurrent vacuums with this
+    set above the longest plausible commit duration (Delta's VACUUM
+    retention-duration contract, which it defaults to 7 days, exists
+    for exactly this race).  The default 0.0 is the quiescent-table
+    mode: safe only when no commit is in flight.
 
     Retention vs streaming: a streaming reader replaying an uncommitted
     micro-batch (``readBetweenOffsets``) needs the files ADDED between
@@ -760,6 +810,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     contract Delta documents for VACUUM."""
     if keep_versions < 1:
         raise ValueError("must keep at least the current version")
+    now = time.time()
     v = current_version(path)
     if v is None:
         return []
@@ -778,30 +829,62 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
                 for fname in fnames:
                     p = os.path.normpath(os.path.join(root, fname))
                     if p.endswith(".parquet") and p not in live:
-                        os.remove(p)
+                        try:
+                            age = now - os.path.getmtime(p)
+                        except OSError:
+                            continue  # concurrently removed: not ours
+                        if age < min_age_seconds:
+                            continue  # possibly an in-flight commit
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            continue  # a racing vacuum beat us to it
                         deleted.append(p)
+            if min_age_seconds > 0 and _is_young_dir(cdir, now, min_age_seconds):
+                # a racing committer may be ABOUT to create parquet here
+                # (or Spark's _SUCCESS/.crc debris is still landing):
+                # leave young commit dirs alone entirely
+                continue
             if not _list_parquet(cdir):
                 # commit dir holds no live parquet; drop it and its
-                # _SUCCESS/.crc debris
-                for root, dirs, fnames in os.walk(cdir, topdown=False):
-                    for fname in fnames:
-                        os.remove(os.path.join(root, fname))
-                    for d in dirs:
-                        os.rmdir(os.path.join(root, d))
-                os.rmdir(cdir)
+                # _SUCCESS/.crc debris (racing vacuums may be doing the
+                # same walk — losing any single remove/rmdir is fine)
+                try:
+                    for root, dirs, fnames in os.walk(cdir, topdown=False):
+                        for fname in fnames:
+                            os.remove(os.path.join(root, fname))
+                        for d in dirs:
+                            os.rmdir(os.path.join(root, d))
+                    os.rmdir(cdir)
+                except OSError:
+                    pass
     for i in range(0, retained.start):
         m = os.path.join(_manifest_dir(path), f"v{i}.json")
-        if os.path.exists(m):
+        try:
             os.remove(m)
+        except OSError:
+            pass
     # A committer that dies between writing the pointer temp file and
     # os.replace leaks `_last_checkpoint.<uuid>.tmp`; reclaim them here
     # (best-effort — a live committer losing its temp just skips one
     # pointer advance, which the forward probe absorbs).
+    # Committers that die mid-publish leak temp files: the pointer's
+    # `_last_checkpoint.<uuid>.tmp` (write-then-replace) and the
+    # manifest's `v{N}.json.<uuid>.tmp` (write-then-link).  Both are
+    # reclaimed here, age-gated like data files: a LIVE committer's temp
+    # is written-then-published within milliseconds, so any temp older
+    # than the retention belongs to a dead committer.
     mdir = _manifest_dir(path)
     for fname in os.listdir(mdir):
-        if fname.startswith("_last_checkpoint.") and fname.endswith(".tmp"):
+        if fname.endswith(".tmp") and (
+            fname.startswith("_last_checkpoint.") or _MANIFEST_RE.match(
+                fname.split(".json.")[0] + ".json"
+            )
+        ):
             try:
-                os.remove(os.path.join(mdir, fname))
+                p = os.path.join(mdir, fname)
+                if now - os.path.getmtime(p) >= min_age_seconds:
+                    os.remove(p)
             except OSError:
                 pass
     return deleted
