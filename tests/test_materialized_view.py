@@ -1031,3 +1031,167 @@ def test_stream_fed_agg_view_tracks_changelog(spark, tmp_path):
         assert _view(spark, view) == _recompute(spark, base)
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_ivm_restart_storm_committers_refreshers_and_vacuum(spark, tmp_path):
+    """r13 stretch, modeled on the snapshot table's restart storm
+    (test_snapshot_table.py): the IVM serializability claim with EVERY
+    party live at once — prior coverage raced refreshers only between
+    commit waves.  Here: 2 base committers (appends plus extreme-moving
+    merge_upserts, so the stats retraction/recompute path fires
+    mid-storm), 3 refreshers split across an agg view and a stats view
+    of the SAME base (one refresher replays every refresh immediately,
+    the restarted-driver shape), looping vacuums on the base AND both
+    view paths with the in-flight retention guard, and a checker that
+    repeatedly pins the stats view's head version and asserts it equals
+    a recompute of the EXACT base version its ivm@N marker names — the
+    serializable-history invariant, checked while the history is being
+    made.  CommitConflict after exhausted retries is an acceptable
+    (loud) outcome for a refresher under storm; anything else fails."""
+    import threading
+    import time as _time
+
+    base = str(tmp_path / "sbase")
+    aview = str(tmp_path / "saggview")
+    sview = str(tmp_path / "sstatsview")
+    st.commit(_kv(spark, [(i, f"g{i % 4}", float(i)) for i in range(16)]), base)
+    mv.create_agg_view(spark, base, aview, ["grp"], "v")
+    mv.create_stats_view(spark, base, sview, ["grp"], "v")
+
+    stop = threading.Event()
+    errors: list = []
+    checker_rounds = {"n": 0}
+
+    def committer(tid: int) -> None:
+        try:
+            for j in range(5):
+                lo = 100 + 100 * tid + 10 * j
+                st.commit(
+                    _kv(spark, [(k, f"g{k % 4}", float(k)) for k in range(lo, lo + 4)]),
+                    base,
+                    mode="append",
+                    txn=f"storm-c{tid}-{j}",
+                )
+                # move an original extreme DOWN: update_preimage retracts
+                # the group's max, forcing the recompute fallback
+                # default max_retries=5 is too few under storm (the rival
+                # lands several fast appends per slow merge cycle): losing
+                # loudly 5 times IS the documented contract, but the storm
+                # committers must ride through it
+                st.merge_upsert(
+                    _kv(spark, [(15 - tid, f"g{(15 - tid) % 4}", -1.0 * j)]),
+                    base,
+                    key="rk",
+                    max_retries=50,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("committer", tid, repr(exc)))
+
+    def refresher(which: str, rid: int, replay: bool) -> None:
+        try:
+            while not stop.is_set():
+                try:
+                    if which == "agg":
+                        v1 = mv.refresh_agg_view(
+                            spark, base, aview, ["grp"], "v", row_key="rk"
+                        )
+                        if replay:  # restarted driver re-runs the refresh
+                            v2 = mv.refresh_agg_view(
+                                spark, base, aview, ["grp"], "v", row_key="rk"
+                            )
+                            assert v2 >= v1, f"view version went back: {v1}->{v2}"
+                    else:
+                        mv.refresh_stats_view(
+                            spark, base, sview, ["grp"], "v", row_key="rk"
+                        )
+                except st.CommitConflict:
+                    pass  # exhausted retries under storm: loud, acceptable
+                _time.sleep(0.02)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("refresher", (which, rid), repr(exc)))
+
+    def vacuumer(path: str) -> None:
+        try:
+            while not stop.is_set():
+                st.vacuum(path, keep_versions=1000, min_age_seconds=300)
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("vacuum", path, repr(exc)))
+
+    def checker() -> None:
+        # serializable-history invariant, mid-storm: whatever stats-view
+        # version is head RIGHT NOW must equal a recompute of the base
+        # version its own ivm@N marker names (both sides are immutable
+        # snapshots, so the comparison is race-free under the guard).
+        try:
+            while not stop.is_set():
+                vv = st.current_version(sview)
+                bb = mv._maintained_base_at(sview, vv)
+                got = {
+                    (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
+                    for r in st.read_snapshot(spark, sview, version=vv).collect()
+                }
+                want = {
+                    (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
+                    for r in st.read_snapshot(spark, base, version=bb)
+                    .groupBy("grp")
+                    .agg(*_stats_cols())
+                    .collect()
+                }
+                assert got == want, (
+                    f"stats view v{vv} (ivm@{bb}) diverged from recompute"
+                )
+                checker_rounds["n"] += 1
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("checker", 0, repr(exc)))
+
+    workers = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    loopers = (
+        [
+            threading.Thread(target=refresher, args=("agg", 0, True)),
+            threading.Thread(target=refresher, args=("stats", 1, False)),
+            threading.Thread(target=refresher, args=("stats", 2, False)),
+            threading.Thread(target=checker),
+        ]
+        + [threading.Thread(target=vacuumer, args=(p,)) for p in (base, aview, sview)]
+    )
+    for th in loopers:
+        th.start()
+    for th in workers:
+        th.start()
+    for th in workers:
+        th.join(timeout=300)
+    stop.set()
+    for th in loopers:
+        th.join(timeout=120)
+    assert not any(th.is_alive() for th in workers + loopers)
+    assert errors == []
+    assert checker_rounds["n"] > 0
+
+    # quiesce: one final refresh of each view, then full bit-identity
+    mv.refresh_agg_view(spark, base, aview, ["grp"], "v", row_key="rk")
+    mv.refresh_stats_view(spark, base, sview, ["grp"], "v", row_key="rk")
+    head = st.current_version(base)
+    assert mv.maintained_base_version(aview) == head
+    assert mv.maintained_base_version(sview) == head
+    assert _view(spark, aview) == _recompute(spark, base)
+    assert _stats_view(spark, sview) == _recompute_stats(spark, base)
+
+    # every base commit landed exactly once (committer txns unique) and
+    # each view's ivm@N marker chain never repeats a base version
+    seen_txn: set = set()
+    for v in range(head + 1):
+        txn = st._read_manifest(base, v).get("txn")
+        if txn is not None:
+            assert txn not in seen_txn, f"base txn {txn} committed twice"
+            seen_txn.add(txn)
+    for vp in (aview, sview):
+        markers = []
+        for v in range(st.current_version(vp) + 1):
+            txn = st._read_manifest(vp, v).get("txn") or ""
+            if txn.startswith("ivm@"):
+                markers.append(int(txn.split("@", 1)[1]))
+        assert markers == sorted(set(markers)), (
+            f"{vp}: ivm marker chain not strictly increasing: {markers}"
+        )
