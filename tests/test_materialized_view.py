@@ -1195,3 +1195,145 @@ def test_ivm_restart_storm_committers_refreshers_and_vacuum(spark, tmp_path):
         assert markers == sorted(set(markers)), (
             f"{vp}: ivm marker chain not strictly increasing: {markers}"
         )
+
+
+@pytest.mark.slow
+def test_ivm_streaming_maintainer_restart_storm(spark, tmp_path):
+    """The streaming maintainer under the restart-storm treatment: a
+    live ``stream_stats_view`` races a looping BATCH refresher on the
+    same view (the real operational shape — an operator runs a manual
+    refresh while the continuous pipeline is up) while a committer
+    drives appends / extreme-moving upserts / a delete-by-overwrite into
+    the base, vacuums loop on both table paths under the retention
+    guard, and a SUPERVISOR thread kills and restarts the stream from
+    the same checkpoint twice mid-storm (plus restarting it if it ever
+    dies on its own — e.g. a refresh losing the serializable race
+    inside foreachBatch, which surfaces as a failed query, the
+    documented loud outcome).  Exactly-once must ride the ivm@N marker
+    chain through every restart: final view bit-identical to recompute,
+    marker chain strictly increasing, no version ever maintained
+    twice."""
+    import threading
+    import time as _time
+
+    base, view = str(tmp_path / "mbase"), str(tmp_path / "mview")
+    ck = str(tmp_path / "mck")
+    st.commit(_kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+
+    stop = threading.Event()
+    errors: list = []
+    restarts = {"forced": 0, "crash": 0}
+
+    def start_stream():
+        return mv.stream_stats_view(
+            spark, base, view, ["grp"], "v", row_key="rk",
+            checkpoint_dir=ck, query_name="ivm-storm",
+        )
+
+    q_box = {"q": start_stream()}
+    q_lock = threading.Lock()
+
+    def supervisor() -> None:
+        # the restart storm itself: two deliberate kill+restarts, plus
+        # revival whenever the query dies on its own
+        try:
+            forced_left = 2
+            while not stop.is_set():
+                _time.sleep(0.8)
+                with q_lock:
+                    q = q_box["q"]
+                    if not q.isActive:
+                        restarts["crash"] += 1
+                        q_box["q"] = start_stream()
+                    elif forced_left > 0:
+                        q.stop()
+                        forced_left -= 1
+                        restarts["forced"] += 1
+                        q_box["q"] = start_stream()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("supervisor", 0, repr(exc)))
+
+    def committer() -> None:
+        try:
+            for j in range(8):
+                if j % 3 == 2:
+                    # delete the current min of one group (retraction)
+                    snap = st.read_snapshot(spark, base)
+                    keep = snap.filter(F.col("rk") != j)
+                    st.commit(keep, base, mode="overwrite")
+                elif j % 3 == 1:
+                    st.merge_upsert(
+                        _kv(spark, [(8, "g2", 100.0 + j), (50 + j, "g0", -5.0 * j)]),
+                        base, key="rk", max_retries=50,
+                    )
+                else:
+                    lo = 200 + 10 * j
+                    st.commit(
+                        _kv(spark, [(k, f"g{k % 3}", float(k)) for k in range(lo, lo + 4)]),
+                        base, mode="append", txn=f"mstorm-{j}",
+                    )
+                _time.sleep(0.3)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("committer", 0, repr(exc)))
+
+    def batch_refresher() -> None:
+        try:
+            while not stop.is_set():
+                try:
+                    mv.refresh_stats_view(
+                        spark, base, view, ["grp"], "v", row_key="rk"
+                    )
+                except st.CommitConflict:
+                    pass  # loud, acceptable under storm
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("batch_refresher", 0, repr(exc)))
+
+    def vacuumer(path: str) -> None:
+        try:
+            while not stop.is_set():
+                st.vacuum(path, keep_versions=1000, min_age_seconds=300)
+                _time.sleep(0.07)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("vacuum", path, repr(exc)))
+
+    worker = threading.Thread(target=committer)
+    loopers = [
+        threading.Thread(target=supervisor),
+        threading.Thread(target=batch_refresher),
+        threading.Thread(target=vacuumer, args=(base,)),
+        threading.Thread(target=vacuumer, args=(view,)),
+    ]
+    try:
+        for th in loopers:
+            th.start()
+        worker.start()
+        worker.join(timeout=300)
+        stop.set()
+        for th in loopers:
+            th.join(timeout=120)
+        assert not worker.is_alive() and not any(th.is_alive() for th in loopers)
+    finally:
+        stop.set()
+        with q_lock:
+            try:
+                q_box["q"].stop()
+            except Exception:  # noqa: BLE001
+                pass
+
+    assert errors == []
+    assert restarts["forced"] == 2  # both deliberate restarts happened
+
+    # quiesce and verify exactly-once through every restart
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert mv.maintained_base_version(view) == st.current_version(base)
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+    markers = []
+    for v in range(st.current_version(view) + 1):
+        txn = st._read_manifest(view, v).get("txn") or ""
+        if txn.startswith("ivm@"):
+            markers.append(int(txn.split("@", 1)[1]))
+    assert markers == sorted(set(markers)), (
+        f"ivm marker chain not strictly increasing: {markers}"
+    )
