@@ -112,7 +112,22 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
     def _added_files(self, sv: int, ev: int) -> list[str]:
         files: list[str] = []
         for v in range(sv + 1, ev + 1):
-            m = _manifest(self._path, v)
+            try:
+                m = _manifest(self._path, v)
+            except FileNotFoundError:
+                # the log-retention floor: vacuum(keep_versions=K)
+                # expired this manifest while the stream's checkpoint
+                # still pointed below it — fail with the contract
+                # spelled out instead of a bare open() error (the same
+                # treatment materialized_view._maintained_base_at got)
+                raise FileNotFoundError(
+                    f"{self._path!r}: manifest v{v} was expired by "
+                    f"vacuum while this stream's checkpoint lagged at "
+                    f"v{sv} (the retention-vs-streaming contract in "
+                    f"snapshot_table.vacuum) — size keep_versions above "
+                    f"the stream's maximum checkpoint lag, and re-seed "
+                    f"this stream from a fresh batch read"
+                ) from None
             if v == 0 or m["parent"] is None:
                 added = m["files"]
             elif m["operation"] == "append":
@@ -140,7 +155,21 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self._schema.fields]
         out: list[tuple] = []
         for rel in files:
-            tbl = pq.read_table(os.path.join(self._path, rel))
+            try:
+                tbl = pq.read_table(os.path.join(self._path, rel))
+            except FileNotFoundError:
+                # a vacuum won the race between the manifest-diff scan
+                # and this read: the replayed offset window's data file
+                # is gone — same retention contract, same actionable
+                # error (loud, never silent row loss)
+                raise FileNotFoundError(
+                    f"{self._path!r}: data file {rel!r} was vacuumed "
+                    f"while the stream replayed an old offset window "
+                    f"(the retention-vs-streaming contract in "
+                    f"snapshot_table.vacuum) — size keep_versions above "
+                    f"the stream's maximum checkpoint lag, and re-seed "
+                    f"this stream from a fresh batch read"
+                ) from None
             have = set(tbl.column_names)
             cols = [
                 tbl.column(n).to_pylist() if n in have else [None] * tbl.num_rows

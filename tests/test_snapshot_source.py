@@ -156,3 +156,58 @@ def test_table_to_table_pipeline_is_exactly_once_across_restart(
     out = st.read_snapshot(spark, dst_t)
     got = sorted((r["k"], r["v"]) for r in out.collect())
     assert got == [(k, 2 * k) for k in range(35)]
+
+
+def test_stream_behind_retention_floor_fails_actionably(spark, tmp_path):
+    """A stream whose checkpoint lags behind vacuum's log retention must
+    fail with the retention contract spelled out (keep_versions vs
+    checkpoint lag), never a bare open() FileNotFoundError — the same
+    treatment materialized_view._maintained_base_at got in r5."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 10), t)  # v0
+
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: df.collect())
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()  # checkpoint now holds offset v0
+    q.stop()
+
+    st.commit(_df(spark, 10, 15), t, mode="append")  # v1
+    st.commit(_df(spark, 15, 20), t, mode="append")  # v2
+    st.vacuum(t, keep_versions=1)  # expires manifests v0 and v1
+
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: df.collect())
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    with pytest.raises(Exception, match="expired by vacuum"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_vacuumed_data_file_mid_replay_fails_actionably(tmp_path):
+    """The narrower race: the manifest scan succeeded but a vacuum
+    deleted the data file before the replay read it — the reader names
+    the retention contract instead of leaking pyarrow's error."""
+    from pyspark.sql.types import StructType
+
+    from foglamp_filter_python35_spark.sources.snapshot_source import (
+        _SnapshotStreamReader,
+    )
+
+    reader = _SnapshotStreamReader(
+        StructType.fromJson({"type": "struct", "fields": []}),
+        {"path": str(tmp_path)},
+    )
+    with pytest.raises(FileNotFoundError, match="was vacuumed"):
+        reader._rows(["data/gone/part-00000.parquet"])
