@@ -25,7 +25,6 @@ batch reader is partition-parallel.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator
 
@@ -41,10 +40,9 @@ from foglamp_filter_python35_spark.sources import snapshot_table as st
 
 
 def _manifest(path: str, version: int) -> dict:
-    with open(
-        os.path.join(path, "manifests", f"v{version}.json")
-    ) as f:
-        return json.load(f)
+    # route through snapshot_table's reader so batch time travel to a
+    # vacuumed version gets the same actionable retention-floor message
+    return st._read_manifest(path, version)
 
 
 def _arrow_batches(file_path: str, schema: StructType):

@@ -137,8 +137,28 @@ def current_version(path: str) -> int | None:
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
-        return json.load(f)
+    try:
+        with open(
+            os.path.join(_manifest_dir(path), f"v{version}.json")
+        ) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # Same exception TYPE (callers catch-and-contextualize it), but
+        # an actionable message: a missing manifest is almost always a
+        # time travel below the vacuum retention floor, not a typo.
+        head = current_version(path)
+        if head is None:
+            why = "the table has no committed versions"
+        elif version < head:
+            why = (
+                f"head is v{head}; versions below the retention floor "
+                f"were expired by vacuum(keep_versions=...)"
+            )
+        else:
+            why = f"head is v{head}"
+        raise FileNotFoundError(
+            f"{path!r}: manifest v{version} does not exist ({why})"
+        ) from None
 
 
 def _list_parquet(commit_dir: str) -> list[str]:

@@ -864,3 +864,22 @@ def test_restart_storm_committers_vacuum_and_pinned_reader(spark, tmp_path):
     )
     assert manifests == [f"v{head}.json"]
     assert _keys(st.read_snapshot(spark, t)) == sorted(expected)
+
+
+def test_time_travel_below_retention_floor_names_vacuum(spark, tmp_path):
+    """read_snapshot(version=N) / read_changes on a vacuumed version
+    must say WHY the manifest is gone (retention floor, head version),
+    not raise a bare open() error."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 5), t)                    # v0
+    st.commit(_df(spark, 5, 10), t, mode="append")    # v1
+    st.commit(_df(spark, 10, 15), t, mode="append")   # v2
+    st.vacuum(t, keep_versions=1)                     # expires v0, v1
+
+    with pytest.raises(FileNotFoundError, match="expired by vacuum"):
+        st.read_snapshot(spark, t, version=0)
+    with pytest.raises(FileNotFoundError, match="expired by vacuum"):
+        st.read_changes(spark, t, 0, 2)
+    # a version that never existed names the head, not the floor
+    with pytest.raises(FileNotFoundError, match="head is v2"):
+        st.read_snapshot(spark, t, version=99)
