@@ -883,3 +883,135 @@ def test_time_travel_below_retention_floor_names_vacuum(spark, tmp_path):
     # a version that never existed names the head, not the floor
     with pytest.raises(FileNotFoundError, match="head is v2"):
         st.read_snapshot(spark, t, version=99)
+
+
+@pytest.mark.slow
+def test_compaction_storm_racing_committers_and_vacuum(spark, tmp_path):
+    """OPTIMIZE under concurrency — the one rewrite surface the restart
+    storm didn't race: a looping compactor (alternating bin-pack compact
+    and Z-order rewrites, riding through CommitConflict losses exactly
+    as a production OPTIMIZE loop would) races two appending committers
+    and a retention-guarded vacuum.  Post-storm: every appended row
+    exactly once, gap-free manifest chain, txns exactly once, and the
+    key-cancelled CDC feed from the seed version classifies the whole
+    storm as pure inserts — rewrite commits contribute ZERO change rows
+    (the read_changes rewrite-noise contract, now proven against
+    rewrites that interleaved arbitrarily with appends)."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "ctbl")
+    st.commit(
+        spark.range(0, 20)
+        .withColumnRenamed("id", "k")
+        .withColumn("x", (F2.col("k") * 37 % 101).cast("double"))
+        .withColumn("y", (F2.col("k") * 53 % 97).cast("double")),
+        t,
+    )  # v0 seed
+    seed_version = st.current_version(t)
+
+    stop = threading.Event()
+    errors: list = []
+    compactions = {"landed": 0, "lost": 0}
+
+    def committer(tid: int) -> None:
+        try:
+            for j in range(5):
+                lo = 1000 + 100 * tid + 10 * j
+                st.commit(
+                    spark.range(lo, lo + 5)
+                    .withColumnRenamed("id", "k")
+                    .withColumn("x", (F2.col("k") * 37 % 101).cast("double"))
+                    .withColumn("y", (F2.col("k") * 53 % 97).cast("double")),
+                    t,
+                    mode="append",
+                    txn=f"cstorm-t{tid}-{j}",
+                )
+                _time.sleep(0.6)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("committer", tid, repr(exc)))
+
+    def compactor() -> None:
+        try:
+            i = 0
+            while not stop.is_set():
+                try:
+                    if i % 2 == 0:
+                        st.compact(spark, t, target_files=2)
+                    else:
+                        st.optimize_zorder(
+                            spark, t, ["x", "y"], target_files=4
+                        )
+                    compactions["landed"] += 1
+                except st.CommitConflict:
+                    compactions["lost"] += 1  # loud, expected under race
+                i += 1
+                _time.sleep(0.02)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("compactor", 0, repr(exc)))
+
+    def vacuumer() -> None:
+        try:
+            while not stop.is_set():
+                st.vacuum(t, keep_versions=1000, min_age_seconds=300)
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("vacuum", 0, repr(exc)))
+
+    workers = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    loopers = [
+        threading.Thread(target=compactor),
+        threading.Thread(target=vacuumer),
+    ]
+    for th in loopers:
+        th.start()
+    for th in workers:
+        th.start()
+    for th in workers:
+        th.join(timeout=300)
+    # grace window: under saturated append traffic every rewrite cycle
+    # loses its require_parent race (the documented starvation tradeoff
+    # of optimistic OPTIMIZE); after traffic stops the loop must land
+    deadline = _time.time() + 120
+    while compactions["landed"] == 0 and _time.time() < deadline:
+        _time.sleep(0.2)
+    stop.set()
+    for th in loopers:
+        th.join(timeout=120)
+    assert not any(th.is_alive() for th in workers + loopers)
+    assert errors == []
+    assert compactions["landed"] > 0  # rewrites really interleaved
+    assert compactions["lost"] > 0    # and really raced (lost loudly)
+
+    # every appended row exactly once, regardless of rewrite interleaving
+    expected = list(range(20))
+    for tid in range(2):
+        for j in range(5):
+            lo = 1000 + 100 * tid + 10 * j
+            expected += range(lo, lo + 5)
+    assert _keys(st.read_snapshot(spark, t)) == sorted(expected)
+
+    # gap-free chain, every committer txn exactly once
+    head = st.current_version(t)
+    seen: set = set()
+    for v in range(head + 1):
+        m = st._read_manifest(t, v)
+        txn = m.get("txn")
+        if txn is not None:
+            assert txn not in seen, f"txn {txn} committed twice"
+            seen.add(txn)
+    assert len(seen) == 10
+
+    # CDC with key cancellation: the whole storm is pure inserts — the
+    # interleaved compact/zorder rewrites contribute zero change rows
+    feed = st.read_changes(spark, t, seed_version, head, key="k")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F2.count("*").alias("n")).collect()
+    }
+    assert by_type == {"insert": 50}, by_type
+    # one quiescent compact lands and bin-packs to the target
+    st.compact(spark, t, target_files=2)
+    assert len(st._read_manifest(t, st.current_version(t))["files"]) == 2
