@@ -1015,3 +1015,96 @@ def test_compaction_storm_racing_committers_and_vacuum(spark, tmp_path):
     # one quiescent compact lands and bin-packs to the target
     st.compact(spark, t, target_files=2)
     assert len(st._read_manifest(t, st.current_version(t))["files"]) == 2
+
+
+def test_concurrent_appends_evolving_different_columns_both_survive(
+    spark, tmp_path
+):
+    """Two racing appends each introduce a DIFFERENT new column; the
+    publish loop re-merges against whichever parent wins, so the head
+    schema must carry BOTH columns whatever the landing order, with
+    null-fill on every file that predates each column."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 5), t)  # schema: k
+
+    from pyspark.sql import functions as F2
+
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def add(col: str, lo: int) -> None:
+        try:
+            df = _df(spark, lo, lo + 3).withColumn(col, F2.lit(1.5))
+            barrier.wait(timeout=60)
+            st.commit(df, t, mode="append")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    ts = [
+        threading.Thread(target=add, args=("a_note", 10)),
+        threading.Thread(target=add, args=("b_flag", 20)),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=120)
+    assert errors == []
+
+    snap = st.read_snapshot(spark, t)
+    assert {"k", "a_note", "b_flag"} <= set(snap.columns)
+    rows = {r["k"]: (r["a_note"], r["b_flag"]) for r in snap.collect()}
+    assert rows[0] == (None, None)       # seed rows: both null-filled
+    assert rows[10][0] == 1.5 and rows[10][1] is None
+    assert rows[20][1] == 1.5 and rows[20][0] is None
+
+
+def test_concurrent_appends_conflicting_column_type_loser_is_loud(
+    spark, tmp_path
+):
+    """Two racing appends introduce the SAME new column with different
+    types.  The pre-write validation saw a parent without the column,
+    so only the publish-loop RE-MERGE can catch the conflict: exactly
+    one commit lands, the other raises SchemaConflict (never a silent
+    last-writer-wins on the type), and the loser's orphaned data files
+    are reclaimable by a quiescent vacuum."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 5), t)
+
+    from pyspark.sql import functions as F2
+
+    barrier = threading.Barrier(2)
+    outcomes: dict = {}
+
+    def add(tag: str, col_val) -> None:
+        try:
+            df = _df(spark, 10, 13).withColumn("z", F2.lit(col_val))
+            barrier.wait(timeout=60)
+            st.commit(df, t, mode="append")
+            outcomes[tag] = "ok"
+        except st.SchemaConflict:
+            outcomes[tag] = "conflict"
+        except Exception as exc:  # noqa: BLE001
+            outcomes[tag] = repr(exc)
+
+    ts = [
+        threading.Thread(target=add, args=("dbl", 1.5)),
+        threading.Thread(target=add, args=("str", "x")),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=120)
+    assert sorted(outcomes.values()) == ["conflict", "ok"], outcomes
+
+    # the winner's type is the table's type; the head still reads
+    snap = st.read_snapshot(spark, t)
+    assert "z" in snap.columns
+    assert snap.count() == 8
+    # the loser's data dir is an unreferenced orphan; vacuum reclaims it
+    deleted = st.vacuum(t, keep_versions=1, min_age_seconds=0)
+    assert any(p.endswith(".parquet") for p in deleted)
+    assert st.read_snapshot(spark, t).count() == 8
