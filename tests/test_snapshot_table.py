@@ -1108,3 +1108,90 @@ def test_concurrent_appends_conflicting_column_type_loser_is_loud(
     deleted = st.vacuum(t, keep_versions=1, min_age_seconds=0)
     assert any(p.endswith(".parquet") for p in deleted)
     assert st.read_snapshot(spark, t).count() == 8
+
+
+@pytest.mark.slow
+def test_change_feed_applied_to_old_snapshot_reproduces_new(spark, tmp_path):
+    """The CDC contract itself, as a row-level model check: for random
+    op sequences (append / upsert / delete / compact / zorder), applying
+    ``read_changes(i, j, key)`` to snapshot(i) must reproduce
+    snapshot(j) exactly — for every adjacent version pair AND the full
+    (first, head) span.  The MV suite verifies this indirectly through
+    maintained aggregates; this pins the row-level invariant the
+    aggregates are built on, including rewrite-noise cancellation when
+    a compaction/Z-order landed inside the span."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(20260816)
+
+    def kv(rows):
+        return spark.createDataFrame(rows, "k long, v double")
+
+    def snap_dict(version):
+        return {
+            r["k"]: r["v"]
+            for r in st.read_snapshot(spark, t, version=version).collect()
+        }
+
+    def apply_feed(old: dict, vi: int, vj: int) -> dict:
+        feed = st.read_changes(spark, t, vi, vj, key="k").collect()
+        new = dict(old)
+        pre = {r["k"] for r in feed if r["_change_type"] == "update_preimage"}
+        post = {r["k"] for r in feed if r["_change_type"] == "update_postimage"}
+        assert pre == post, "unpaired update pre/postimages"
+        for r in feed:
+            if r["_change_type"] in ("delete", "update_preimage"):
+                assert r["k"] in new, f"retraction of absent key {r['k']}"
+                if r["_change_type"] == "delete":
+                    del new[r["k"]]
+        for r in feed:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                new[r["k"]] = r["v"]
+        return new
+
+    for seq in range(2):
+        t = str(tmp_path / f"t{seq}")
+        next_k = [100]
+        st.commit(kv([(k, float(k)) for k in range(6)]), t)
+        versions = [st.current_version(t)]
+        for _ in range(6):
+            op = rng.choice(
+                ["append", "upsert", "delete", "compact", "zorder"]
+            )
+            if op == "append":
+                rows = [(next_k[0] + i, rng.uniform(0, 9)) for i in range(3)]
+                next_k[0] += 3
+                st.commit(kv(rows), t, mode="append")
+            elif op == "upsert":
+                existing = sorted(snap_dict(st.current_version(t)))
+                picks = rng.sample(existing, min(2, len(existing)))
+                st.merge_upsert(
+                    kv([(k, rng.uniform(10, 19)) for k in picks]), t, key="k"
+                )
+            elif op == "delete":
+                cur = snap_dict(st.current_version(t))
+                if len(cur) > 3:
+                    victim = rng.choice(sorted(cur))
+                    keep = st.read_snapshot(spark, t).filter(
+                        F2.col("k") != victim
+                    )
+                    st.commit(keep, t, mode="overwrite")
+            elif op == "compact":
+                st.compact(spark, t, target_files=1)
+            else:
+                st.optimize_zorder(spark, t, ["k", "v"], target_files=2)
+            versions.append(st.current_version(t))
+
+        # adjacent pairs + the full span
+        pairs = list(zip(versions, versions[1:])) + [
+            (versions[0], versions[-1])
+        ]
+        for vi, vj in pairs:
+            if vi == vj:
+                continue
+            got = apply_feed(snap_dict(vi), vi, vj)
+            assert got == snap_dict(vj), (
+                f"seq {seq}: feed {vi}->{vj} does not reproduce snapshot"
+            )
