@@ -158,6 +158,7 @@ def test_table_to_table_pipeline_is_exactly_once_across_restart(
     assert got == [(k, 2 * k) for k in range(35)]
 
 
+@pytest.mark.slow
 def test_stream_behind_retention_floor_fails_actionably(spark, tmp_path):
     """A stream whose checkpoint lags behind vacuum's log retention must
     fail with the retention contract spelled out (keep_versions vs
