@@ -398,6 +398,15 @@ def refresh_stats_view(
                 .alias("retracted"),
             )
         )
+        # One row per touched group — tiny.  Materialize it eagerly so
+        # (a) the change-feed scan runs ONCE (deltas feeds both the
+        # merge and the touched-group set), and (b) the retraction
+        # check below is an O(touched groups) driver-side peek, not a
+        # second pass over the feed.
+        deltas = deltas.localCheckpoint(eager=True)
+        any_retraction = (
+            deltas.filter(F.col("retracted")).limit(1).count() > 0
+        )
         old = _require_ivm_schema(
             st.read_snapshot(spark, view_path, version=view_v),
             view_path,
@@ -435,31 +444,39 @@ def refresh_stats_view(
             )
             .filter(F.col("n_rows") > 0)
         )
-        touched = deltas.filter(F.col("retracted")).select(*keys)
-        recomputed = (
-            st.read_snapshot(spark, base_path, version=cur)
-            .join(touched, keys, "left_semi")
-            .groupBy(*keys)
-            .agg(
-                F.min(value_col).alias("r_min"),
-                F.max(value_col).alias("r_max"),
+        if any_retraction:
+            touched = deltas.filter(F.col("retracted")).select(*keys)
+            recomputed = (
+                st.read_snapshot(spark, base_path, version=cur)
+                .join(touched, keys, "left_semi")
+                .groupBy(*keys)
+                .agg(
+                    F.min(value_col).alias("r_min"),
+                    F.max(value_col).alias("r_max"),
+                )
             )
-        )
-        final = (
-            merged.join(recomputed, keys, "left")
-            .select(
-                *keys,
-                "n_rows",
-                "n_vals",
-                "sum_q",
-                F.when(F.col("_retracted"), F.col("r_min"))
-                .otherwise(F.col("min_v"))
-                .alias("min_v"),
-                F.when(F.col("_retracted"), F.col("r_max"))
-                .otherwise(F.col("max_v"))
-                .alias("max_v"),
+            final = (
+                merged.join(recomputed, keys, "left")
+                .select(
+                    *keys,
+                    "n_rows",
+                    "n_vals",
+                    "sum_q",
+                    F.when(F.col("_retracted"), F.col("r_min"))
+                    .otherwise(F.col("min_v"))
+                    .alias("min_v"),
+                    F.when(F.col("_retracted"), F.col("r_max"))
+                    .otherwise(F.col("max_v"))
+                    .alias("max_v"),
+                )
             )
-        )
+        else:
+            # insert-only delta: the monotonic least/greatest merge is
+            # exact and the plan must not reference the base AT ALL —
+            # the dominant streaming shape (append micro-batches) then
+            # costs O(delta files), never O(base), which is the S8
+            # claim (a deleted-old-base-file tripwire test pins this)
+            final = merged.drop("_retracted")
         try:
             return st.commit(
                 final,

@@ -1337,3 +1337,56 @@ def test_ivm_streaming_maintainer_restart_storm(spark, tmp_path):
     assert markers == sorted(set(markers)), (
         f"ivm marker chain not strictly increasing: {markers}"
     )
+
+
+def test_insert_only_stats_refresh_never_references_the_base(spark, tmp_path):
+    """The S8 cost claim, pinned structurally: an INSERT-ONLY stats
+    refresh must cost O(delta) — its plan may not reference the base
+    table at all (the retraction-recompute branch is gated on an
+    O(touched-groups) check).  Tripwire: delete an ORIGINAL base data
+    file after the append; the change-feed read touches only the delta
+    files, so the refresh succeeds iff no base scan is even
+    constructed — before the r13 fix this died at analysis with
+    PATH_NOT_FOUND."""
+    import os
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    st.commit(
+        _kv(spark, [(100, "g0", 50.0), (101, "g1", -7.0)]),
+        base,
+        mode="append",
+    )
+
+    victim = os.path.join(base, st._read_manifest(base, 0)["files"][0])
+    os.remove(victim)  # any base reference now fails loudly
+
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    # expected: seed groups g0={0,3,6}, g1={1,4,7}, g2={2,5,8} plus the
+    # two inserts — monotonic min/max merge, signed count/sum deltas
+    assert got["g0"] == (4, 4, 59_000_000, 0.0, 50.0)
+    assert got["g1"] == (4, 4, 5_000_000, -7.0, 7.0)
+    assert got["g2"] == (3, 3, 15_000_000, 2.0, 8.0)
+
+    # a NULL-valued insert is still insert-only (no extreme can move)
+    st.commit(_kv(spark, [(102, "g2", None)]), base, mode="append")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert _stats_view(spark, view)["g2"] == (4, 3, 15_000_000, 2.0, 8.0)
+
+
+def test_retraction_refresh_still_recomputes_touched_groups(spark, tmp_path):
+    """The other side of the gate: a delta WITH a retraction must still
+    run the recompute fallback and surface the runner-up extreme."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(
+        _kv(spark, [(1, "a", 1.0), (2, "a", 9.0), (3, "b", 4.0)]), base
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+    # retract group a's max via upsert (update_preimage retraction)
+    st.merge_upsert(_kv(spark, [(2, "a", 5.0)]), base, key="rk")
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    assert got["a"] == (2, 2, 6_000_000, 1.0, 5.0)  # max fell 9 -> 5
+    assert got == _recompute_stats(spark, base)
