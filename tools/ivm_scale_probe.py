@@ -132,7 +132,26 @@ def main() -> None:
             w = time.monotonic() - t0
             refresh_wall = w if refresh_wall is None else min(refresh_wall, w)
 
-        # correctness guard: the probe must not time a wrong answer
+        # the stats view's insert-only refresh must be O(delta) too (its
+        # recompute branch is gated; commit 43e1279) — measure it on the
+        # same base so a regression to an O(base) plan shape shows up as
+        # growth here
+        sview = f"{ROOT}/sview_{mult}x"
+        mv.create_stats_view(spark, base, sview, ["grp"], "v")
+        stats_refresh_wall = None
+        for rep in range(2, 4):
+            st.commit(_delta_df(spark, n + rep * DELTA_ROWS), base, mode="append")
+            t0 = time.monotonic()
+            mv.refresh_stats_view(spark, base, sview, ["grp"], "v", row_key="rk")
+            w = time.monotonic() - t0
+            stats_refresh_wall = (
+                w if stats_refresh_wall is None else min(stats_refresh_wall, w)
+            )
+
+        # correctness guard: the probe must not time a wrong answer.
+        # (catch the agg view up first — the stats section appended two
+        # more deltas after the agg view's timed refreshes)
+        mv.refresh_agg_view(spark, base, view, ["grp"], "v", row_key="rk")
         got = {
             r["grp"]: (r["n_rows"], r["sum_q"])
             for r in st.read_snapshot(spark, view).collect()
@@ -152,6 +171,13 @@ def main() -> None:
             .collect()
         }
         assert got == want, f"{mult}x: refreshed view != recompute"
+        sgot = {
+            r["grp"]: (r["n_rows"], r["sum_q"])
+            for r in st.read_snapshot(spark, sview)
+            .select("grp", "n_rows", "sum_q")
+            .collect()
+        }
+        assert sgot == want, f"{mult}x: stats view != recompute"
 
         n_files = len(st._read_manifest(base, st.current_version(base))["files"])
         out["points"][f"{mult}x"] = {
@@ -159,9 +185,11 @@ def main() -> None:
             "base_files": n_files,
             "recompute_wall": round(recompute_wall, 3),
             "refresh_wall": round(refresh_wall, 3),
+            "stats_refresh_wall": round(stats_refresh_wall, 3),
         }
         print(f"{mult}x: rows={n} files={n_files} "
-              f"recompute={recompute_wall:.3f}s refresh={refresh_wall:.3f}s",
+              f"recompute={recompute_wall:.3f}s refresh={refresh_wall:.3f}s "
+              f"stats_refresh={stats_refresh_wall:.3f}s",
               flush=True)
 
     p1 = out["points"].get("1x")
@@ -170,6 +198,9 @@ def main() -> None:
         out["refresh_growth"] = round(pN["refresh_wall"] / p1["refresh_wall"], 2)
         out["recompute_growth"] = round(
             pN["recompute_wall"] / p1["recompute_wall"], 2
+        )
+        out["stats_refresh_growth"] = round(
+            pN["stats_refresh_wall"] / p1["stats_refresh_wall"], 2
         )
     print(json.dumps(out))
 
