@@ -1195,3 +1195,26 @@ def test_change_feed_applied_to_old_snapshot_reproduces_new(spark, tmp_path):
             assert got == snap_dict(vj), (
                 f"seq {seq}: feed {vi}->{vj} does not reproduce snapshot"
             )
+
+
+def test_read_changes_never_touches_files_shared_by_both_manifests(
+    spark, tmp_path
+):
+    """The incremental-consumer cost claim, pinned structurally: a CDC
+    read between two versions may only reference the files that DIFFER
+    between their manifests.  Tripwire: delete a file present in BOTH
+    manifests — the diff across that span must still succeed (same
+    technique as the IVM insert-only tripwire)."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 10), t)                   # v0
+    st.commit(_df(spark, 10, 15), t, mode="append")   # v1
+    st.commit(_df(spark, 15, 20), t, mode="append")   # v2
+
+    shared = st._read_manifest(t, 0)["files"][0]
+    os.remove(os.path.join(t, shared))
+
+    rows = st.read_changes(spark, t, 1, 2, key="k").collect()
+    assert sorted(r["k"] for r in rows) == list(range(15, 20))
+    assert {r["_change_type"] for r in rows} == {"insert"}
