@@ -65,6 +65,12 @@ def get_spark(
         # --- broadcast threshold: dims (region/nation/part/supplier) fly ---
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Python<->JVM local-socket connects (collect, createDataFrame,
+        # accumulators) default to a 15s connect timeout; on a loaded
+        # box a storm of concurrent driver actions can lose that race
+        # (observed as CANNOT_OPEN_SOCKET ... timed out, three times in
+        # r13 under co-tenant load). Patience costs nothing when idle.
+        "spark.python.authenticate.socketTimeout": "120s",
         "spark.ui.enabled": "false",
     }
     if extra_conf:

@@ -267,3 +267,15 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("asset_code") == "a")
     assert E.pushed_filters(filtered), "ORC scan must receive pushdown"
     assert sorted(r.id for r in filtered.collect()) == [1, 3]
+
+
+def test_session_raises_python_auth_socket_timeout(spark):
+    """The engine session must widen the Python<->JVM local-socket
+    connect timeout from the 15s default: under co-tenant load a storm
+    of concurrent driver actions loses the 15s race (observed three
+    times in r13 as CANNOT_OPEN_SOCKET).  The JVM exports the effective
+    value to SPARK_AUTH_SOCKET_TIMEOUT at context init, which is what
+    pyspark.util actually reads at connect time."""
+    import os
+
+    assert int(os.environ.get("SPARK_AUTH_SOCKET_TIMEOUT", "15")) >= 120
