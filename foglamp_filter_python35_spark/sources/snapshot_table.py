@@ -517,6 +517,16 @@ def merge_upsert(
     )
 
 
+def _parent_stat_cols(path: str, parent: int) -> list[str]:
+    """The columns the parent manifest carries per-file stats for —
+    what a rewrite must re-harvest so OPTIMIZE never silently degrades
+    file skipping."""
+    cols: set[str] = set()
+    for per_file in _read_manifest(path, parent).get("stats", {}).values():
+        cols.update(per_file)
+    return sorted(cols)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -528,17 +538,31 @@ def compact(
     micro-batch epoch means one file per epoch).  A single coalesce-and-
     rewrite published as an overwrite commit under ``require_parent`` —
     a racing commit raises instead of being lost; old versions stay
-    time-travelable until ``vacuum``."""
+    time-travelable until ``vacuum``.
+
+    ``stats_cols=None`` (default) INHERITS the stat columns the parent
+    manifest carries, so an OPTIMIZE pass never silently drops the
+    file-skipping metadata the table had (found by probe in r13: a
+    bare ``compact()`` on a stats-carrying table turned a 1-file pruned
+    read back into a full scan).  Pass an explicit list to change the
+    stats coverage, or ``[]`` to deliberately drop it.  Caveat the
+    harvest cannot fix: bin-packing round-robins rows across the new
+    files, so the re-harvested ranges are wide — correct, but weak for
+    pruning.  To re-establish real skipping after compaction, follow
+    with ``optimize_zorder`` (which unions its cols with the inherited
+    coverage)."""
     parent = current_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version at {path!r}")
+    if stats_cols is None:
+        stats_cols = _parent_stat_cols(path, parent)
     snap = read_snapshot(spark, path, version=parent)
     return commit(
         snap.repartition(target_files),
         path,
         mode="overwrite",
         require_parent=parent,
-        stats_cols=stats_cols,
+        stats_cols=stats_cols or None,
     )
 
 
@@ -601,7 +625,10 @@ def optimize_zorder(
         path,
         mode="overwrite",
         require_parent=parent,
-        stats_cols=cols,
+        # harvest stats for the z-ordered columns AND whatever columns
+        # the parent already carried stats for — a Z-order pass must
+        # never shrink the table's file-skipping coverage
+        stats_cols=sorted(set(cols) | set(_parent_stat_cols(path, parent))),
     )
 
 

@@ -1218,3 +1218,49 @@ def test_read_changes_never_touches_files_shared_by_both_manifests(
     rows = st.read_changes(spark, t, 1, 2, key="k").collect()
     assert sorted(r["k"] for r in rows) == list(range(15, 20))
     assert {r["_change_type"] for r in rows} == {"insert"}
+
+
+def test_compact_inherits_parent_stats_coverage(spark, tmp_path):
+    """OPTIMIZE must never silently degrade file skipping: a bare
+    compact() on a stats-carrying table re-harvests the SAME stat
+    columns (r13 probe found the old default dropped them — a pruned
+    1-file read silently became a full scan)."""
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        st.commit(_df(spark, lo, hi).coalesce(1), t, stats_cols=["k"])
+    assert len(
+        st.read_snapshot(spark, t, between=("k", 120, 130)).inputFiles()
+    ) == 1
+
+    st.compact(spark, t, target_files=3)  # no stats_cols: inherit
+    head = st._read_manifest(t, st.current_version(t))
+    assert head["stats"], "compaction dropped the per-file stats"
+    # bin-packing round-robins rows, so the re-harvested ranges are
+    # WIDE (each file spans the key space) — they cannot prune this
+    # probe, but they are correct, present for every file, and a later
+    # zorder unions them into real skipping again
+    assert set(head["stats"]) == set(head["files"])
+    for per_file in head["stats"].values():
+        assert "k" in per_file
+    pruned = st.read_snapshot(spark, t, between=("k", 120, 130))
+    assert _keys(pruned) == list(range(120, 131))  # exact under wide stats
+
+    # explicit [] deliberately drops coverage (the old behavior, opt-in)
+    st.compact(spark, t, target_files=3, stats_cols=[])
+    assert not st._read_manifest(t, st.current_version(t))["stats"]
+
+
+def test_zorder_unions_cols_with_parent_stats(spark, tmp_path):
+    """A Z-order pass on column x must keep the parent's stats coverage
+    of k as well — rewrites only ever widen skipping metadata."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    df = _df(spark, 0, 300).withColumn("x", (F2.col("k") * 7 % 100).cast("double"))
+    st.commit(df.coalesce(3), t, stats_cols=["k"])
+    st.optimize_zorder(spark, t, ["x"], target_files=3)
+    head = st._read_manifest(t, st.current_version(t))
+    covered = set()
+    for per_file in head["stats"].values():
+        covered.update(per_file)
+    assert covered == {"k", "x"}
