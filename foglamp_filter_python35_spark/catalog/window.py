@@ -10,69 +10,66 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r12 driver evidence covers all
-# 153 catalog queries.  The round-13 window (tools/rotate_window.py,
-# change-aware) leads with the 5 multimodal queries FORCE-INCLUDED
-# because functions/multimodal.py changed this round (AU 24-bit
-# strictness + shard vacuum), then re-confirms the 45
-# least-recently-verified greens: the eight r9 leftovers
-# (revenue_deciles, name_fuzzy_match, grouping_sets_revenue,
-# value_histogram, retention_cohorts, top_session_paths,
-# corpus_rebalance, event_path_transitions) plus 37 of the r10-era
-# dedup/vector/pipeline cohort.  After r13 every catalog query's
-# driver evidence is r10 or newer (the displaced r10 greens —
-# conversion_latency, error_burst_join, text_normalize, token_pmi,
-# weighted_sample — plus the r10/r11 tail roll to r14).  Queries not
-# listed keep module order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r13 driver evidence covers all
+# 153 catalog queries, none ever red.  The round-14 window
+# (tools/rotate_window.py, change-aware: 0 package files changed since
+# the r13 boundary, so 0 FORCED entries) is purely staleness-ordered:
+# the eight r10 leftovers (token_pmi, text_normalize, conversion_latency,
+# error_burst_join, weighted_sample, lang_mix_gini, dup_rate_by_source,
+# split_leakage) then the 42 least-recently-verified r11 greens
+# (signal cohort, text cohort, and the r11 vector/dedup audits).  After
+# r14 every catalog query's driver evidence is r11 or newer — the
+# VERDICT r13 "evidence staleness" ask.  Queries not listed keep module
+# order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "multimodal_dedup",  # green r12 FORCED(changed)
-    "multimodal_meta",  # green r12 FORCED(changed)
-    "multimodal_features",  # green r12 FORCED(changed)
-    "multimodal_resize",  # green r12 FORCED(changed)
-    "multimodal_frames",  # green r12 FORCED(changed)
-    "revenue_deciles",  # green r9
-    "name_fuzzy_match",  # green r9
-    "grouping_sets_revenue",  # green r9
-    "value_histogram",  # green r9
-    "retention_cohorts",  # green r9
-    "top_session_paths",  # green r9
-    "corpus_rebalance",  # green r9
-    "event_path_transitions",  # green r9
-    "latest_event_per_user",  # green r10
-    "waiting_suppliers",  # green r10
-    "min_cost_supplier",  # green r10
-    "dominant_part_suppliers",  # green r10
-    "salted_enrich_rollup",  # green r10
-    "column_profile",  # green r10
-    "snapshot_diff",  # green r10
-    "weekday_hour_heatmap",  # green r10
-    "parts_supplier_counts",  # green r10
-    "moving_average",  # green r10
-    "median_filter",  # green r10
-    "ema_smooth",  # green r10
-    "deadband_chunked",  # green r10
-    "dedup_exact",  # green r10
-    "minhash_lsh_dedup",  # green r10
-    "ngram_jaccard_pairs",  # green r10
-    "doc_containment",  # green r10
-    "simhash_dedup",  # green r10
-    "dedup_clusters",  # green r10
-    "dedup_apply",  # green r10
-    "dedup_ensemble",  # green r10
-    "embedding_norm_outliers",  # green r10
-    "embedding_topk",  # green r10
-    "embedding_cosine_dup",  # green r10
-    "embedding_ivf_topk",  # green r10
-    "embedding_knn_join",  # green r10
-    "embedding_lsh_dup",  # green r10
-    "embedding_centroids",  # green r10
-    "embedding_quantize",  # green r10
-    "semantic_dedup",  # green r10
-    "knn_label_purity",  # green r10
-    "embedding_dim_stats",  # green r10
-    "ivf_cell_histogram",  # green r10
-    "domain_quota_sample",  # green r10
-    "incremental_dedup",  # green r10
-    "sliding_window_rate",  # green r10
-    "bm25_retrieval",  # green r10
+    "token_pmi",  # green r10
+    "text_normalize",  # green r10
+    "conversion_latency",  # green r10
+    "error_burst_join",  # green r10
+    "weighted_sample",  # green r10
+    "lang_mix_gini",  # green r10
+    "dup_rate_by_source",  # green r10
+    "split_leakage",  # green r10
+    "spc_control_chart",  # green r11
+    "value_delta",  # green r11
+    "change_detect",  # green r11
+    "threshold_alarm",  # green r11
+    "zscore_anomaly",  # green r11
+    "downsample_1h",  # green r11
+    "locf_gap_fill",  # green r11
+    "session_rollup",  # green r11
+    "percentile_summary",  # green r11
+    "deadband_suppress",  # green r11
+    "interp_gap_fill",  # green r11
+    "winsorize_clip",  # green r11
+    "asset_correlation",  # green r11
+    "mad_outliers",  # green r11
+    "text_stats",  # green r11
+    "token_fertility",  # green r11
+    "quality_score",  # green r11
+    "language_id",  # green r11
+    "token_count_total",  # green r11
+    "doc_fingerprint",  # green r11
+    "tfidf_top_terms",  # green r11
+    "bigram_topk",  # green r11
+    "train_test_split",  # green r11
+    "doc_chunking",  # green r11
+    "lang_mismatch",  # green r11
+    "corpus_prefilter",  # green r11
+    "stratified_sample",  # green r11
+    "pii_redact",  # green r11
+    "benchmark_contamination",  # green r11
+    "doc_repetition",  # green r11
+    "top_bigram_fraction",  # green r11
+    "pretokenize_counts",  # green r11
+    "doc_length_histogram",  # green r11
+    "minhash_accuracy",  # green r11
+    "dedup_cluster_histogram",  # green r11
+    "ivf_recall_audit",  # green r11
+    "embedding_label_margin",  # green r11
+    "ivf_train_kmeans",  # green r11
+    "embedding_pca_power",  # green r11
+    "span_dedup",  # green r11
+    "trigram_lm",  # green r11
+    "event_disorder_audit",  # green r11
 )
