@@ -96,6 +96,25 @@ def _signed(change_col: str):
     ).otherwise(F.lit(-1))
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'s stored blocks.
+
+    ``localCheckpoint`` persists the plan's internal RDD and Spark only
+    frees those blocks when the RDD object is GC'd, so each attempt of
+    the CommitConflict retry loop would otherwise leave its own copy
+    pinned until a driver GC.  The checkpointed DataFrame's analyzed
+    plan is a ``LogicalRDD`` whose ``rdd()`` is exactly the persisted
+    RDD — unpersist it once the attempt's commit (or conflict) has
+    consumed it.  Call ONLY after the DataFrame will never be read
+    again: a localCheckpoint truncates lineage, so freed blocks cannot
+    be recomputed.  Failure here is harmless (blocks fall back to
+    GC-based cleanup), hence the blanket except."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - cleanup must never mask the refresh
+        pass
+
+
 def _maintained_base_at(
     view_path: str, view_version: int, rebuild: str = "create_agg_view"
 ) -> int | None:
@@ -402,7 +421,13 @@ def refresh_stats_view(
         # (a) the change-feed scan runs ONCE (deltas feeds both the
         # merge and the touched-group set), and (b) the retraction
         # check below is an O(touched groups) driver-side peek, not a
-        # second pass over the feed.
+        # second pass over the feed.  localCheckpoint blocks are
+        # NON-reliable (executor loss mid-refresh fails the attempt
+        # instead of recomputing — acceptable for this local-mode
+        # engine; a multi-executor deployment would use
+        # ``checkpoint()`` against reliable storage here), and they are
+        # freed explicitly after each attempt so retries don't stack
+        # copies until GC.
         deltas = deltas.localCheckpoint(eager=True)
         any_retraction = (
             deltas.filter(F.col("retracted")).limit(1).count() > 0
@@ -487,6 +512,10 @@ def refresh_stats_view(
             )
         except st.CommitConflict:
             continue  # a concurrent refresh landed; re-read and re-merge
+        finally:
+            # the attempt is over either way (committed, conflicted, or
+            # failed) and `final` has been fully evaluated or abandoned
+            _free_local_checkpoint(deltas)
     raise st.CommitConflict(
         f"view refresh lost the serializable race 5 times on {view_path!r}"
     )

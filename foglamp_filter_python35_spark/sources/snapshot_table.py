@@ -150,10 +150,33 @@ def _read_manifest(path: str, version: int) -> dict:
         if head is None:
             why = "the table has no committed versions"
         elif version < head:
-            why = (
-                f"head is v{head}; versions below the retention floor "
-                f"were expired by vacuum(keep_versions=...)"
-            )
+            # vacuum retains a CONTIGUOUS suffix [floor..head], so an
+            # even-older manifest still existing means this is a hole —
+            # manual deletion, corruption cleanup, or a crash between
+            # link and pointer update — not retention; don't name a
+            # cause the evidence contradicts.
+            try:
+                has_older = any(
+                    f.startswith("v")
+                    and f.endswith(".json")
+                    and f[1:-5].isdigit()
+                    and int(f[1:-5]) < version
+                    for f in os.listdir(_manifest_dir(path))
+                )
+            except OSError:
+                has_older = False
+            if has_older:
+                why = (
+                    f"head is v{head} but an older manifest still "
+                    f"exists — a gap below head is never produced by "
+                    f"vacuum; the manifest was removed outside the "
+                    f"table protocol"
+                )
+            else:
+                why = (
+                    f"head is v{head}; most likely expired by "
+                    f"vacuum(keep_versions=...)"
+                )
         else:
             why = f"head is v{head}"
         raise FileNotFoundError(
@@ -554,15 +577,22 @@ def compact(
     parent = current_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version at {path!r}")
+    # Keep the two distinguishable intents separate: None = inherit the
+    # parent's coverage (an inherited-but-EMPTY coverage means the
+    # parent had no stats, so harvest none), while an explicit [] is the
+    # documented deliberate-drop contract.  Collapsing both through one
+    # `stats_cols or None` hid the distinction from future edits.
     if stats_cols is None:
-        stats_cols = _parent_stat_cols(path, parent)
+        harvest = _parent_stat_cols(path, parent) or None
+    else:
+        harvest = stats_cols or None  # explicit [] -> drop coverage
     snap = read_snapshot(spark, path, version=parent)
     return commit(
         snap.repartition(target_files),
         path,
         mode="overwrite",
         require_parent=parent,
-        stats_cols=stats_cols or None,
+        stats_cols=harvest,
     )
 
 

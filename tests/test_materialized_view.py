@@ -1376,6 +1376,78 @@ def test_insert_only_stats_refresh_never_references_the_base(spark, tmp_path):
     assert _stats_view(spark, view)["g2"] == (4, 3, 15_000_000, 2.0, 8.0)
 
 
+def test_stats_refresh_frees_checkpoint_blocks(spark, tmp_path):
+    """The deltas localCheckpoint must not leak storage: each refresh
+    attempt persists one small RDD, and the refresh frees it once the
+    commit (or conflict) has consumed it.  Before the r14 fix, blocks
+    lingered until driver GC — one extra copy per CommitConflict
+    retry."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    st.commit(_kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(9)]), base)
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    for j in range(3):
+        st.commit(
+            _kv(spark, [(100 + j, "g0", 50.0 + j)]), base, mode="append"
+        )
+        mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert after - before == set(), (
+        "refresh_stats_view leaked localCheckpoint blocks"
+    )
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+
+def test_insert_only_refresh_over_optimized_base_stays_o_changes(
+    spark, tmp_path
+):
+    """Tripwire for the OPTIMIZE stats-inheritance change (r13): after a
+    compact + Z-order rewrite of the base, an insert-only refresh must
+    STILL cost O(changes) — its plan may not reference any base file,
+    including the rewrite's own output files.  Technique as the r13
+    O(base) find: delete a base data file the plan must not need and
+    let any accidental reference fail loudly at analysis."""
+    import os
+
+    base, view = str(tmp_path / "obase"), str(tmp_path / "oview")
+    st.commit(
+        _kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(12)]),
+        base,
+        stats_cols=["rk"],
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+
+    # the rewrites the r13 change touched: bin-pack then Z-order
+    st.compact(spark, base, target_files=2)
+    st.optimize_zorder(spark, base, ["v"], target_files=2)
+    # a refresh whose feed spans the rewrites: key cancellation makes
+    # the net change empty, and the view must still equal recompute
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    assert mv.maintained_base_version(view) == st.current_version(base)
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+    # now the probe: append after OPTIMIZE, delete one of the
+    # OPTIMIZE's output files — the insert-only refresh reads only the
+    # append delta, so it succeeds iff no base scan is constructed
+    st.commit(
+        _kv(spark, [(200, "g0", 99.0), (201, "g1", -3.0)]),
+        base,
+        mode="append",
+    )
+    opt_head = st.current_version(base) - 1  # the zorder commit
+    victim = os.path.join(base, st._read_manifest(base, opt_head)["files"][0])
+    os.remove(victim)
+
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    got = _stats_view(spark, view)
+    # seed g0={0,3,6,9}, g1={1,4,7,10}, g2={2,5,8,11} plus the inserts
+    assert got["g0"] == (5, 5, 117_000_000, 0.0, 99.0)
+    assert got["g1"] == (5, 5, 19_000_000, -3.0, 10.0)
+    assert got["g2"] == (4, 4, 26_000_000, 2.0, 11.0)
+
+
 def test_retraction_refresh_still_recomputes_touched_groups(spark, tmp_path):
     """The other side of the gate: a delta WITH a retraction must still
     run the recompute fallback and surface the runner-up extreme."""

@@ -885,6 +885,55 @@ def test_time_travel_below_retention_floor_names_vacuum(spark, tmp_path):
         st.read_snapshot(spark, t, version=99)
 
 
+def test_manifest_gap_below_head_not_blamed_on_vacuum(spark, tmp_path):
+    """A manifest HOLE (older manifests still exist below it) cannot be
+    vacuum's doing — vacuum retains a contiguous suffix.  The error must
+    not assert a cause the surviving files contradict (r13 advice)."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 5), t)                    # v0
+    st.commit(_df(spark, 5, 10), t, mode="append")    # v1
+    st.commit(_df(spark, 10, 15), t, mode="append")   # v2
+    os.remove(os.path.join(st._manifest_dir(t), "v1.json"))
+
+    with pytest.raises(
+        FileNotFoundError, match="removed outside the table protocol"
+    ):
+        st.read_snapshot(spark, t, version=1)
+    # the contiguous-truncation shape still (hedged) names vacuum —
+    # v0 is the oldest manifest, so nothing below it contradicts that
+    os.remove(os.path.join(st._manifest_dir(t), "v0.json"))
+    with pytest.raises(FileNotFoundError, match="most likely expired"):
+        st.read_snapshot(spark, t, version=0)
+
+
+def test_pruning_survives_optimize_with_inherited_stats(spark, tmp_path):
+    """Tripwire for the OPTIMIZE stats-inheritance change (r13): after a
+    Z-order rewrite, range probes must STILL prune files — proven the
+    strong way, by deleting an output file outside the probed range and
+    asserting the pruned read never references it."""
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
+        st.commit(_df(spark, lo, hi).coalesce(1), t, mode="append",
+                  stats_cols=["k"])
+    st.optimize_zorder(spark, t, ["k"], target_files=4)
+
+    head = st._read_manifest(t, st.current_version(t))
+    pruned = st.read_snapshot(spark, t, between=("k", 10, 20))
+    assert len(pruned.inputFiles()) == 1, "zorder output did not prune"
+
+    # delete an output file whose k-range cannot intersect [10, 20]
+    victim = None
+    for f, per_file in head["stats"].items():
+        lo, hi = per_file["k"]
+        if lo > 20 or hi < 10:
+            victim = f
+            break
+    assert victim is not None
+    os.remove(os.path.join(t, victim))
+    got = _keys(st.read_snapshot(spark, t, between=("k", 10, 20)))
+    assert got == list(range(10, 21))
+
+
 @pytest.mark.slow
 def test_compaction_storm_racing_committers_and_vacuum(spark, tmp_path):
     """OPTIMIZE under concurrency — the one rewrite surface the restart
