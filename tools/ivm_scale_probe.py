@@ -28,6 +28,11 @@ documented in merge_upsert's docstring.
 Usage (run alone — co-tenant Spark sessions contaminate timings):
     python tools/ivm_scale_probe.py                 # ~3 min, /tmp/ivm_probe
     python tools/ivm_scale_probe.py --mults 1,10
+    python tools/ivm_scale_probe.py --optimize      # refresh over an
+        # OPTIMIZE'd base: the base is committed with per-file stats and
+        # Z-order-rewritten (which inherits+unions that stats coverage,
+        # the r13 change) BEFORE the views are created, so every timed
+        # refresh's change feed starts at a rewrite-produced manifest
 """
 
 from __future__ import annotations
@@ -91,6 +96,7 @@ def _delta_df(spark, base_rows: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--optimize", action="store_true")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -111,7 +117,18 @@ def main() -> None:
         n = BASE_ROWS * mult
         base = f"{ROOT}/base_{mult}x"
         view = f"{ROOT}/view_{mult}x"
-        st.commit(_base_df(spark, n), base)
+        st.commit(
+            _base_df(spark, n),
+            base,
+            stats_cols=["rk"] if args.optimize else None,
+        )
+        if args.optimize:
+            # rewrite the whole base (inheriting + unioning the stats
+            # coverage) so the timed refreshes below advance FROM a
+            # rewrite-produced manifest — the post-OPTIMIZE shape
+            st.optimize_zorder(
+                spark, base, ["v"], target_files=max(1, n // ROWS_PER_FILE)
+            )
 
         # a SECOND create on the same view path is an ivm@N idempotent
         # no-op (its wall is the txn lookup, not the recompute), so each
