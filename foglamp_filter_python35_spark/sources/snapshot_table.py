@@ -513,6 +513,12 @@ def merge_upsert(
     copy-on-write — per-file key min/max in the manifest restricts the
     rewrite to files that can contain a matching key, identical
     protocol, smaller rewrite set.
+
+    Like every rewrite (``compact``, ``optimize_zorder``), the merge
+    re-harvests the stat columns the parent manifest covered — found by
+    the r14 cross-protocol storm: an un-inheriting MERGE silently
+    destroyed the whole table's file-skipping metadata (the rewritten
+    files replace the covered ones, taking their stats with them).
     """
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
@@ -520,18 +526,21 @@ def merge_upsert(
         parent = current_version(path)
         if parent is None:
             merged = df
+            harvest = None
         else:
             snap = read_snapshot(spark, path, version=parent)
             kept = snap.join(
                 df.select(*keys).distinct(), keys, "left_anti"
             )
             merged = kept.unionByName(df, allowMissingColumns=True)
+            harvest = _parent_stat_cols(path, parent) or None
         try:
             return commit(
                 merged,
                 path,
                 mode="overwrite",
                 require_parent=parent if parent is not None else -1,
+                stats_cols=harvest,
             )
         except CommitConflict:
             continue  # someone committed meanwhile; re-read and re-merge

@@ -1339,6 +1339,237 @@ def test_ivm_streaming_maintainer_restart_storm(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_cross_protocol_storm_on_one_table(spark, tmp_path):
+    """r14 verdict ask: every protocol that shares a table's manifest
+    metadata, composed on ONE base — prior storms raced each protocol
+    separately, and the r13 OPTIMIZE stats-inheritance change touched
+    exactly the metadata these parties hand each other.  Live at once:
+
+    - 2 snapshot committers: txn appends (each replayed immediately,
+      the restarted-driver shape) plus extreme-moving merge_upserts so
+      the stats retraction/recompute path fires mid-storm;
+    - an OPTIMIZE loop alternating bin-pack compact and Z-order
+      rewrites (inheriting/unioning the base's stats coverage), riding
+      CommitConflict losses as a production OPTIMIZE loop would;
+    - an IVM batch refresher AND the streaming stats maintainer on the
+      SAME view (the operational race), with a reviver that restarts
+      the stream if a lost serializable race inside foreachBatch kills
+      it (the documented loud outcome);
+    - retention-guarded vacuums looping on base and view;
+    - a checker asserting the serializable-history invariant WHILE the
+      history is being made: the current view head must equal a
+      recompute of the exact base version its ivm@N marker names.
+
+    Post-storm: full serializability (gap-free chain, txns exactly
+    once, every appended row exactly once), view bit-identical to
+    recompute, ivm marker chain strictly increasing, and the manifest
+    stats coverage seeded at v0 survived every rewrite interleaving."""
+    import threading
+    import time as _time
+
+    base = str(tmp_path / "xbase")
+    view = str(tmp_path / "xview")
+    ck = str(tmp_path / "xck")
+    st.commit(
+        _kv(spark, [(i, f"g{i % 4}", float(i)) for i in range(16)]),
+        base,
+        stats_cols=["rk"],
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+
+    stop = threading.Event()
+    errors: list = []
+    rewrites = {"landed": 0, "lost": 0}
+    checker_rounds = {"n": 0}
+    revived = {"n": 0}
+
+    def committer(tid: int) -> None:
+        try:
+            for j in range(4):
+                lo = 100 + 100 * tid + 10 * j
+                df = _kv(
+                    spark,
+                    [(k, f"g{k % 4}", float(k)) for k in range(lo, lo + 4)],
+                )
+                txn = f"xstorm-t{tid}-{j}"
+                v1 = st.commit(df, base, mode="append", txn=txn)
+                v2 = st.commit(df, base, mode="append", txn=txn)  # replay
+                assert v2 == v1, f"txn {txn} double-committed: {v1}/{v2}"
+                # retract a seed extreme: forces the recompute fallback
+                st.merge_upsert(
+                    _kv(spark, [(15 - tid, f"g{(15 - tid) % 4}", -1.0 * j)]),
+                    base,
+                    key="rk",
+                    max_retries=50,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("committer", tid, repr(exc)))
+
+    def rewriter() -> None:
+        try:
+            i = 0
+            while not stop.is_set():
+                try:
+                    if i % 2 == 0:
+                        st.compact(spark, base, target_files=2)
+                    else:
+                        st.optimize_zorder(spark, base, ["v"], target_files=4)
+                    rewrites["landed"] += 1
+                except st.CommitConflict:
+                    rewrites["lost"] += 1
+                i += 1
+                _time.sleep(0.02)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("rewriter", 0, repr(exc)))
+
+    def batch_refresher() -> None:
+        try:
+            while not stop.is_set():
+                try:
+                    mv.refresh_stats_view(
+                        spark, base, view, ["grp"], "v", row_key="rk"
+                    )
+                except st.CommitConflict:
+                    pass  # exhausted retries under storm: loud, acceptable
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("batch_refresher", 0, repr(exc)))
+
+    def start_stream():
+        return mv.stream_stats_view(
+            spark, base, view, ["grp"], "v", row_key="rk",
+            checkpoint_dir=ck, query_name="xstorm",
+        )
+
+    q_box = {"q": start_stream()}
+
+    def reviver() -> None:
+        try:
+            while not stop.is_set():
+                _time.sleep(0.5)
+                if not q_box["q"].isActive:
+                    revived["n"] += 1
+                    q_box["q"] = start_stream()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("reviver", 0, repr(exc)))
+
+    def vacuumer(path: str) -> None:
+        try:
+            while not stop.is_set():
+                st.vacuum(path, keep_versions=1000, min_age_seconds=300)
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("vacuum", path, repr(exc)))
+
+    def checker() -> None:
+        try:
+            while not stop.is_set():
+                vv = st.current_version(view)
+                bb = mv._maintained_base_at(view, vv)
+                got = {
+                    (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
+                    for r in st.read_snapshot(spark, view, version=vv).collect()
+                }
+                want = {
+                    (r.grp): (r.n_rows, r.n_vals, r.sum_q, r.min_v, r.max_v)
+                    for r in st.read_snapshot(spark, base, version=bb)
+                    .groupBy("grp")
+                    .agg(*_stats_cols())
+                    .collect()
+                }
+                assert got == want, (
+                    f"view v{vv} (ivm@{bb}) diverged from recompute"
+                )
+                checker_rounds["n"] += 1
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("checker", 0, repr(exc)))
+
+    workers = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    loopers = [
+        threading.Thread(target=rewriter),
+        threading.Thread(target=batch_refresher),
+        threading.Thread(target=reviver),
+        threading.Thread(target=checker),
+        threading.Thread(target=vacuumer, args=(base,)),
+        threading.Thread(target=vacuumer, args=(view,)),
+    ]
+    try:
+        for th in loopers:
+            th.start()
+        for th in workers:
+            th.start()
+        for th in workers:
+            th.join(timeout=300)
+        # grace window: under saturated traffic every rewrite cycle can
+        # lose its require_parent race; after traffic stops it must land
+        deadline = _time.time() + 120
+        while rewrites["landed"] == 0 and _time.time() < deadline:
+            _time.sleep(0.2)
+        stop.set()
+        for th in loopers:
+            th.join(timeout=120)
+        assert not any(th.is_alive() for th in workers + loopers)
+    finally:
+        stop.set()
+        try:
+            q_box["q"].stop()
+        except Exception:  # noqa: BLE001
+            pass
+
+    assert errors == []
+    assert checker_rounds["n"] > 0   # the invariant really ran mid-storm
+    assert rewrites["landed"] > 0    # rewrites really interleaved
+
+    # quiesce: view catches up and is bit-identical to recompute
+    mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+    head = st.current_version(base)
+    assert mv.maintained_base_version(view) == head
+    assert _stats_view(spark, view) == _recompute_stats(spark, base)
+
+    # serializability: gap-free chain, every committer txn exactly once
+    seen_txn: set = set()
+    for v in range(head + 1):
+        m = st._read_manifest(base, v)  # raises on any gap
+        txn = m.get("txn")
+        if txn is not None and txn.startswith("xstorm-"):
+            assert txn not in seen_txn, f"txn {txn} committed twice"
+            seen_txn.add(txn)
+    assert len(seen_txn) == 8
+    # every appended row exactly once (upserts only touched seed keys)
+    expected = list(range(16))
+    for tid in range(2):
+        for j in range(4):
+            lo = 100 + 100 * tid + 10 * j
+            expected += range(lo, lo + 4)
+    got_keys = sorted(
+        r.rk for r in st.read_snapshot(spark, base).select("rk").collect()
+    )
+    assert got_keys == sorted(expected)
+
+    # ivm marker chain strictly increasing through batch+stream races
+    markers = []
+    for v in range(st.current_version(view) + 1):
+        txn = st._read_manifest(view, v).get("txn") or ""
+        if txn.startswith("ivm@"):
+            markers.append(int(txn.split("@", 1)[1]))
+    assert markers == sorted(set(markers)), (
+        f"ivm marker chain not strictly increasing: {markers}"
+    )
+
+    # the v0 stats coverage survived every rewrite interleaving: one
+    # quiescent compact inherits, and every file carries rk stats
+    st.compact(spark, base, target_files=2)
+    m = st._read_manifest(base, st.current_version(base))
+    assert set(m["stats"]) == set(m["files"])
+    for per_file in m["stats"].values():
+        assert "rk" in per_file
+    probe = st.read_snapshot(spark, base, between=("rk", 100, 110))
+    assert sorted(r.rk for r in probe.collect()) == [
+        k for k in sorted(expected) if 100 <= k <= 110
+    ]
+
+
 def test_insert_only_stats_refresh_never_references_the_base(spark, tmp_path):
     """The S8 cost claim, pinned structurally: an INSERT-ONLY stats
     refresh must cost O(delta) — its plan may not reference the base

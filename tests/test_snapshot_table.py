@@ -269,6 +269,31 @@ def test_stats_based_file_skipping(spark, tmp_path):
     assert _keys(conservative) == list(range(120, 131))
 
 
+def test_merge_upsert_reharvests_stats_coverage(spark, tmp_path):
+    """A MERGE is a rewrite: it must re-harvest the parent manifest's
+    stat columns exactly like compact/optimize_zorder (r14
+    cross-protocol storm find — an un-inheriting merge_upsert silently
+    destroyed the whole table's file-skipping metadata, because its
+    rewritten files replace the covered ones)."""
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        st.commit(_df(spark, lo, hi).coalesce(1), t, stats_cols=["k"])
+
+    st.merge_upsert(spark.createDataFrame([(150,)], ["k"]), t, key="k")
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["stats"], "merge_upsert dropped the per-file stats"
+    assert set(m["stats"]) == set(m["files"])
+    for per_file in m["stats"].values():
+        assert "k" in per_file
+    # reads stay exact and a follow-up OPTIMIZE still has coverage
+    # to inherit (the composed chain the storm exercises)
+    assert _keys(
+        st.read_snapshot(spark, t, between=("k", 120, 130))
+    ) == list(range(120, 131))
+    st.compact(spark, t, target_files=2)
+    assert st._read_manifest(t, st.current_version(t))["stats"]
+
+
 @pytest.mark.slow
 def test_zorder_gives_multi_column_file_skipping(spark):
     """Z-order rewrite: after clustering on (x, y), a narrow range probe
