@@ -276,16 +276,68 @@ def stream_socket_readings(
     return good
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **extra: str,
+) -> dict[str, str]:
+    """The exact option map ``stream_kafka_readings`` hands to
+    ``readStream.format("kafka")`` — split out so the plumbing is
+    testable in this jar-less container (r13 verdict stretch): the day
+    the connector jar is present, the only line of the Kafka path that
+    has never executed is the ``.load()`` itself.
+
+    ``extra`` passes additional connector options through verbatim,
+    e.g. ``maxOffsetsPerTrigger="10000"`` for backpressure or an
+    authenticated cluster's ``**{"kafka.security.protocol":
+    "SASL_SSL"}`` (dotted names need dict-splat syntax)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        **extra,
+    }
+
+
+def parse_kafka_records(
+    records: DataFrame, value_schema: StructType | None = None
+) -> DataFrame:
+    """Value-side transformation of Kafka's fixed record shape
+    (key/value binary plus topic/partition/offset/timestamp metadata).
+    Source-agnostic on purpose: the gated streaming reader applies it
+    to the connector's output, and the jar-free contract test drives
+    the identical code with a BATCH DataFrame of the same shape.
+
+    ``value_schema=None`` (default) parses the payload as the readings
+    wire format through the SAME permissive parse/validate path as the
+    socket and JSONL sources (malformed or non-reading payloads
+    dropped); an explicit schema projects ``from_json`` fields directly
+    (malformed values become NULL fields, the PERMISSIVE contract).
+    """
+    lines = records.select(F.col("value").cast("string").alias("value"))
+    if value_schema is None:
+        good, _bad = _split_reading_lines(lines)
+        return good
+    parsed = lines.select(F.from_json(F.col("value"), value_schema).alias("r"))
+    return parsed.select("r.*")
+
+
 def stream_kafka_readings(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
-    value_schema: StructType,
+    value_schema: StructType | None = None,
+    starting_offsets: str = "latest",
+    **extra: str,
 ):
     """Kafka source (gated: the connector jar is not in this container).
 
-    Shape: key/value binary -> from_json(value) -> readings columns.
-    Raises RuntimeError with guidance when the connector is unavailable.
+    Shape: key/value binary -> ``parse_kafka_records`` -> readings
+    columns (or ``value_schema`` fields).  Raises RuntimeError with
+    guidance when the connector is unavailable; the option plumbing
+    (``kafka_source_options``) and the value parse are covered jar-free
+    by tests/test_sources.py.
 
     To enable on a real deployment, launch with the connector matching
     the Spark/Scala build (PySpark 4.1.x / Scala 2.13)::
@@ -297,13 +349,13 @@ def stream_kafka_readings(
     ``$SPARK_HOME/jars``).  No network/package installs are possible in
     this container, so the gate below is the tested behavior.
     """
+    reader = spark.readStream.format("kafka")
+    for opt, val in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, **extra
+    ).items():
+        reader = reader.option(opt, val)
     try:
-        raw = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .load()
-        )
+        raw = reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
         raise RuntimeError(
             "kafka connector unavailable — add "
@@ -312,10 +364,7 @@ def stream_kafka_readings(
             "shape: readStream.format('kafka') -> "
             "from_json(CAST(value AS STRING))"
         ) from exc
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
-    )
-    return parsed.select("r.*")
+    return parse_kafka_records(raw, value_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -34,13 +34,12 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r12 evidence covers all 153 queries, so the round-13
-    window leads with the 5 multimodal queries FORCE-INCLUDED by the
-    change-aware rotation (functions/multimodal.py changed in r13), then
-    re-confirms the LEAST-recently-verified greens: the eight r9
-    leftovers plus 37 of the r10-era dedup/vector/pipeline cohort.
-    Guard the ordering so an innocent module reshuffle can't silently
-    evict them."""
+    Cumulative r1-r13 evidence covers all 153 queries, so the round-14
+    window is purely staleness-ordered (0 package files changed at
+    rotation time, so no forced entries): the eight r10 leftovers, then
+    the 42 least-recently-verified r11 greens (signal + text cohorts
+    and the r11 vector/dedup audits).  Guard the ordering so an
+    innocent module reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -50,32 +49,29 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "forced-changed": ("multimodal_dedup", "multimodal_meta",
-                           "multimodal_features", "multimodal_resize",
-                           "multimodal_frames"),
-        "stale-r9": ("revenue_deciles", "name_fuzzy_match",
-                     "grouping_sets_revenue", "value_histogram",
-                     "retention_cohorts", "top_session_paths",
-                     "corpus_rebalance", "event_path_transitions"),
-        "dedup-r10": ("dedup_exact", "minhash_lsh_dedup",
-                      "ngram_jaccard_pairs", "doc_containment",
-                      "simhash_dedup", "dedup_clusters", "dedup_apply",
-                      "dedup_ensemble", "incremental_dedup"),
-        "vector-r10": ("embedding_norm_outliers", "embedding_topk",
-                       "embedding_cosine_dup", "embedding_ivf_topk",
-                       "embedding_knn_join", "embedding_lsh_dup",
-                       "embedding_centroids", "embedding_quantize",
-                       "semantic_dedup", "knn_label_purity",
-                       "embedding_dim_stats", "ivf_cell_histogram"),
-        "pipeline-r10": ("domain_quota_sample", "sliding_window_rate",
-                         "bm25_retrieval"),
-        "relational-r10": ("latest_event_per_user", "waiting_suppliers",
-                           "min_cost_supplier", "dominant_part_suppliers",
-                           "salted_enrich_rollup", "column_profile",
-                           "snapshot_diff", "weekday_hour_heatmap",
-                           "parts_supplier_counts"),
-        "signal-r10": ("moving_average", "median_filter", "ema_smooth",
-                       "deadband_chunked"),
+        "stale-r10": ("token_pmi", "text_normalize", "conversion_latency",
+                      "error_burst_join", "weighted_sample",
+                      "lang_mix_gini", "dup_rate_by_source",
+                      "split_leakage"),
+        "signal-r11": ("spc_control_chart", "value_delta", "change_detect",
+                       "threshold_alarm", "zscore_anomaly",
+                       "downsample_1h", "locf_gap_fill", "session_rollup",
+                       "percentile_summary", "deadband_suppress",
+                       "interp_gap_fill", "winsorize_clip",
+                       "asset_correlation", "mad_outliers"),
+        "text-r11": ("text_stats", "token_fertility", "quality_score",
+                     "language_id", "token_count_total",
+                     "doc_fingerprint", "tfidf_top_terms", "bigram_topk",
+                     "train_test_split", "doc_chunking", "lang_mismatch",
+                     "corpus_prefilter", "stratified_sample",
+                     "pii_redact", "benchmark_contamination",
+                     "doc_repetition", "top_bigram_fraction",
+                     "pretokenize_counts", "doc_length_histogram"),
+        "audits-r11": ("minhash_accuracy", "dedup_cluster_histogram",
+                       "ivf_recall_audit", "embedding_label_margin",
+                       "ivf_train_kmeans", "embedding_pca_power",
+                       "span_dedup", "trigram_lm",
+                       "event_disorder_audit"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from foglamp_filter_python35_spark.catalog import load
 from foglamp_filter_python35_spark.datamodel import events_to_readings
@@ -80,6 +80,59 @@ def test_rate_readings_stream_schema(spark, tmp_path):
 def test_kafka_reader_is_gated(spark):
     with pytest.raises(RuntimeError, match="kafka connector unavailable"):
         R.stream_kafka_readings(spark, "localhost:9092", "t", StructType([]))
+
+
+def test_kafka_option_plumbing_jar_free(spark):
+    """r13 verdict stretch: everything on the Kafka path EXCEPT the
+    connector ``.load()`` is exercised without the jar — the option
+    map the reader would pass, and the full value-side parse driven
+    with a batch DataFrame of Kafka's exact record shape."""
+    opts = R.kafka_source_options(
+        "h1:9092,h2:9092",
+        "readings",
+        starting_offsets="earliest",
+        maxOffsetsPerTrigger="5000",
+        **{"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "readings",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+    # the gated reader builds its options through the same function —
+    # a change to one that forgets the other shows up as a gate test
+    # still passing but this dict diverging
+    assert R.kafka_source_options("b:9092", "t") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+    }
+
+    payloads = [
+        b'{"id":1,"asset_code":"pump","ts":1000,"user_ts":1000,'
+        b'"reading":{"value":1.5},"reading_str":{}}',
+        b"{not json",                    # malformed: dropped
+        b'{"id":2,"ts":2000}',           # no asset_code: dropped
+    ]
+    records = spark.createDataFrame(
+        [("k".encode(), p, "readings", 0, i, None, 0)
+         for i, p in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    good = R.parse_kafka_records(records).collect()
+    assert [r["asset_code"] for r in good] == ["pump"]
+    assert good[0]["reading"]["value"] == 1.5
+
+    custom = R.parse_kafka_records(
+        records,
+        StructType([StructField("id", LongType())]),
+    )
+    ids = [r["id"] for r in custom.collect()]
+    assert sorted(i for i in ids if i is not None) == [1, 2]
+    assert None in ids  # malformed value -> PERMISSIVE null field
 
 
 def test_asset_tracker_in_out(spark, sf_smoke):
