@@ -132,9 +132,13 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
                 parent_files = set(_manifest(self._path, m["parent"])["files"])
                 added = [f for f in m["files"] if f not in parent_files]
             elif self._ignore_changes:
-                # rewrite commit: emit its full file set (rewritten rows
-                # are re-delivered — the documented ignoreChanges tradeoff)
-                added = m["files"]
+                # rewrite commit: re-deliver the files it actually
+                # produced (for a partial rewrite like a file-pruned
+                # MERGE that is just the rewritten candidates; a full
+                # overwrite re-delivers everything) — the documented
+                # ignoreChanges tradeoff
+                parent_files = set(_manifest(self._path, m["parent"])["files"])
+                added = [f for f in m["files"] if f not in parent_files]
             else:
                 raise ValueError(
                     f"version {v} is a {m['operation']!r} commit; streaming "

@@ -281,6 +281,9 @@ def commit(
     txn: str | None = None,
     require_parent: int | None = None,
     stats_cols: list[str] | None = None,
+    *,
+    _replace_files: frozenset[str] | None = None,
+    _operation: str | None = None,
 ) -> int:
     """Atomically commit ``df`` to the table at ``path``.
 
@@ -333,6 +336,8 @@ def commit(
         txn,
         require_parent,
         stats_cols,
+        replace_files=_replace_files,
+        operation=_operation,
     )
 
 
@@ -345,11 +350,23 @@ def _publish(
     txn: str | None,
     require_parent: int | None,
     stats_cols: list[str] | None,
+    *,
+    replace_files: frozenset[str] | None = None,
+    operation: str | None = None,
 ) -> int:
     """The metadata half of a commit: harvest optional footer stats for
     the new files, then run the optimistic manifest-publish loop.
     Shared by ``commit`` (which writes the data) and ``commit_files``
-    (which registers pre-written data)."""
+    (which registers pre-written data).
+
+    ``replace_files`` (append mode only) drops those parent files from
+    the child manifest while the new files are added — the partial
+    rewrite a file-pruned MERGE publishes.  It requires
+    ``require_parent``: a partial rewrite computed against one parent
+    must never be re-targeted onto another.  ``operation`` overrides
+    the history label (e.g. ``"merge"``) without changing semantics."""
+    if replace_files and require_parent is None:
+        raise ValueError("replace_files requires require_parent")
     new_stats = (
         {
             rel: _file_stats(os.path.join(path, rel), stats_cols)
@@ -385,13 +402,25 @@ def _publish(
         stats = dict(new_stats)
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
-            files = pm["files"] + files
+            retained = (
+                pm["files"]
+                if not replace_files
+                else [f for f in pm["files"] if f not in replace_files]
+            )
+            files = retained + files
             schema = _merge_schema(pm["schema"], schema)
-            stats = {**pm.get("stats", {}), **stats}
+            stats = {
+                **{
+                    f: s
+                    for f, s in pm.get("stats", {}).items()
+                    if not replace_files or f not in replace_files
+                },
+                **stats,
+            }
         manifest = {
             "version": version,
             "parent": parent,
-            "operation": mode,
+            "operation": operation or mode,
             "files": files,
             "schema": schema,
             "stats": stats,
@@ -496,6 +525,83 @@ def commit_files(
     )
 
 
+def _merge_key_hull(
+    df: DataFrame, keys: list[str]
+) -> dict[str, tuple] | None:
+    """Per-column [min, max] hull of the upsert's keys — ONE tiny job
+    on the (small) upsert side.  Loop-invariant across a merge's
+    publish retries, so callers compute it once OUTSIDE the optimistic
+    retry loop: an extra job inside the loop widens the conflict
+    window and starves the merge under write-heavy contention (seen as
+    exhausted retries in the r14 cross-protocol storm).
+
+    None means some key column is NULL on EVERY upsert row (min is
+    None only when all values are), and NULL never equals an existing
+    key — no file can match."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+    row = df.select(*aggs).collect()[0]
+    bounds = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
+    if any(lo is None for lo, _ in bounds.values()):
+        return None
+    return bounds
+
+
+def _merge_candidate_files(
+    df: DataFrame,
+    manifest: dict,
+    keys: list[str],
+    bounds: dict[str, tuple] | None = None,
+) -> list[str] | None:
+    """Files of ``manifest`` that can contain a row matching one of
+    ``df``'s keys, decided by per-file stats against the upsert's
+    per-column key hull (``bounds``, precomputed by the caller via
+    ``_merge_key_hull``; computed here if omitted).
+
+    Returns None when the manifest carries no stats for some key
+    column on any file — the caller then falls back to the full
+    rewrite.  Returns [] when no file can match (every upsert key is
+    NULL in some key column, or every range is disjoint): a pure
+    insert.  Conservative throughout: a file missing stats for a key
+    column, or any non-comparable/NaN bound, stays a candidate.
+    """
+    stats = manifest.get("stats") or {}
+    covered: set[str] = set()
+    for per_file in stats.values():
+        covered.update(per_file)
+    if not set(keys) <= covered:
+        return None
+
+    if bounds is None:
+        bounds = _merge_key_hull(df, keys)
+    if bounds is None:
+        return []
+
+    out = []
+    for f in manifest["files"]:
+        per_file = stats.get(f, {})
+        disjoint = False
+        for k in keys:
+            lo, hi = bounds[k]
+            rng = per_file.get(k)
+            if rng is None:
+                continue  # no stats for this column on this file
+            try:
+                # NaN bounds compare False everywhere, so a NaN key
+                # hull can never mark a file disjoint — conservative
+                if lo > rng[1] or hi < rng[0]:
+                    disjoint = True
+                    break
+            except TypeError:
+                continue  # incomparable stat/bound types: stay candidate
+        if not disjoint:
+            out.append(f)
+    return out
+
+
 def merge_upsert(
     df: DataFrame,
     path: str,
@@ -503,16 +609,20 @@ def merge_upsert(
     max_retries: int = 5,
 ) -> int:
     """Copy-on-write MERGE: rows of ``df`` replace same-key rows in the
-    table; new keys insert.  Serializable: the overwrite publishes with
-    ``require_parent`` pinned to the version the merge read, so a commit
+    table; new keys insert.  Serializable: the publish pins
+    ``require_parent`` to the version the merge read, so a commit
     landing in between triggers a re-read + re-merge instead of a lost
     update — optimistic concurrency at MERGE granularity.
 
-    This rewrites the whole table (the snapshot is small relative to a
-    commit here); at 100 TB the production refinement is file-pruned
-    copy-on-write — per-file key min/max in the manifest restricts the
-    rewrite to files that can contain a matching key, identical
-    protocol, smaller rewrite set.
+    FILE-PRUNED when the manifest's per-file stats cover every key
+    column: only files whose recorded [min, max] can intersect the
+    upsert's key hull are read, anti-joined, and rewritten; untouched
+    files are carried into the child manifest verbatim (a partial-
+    rewrite append publish).  At 100 TB this is the difference between
+    rewriting the table and rewriting the handful of files a MERGE
+    actually touches — the same file-pruned copy-on-write Delta's MERGE
+    performs from its data-skipping stats.  Without key-column
+    coverage, the merge falls back to the full-table rewrite.
 
     Like every rewrite (``compact``, ``optimize_zorder``), the merge
     re-harvests the stat columns the parent manifest covered — found by
@@ -520,27 +630,77 @@ def merge_upsert(
     destroyed the whole table's file-skipping metadata (the rewritten
     files replace the covered ones, taking their stats with them).
     """
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
+    # the upsert-side key hull is loop-invariant: compute it at most
+    # once, and only if some attempt actually has stats coverage —
+    # running this job INSIDE the retry loop widens the conflict window
+    # enough to starve the merge under storm-level contention
+    hull_memo: dict = {}
+
+    def _hull():
+        if "bounds" not in hull_memo:
+            hull_memo["bounds"] = _merge_key_hull(df, keys)
+        return hull_memo["bounds"]
+
     for _ in range(max_retries):
         parent = current_version(path)
         if parent is None:
-            merged = df
-            harvest = None
-        else:
-            snap = read_snapshot(spark, path, version=parent)
-            kept = snap.join(
-                df.select(*keys).distinct(), keys, "left_anti"
+            try:
+                return commit(df, path, mode="overwrite", require_parent=-1)
+            except CommitConflict:
+                continue
+        pm = _read_manifest(path, parent)
+        harvest = _parent_stat_cols(path, parent) or None
+        covered = {c for s in (pm.get("stats") or {}).values() for c in s}
+        if set(keys) <= covered:
+            bounds = _hull()
+            candidates = (
+                []  # all-NULL key hull: no upsert row can match
+                if bounds is None
+                else _merge_candidate_files(df, pm, keys, bounds=bounds)
             )
-            merged = kept.unionByName(df, allowMissingColumns=True)
-            harvest = _parent_stat_cols(path, parent) or None
+        else:
+            candidates = None
         try:
+            if candidates is None:
+                # no key-column stats coverage: full-table rewrite
+                snap = read_snapshot(spark, path, version=parent)
+                kept = snap.join(
+                    df.select(*keys).distinct(), keys, "left_anti"
+                )
+                merged = kept.unionByName(df, allowMissingColumns=True)
+                return commit(
+                    merged,
+                    path,
+                    mode="overwrite",
+                    require_parent=parent,
+                    stats_cols=harvest,
+                )
+            if candidates:
+                schema = StructType.fromJson(pm["schema"])
+                cand = spark.read.schema(schema).parquet(
+                    *(os.path.join(path, f) for f in candidates)
+                )
+                kept = cand.join(
+                    df.select(*keys).distinct(), keys, "left_anti"
+                )
+                merged = kept.unionByName(df, allowMissingColumns=True)
+            else:
+                merged = df  # pure insert: no file can hold a match
             return commit(
                 merged,
                 path,
-                mode="overwrite",
-                require_parent=parent if parent is not None else -1,
+                mode="append",
+                require_parent=parent,
                 stats_cols=harvest,
+                _replace_files=frozenset(candidates),
+                # a pure-insert merge IS an append (streams need no
+                # ignoreChanges for it); only a rewriting merge gets
+                # the rewrite label the streaming source gates on
+                _operation="merge" if candidates else None,
             )
         except CommitConflict:
             continue  # someone committed meanwhile; re-read and re-merge

@@ -1679,6 +1679,32 @@ def test_insert_only_refresh_over_optimized_base_stays_o_changes(
     assert got["g2"] == (4, 4, 26_000_000, 2.0, 11.0)
 
 
+def test_stats_refresh_tracks_file_pruned_merges(spark, tmp_path):
+    """IVM over the file-pruned MERGE: a covered base's merge rewrites
+    only candidate files, so the change feed the refresh consumes is
+    the candidates' diff — updates (incl. extreme retractions) and
+    inserts must still reconcile the view exactly against recompute."""
+    base, view = str(tmp_path / "pbase"), str(tmp_path / "pview")
+    st.commit(
+        _kv(spark, [(i, f"g{i % 3}", float(i)) for i in range(30)]),
+        base,
+        stats_cols=["rk"],
+    )
+    mv.create_stats_view(spark, base, view, ["grp"], "v")
+
+    # extreme-mover update (retraction path), tight-hull update, and a
+    # pure-insert merge (hull outside every file)
+    for batch in (
+        [(29, "g2", -5.0)],            # retract g2's max
+        [(3, "g0", 100.0)],            # push g0's max up
+        [(500, "g1", 7.5), (501, "g2", None)],  # pure insert, one NULL
+    ):
+        st.merge_upsert(_kv(spark, batch), base, key="rk")
+        mv.refresh_stats_view(spark, base, view, ["grp"], "v", row_key="rk")
+        assert _stats_view(spark, view) == _recompute_stats(spark, base)
+    assert mv.maintained_base_version(view) == st.current_version(base)
+
+
 def test_retraction_refresh_still_recomputes_touched_groups(spark, tmp_path):
     """The other side of the gate: a delta WITH a retraction must still
     run the recompute fallback and surface the runner-up extreme."""

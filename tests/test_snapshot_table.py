@@ -294,6 +294,161 @@ def test_merge_upsert_reharvests_stats_coverage(spark, tmp_path):
     assert st._read_manifest(t, st.current_version(t))["stats"]
 
 
+def test_merge_upsert_file_pruned_rewrite(spark, tmp_path):
+    """On a table whose per-file stats cover the key, MERGE must
+    rewrite ONLY the files whose recorded range can match the upsert's
+    key hull: untouched files carry into the child manifest verbatim,
+    rows stay exact, the CDC feed shows just the touched keys, and —
+    the strong form — a non-candidate file DELETED before the merge is
+    never even planned as a read."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        st.commit(
+            _df(spark, lo, hi).withColumn("v", F2.col("k") * 2.0).coalesce(1),
+            t,
+            stats_cols=["k"],
+        )
+    pre = st.current_version(t)
+    parent_files = st._read_manifest(t, pre)["files"]
+
+    # hull [150, 160] intersects only the middle file
+    st.merge_upsert(
+        spark.createDataFrame([(150, -1.0), (160, -2.0)], ["k", "v"]),
+        t,
+        key="k",
+    )
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["operation"] == "merge"
+    untouched = [f for f in parent_files if f in m["files"]]
+    replaced = [f for f in parent_files if f not in m["files"]]
+    assert len(untouched) == 2 and len(replaced) == 1
+    assert set(m["stats"]) == set(m["files"])  # coverage re-harvested
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert len(got) == 300
+    assert got[150] == -1.0 and got[160] == -2.0 and got[151] == 302.0
+    # CDC from the pre-merge version: exactly the two updated keys
+    # (identically rewritten neighbors key-cancel)
+    feed = st.read_changes(spark, t, pre, key="k")
+    by_key = {
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    }
+    assert by_key == {
+        (150, "update_preimage"), (150, "update_postimage"),
+        (160, "update_preimage"), (160, "update_postimage"),
+    }
+
+    # a hull outside every file is a PURE INSERT: nothing rewritten,
+    # operation stays an append (streams need no ignoreChanges for it)
+    before = set(st._read_manifest(t, st.current_version(t))["files"])
+    st.merge_upsert(
+        spark.createDataFrame([(500, 5.0)], ["k", "v"]), t, key="k"
+    )
+    m2 = st._read_manifest(t, st.current_version(t))
+    assert m2["operation"] == "append"
+    assert before <= set(m2["files"])
+    assert st.read_snapshot(spark, t).count() == 301
+
+    # additive schema evolution through the pruned path: the rewritten
+    # candidates gain the new column, retained files null-fill
+    st.merge_upsert(
+        spark.createDataFrame([(150, -9.0, "x")], ["k", "v", "w"]),
+        t,
+        key="k",
+    )
+    snap = st.read_snapshot(spark, t)
+    vals = {r["k"]: (r["v"], r["w"]) for r in snap.collect()}
+    assert vals[150] == (-9.0, "x")
+    assert vals[0] == (0.0, None)
+    assert len(vals) == 301
+
+    # the tripwire: delete a file the next merge must not touch — the
+    # merge succeeds iff no plan ever references the non-candidate
+    victims = [
+        f for f, s in st._read_manifest(t, st.current_version(t))["stats"].items()
+        if s.get("k") and s["k"][0] >= 200 and s["k"][1] <= 299
+    ]
+    assert victims
+    os.remove(os.path.join(t, victims[0]))
+    st.merge_upsert(
+        spark.createDataFrame([(10, 0.5)], ["k", "v"]), t, key="k"
+    )
+    assert {
+        r["k"]: r["v"]
+        for r in st.read_snapshot(spark, t, between=("k", 0, 20)).collect()
+    }[10] == 0.5
+
+
+def test_merge_upsert_pruned_path_survives_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The pruned merge's partial-rewrite publish pins require_parent:
+    a commit landing between the manifest read and the publish forces a
+    re-read (fresh candidates against the NEW parent), never a lost
+    update or a stale retained-file list."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    st.commit(
+        _df(spark, 0, 100).withColumn("v", F2.col("k") * 1.0).coalesce(1),
+        t,
+        stats_cols=["k"],
+    )
+
+    real_candidates = st._merge_candidate_files
+    raced = {"done": False}
+
+    def candidates_and_race(df_, manifest_, keys_, bounds=None):
+        out = real_candidates(df_, manifest_, keys_, bounds=bounds)
+        if not raced["done"]:
+            raced["done"] = True
+            st.commit(
+                spark.createDataFrame([(500, 500.0)], ["k", "v"]),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return out
+
+    monkeypatch.setattr(st, "_merge_candidate_files", candidates_and_race)
+    st.merge_upsert(
+        spark.createDataFrame([(7, -7.0)], ["k", "v"]), t, key="k"
+    )
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[7] == -7.0 and got[500] == 500.0 and len(got) == 101
+
+
+def test_merge_upsert_pruned_matches_full_rewrite_model(spark, tmp_path):
+    """Model check: a scripted mix of updates/inserts/extreme-movers on
+    a covered table must leave exactly the state a dict model predicts
+    — the pruned path may differ from the full rewrite only in COST."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    model = {k: float(k) for k in range(60)}
+    st.commit(
+        _df(spark, 0, 60).withColumn("v", F2.col("k").cast("double"))
+        .repartition(4),
+        t,
+        stats_cols=["k"],
+    )
+    script = [
+        [(5, 50.0)], [(5, -1.0), (59, 0.0)], [(100, 1.0), (101, 2.0)],
+        [(0, 9.0), (30, 9.0), (100, 9.0)], [(200, 0.25)], [(59, 59.0)],
+    ]
+    for batch in script:
+        st.merge_upsert(
+            spark.createDataFrame(batch, ["k", "v"]), t, key="k"
+        )
+        model.update({k: v for k, v in batch})
+        got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+        assert got == model
+    # coverage never degraded across the sequence
+    m = st._read_manifest(t, st.current_version(t))
+    assert set(m["stats"]) == set(m["files"])
+
+
 @pytest.mark.slow
 def test_zorder_gives_multi_column_file_skipping(spark):
     """Z-order rewrite: after clustering on (x, y), a narrow range probe
