@@ -687,7 +687,15 @@ def merge_upsert(
                 kept = cand.join(
                     df.select(*keys).distinct(), keys, "left_anti"
                 )
-                merged = kept.unionByName(df, allowMissingColumns=True)
+                # rewrite candidates file-for-file: without the
+                # coalesce, the anti-join's shuffle partitioning writes
+                # spark.sql.shuffle.partitions files per merge —
+                # file-count bloat that also WIDENS the next merge's
+                # candidate stats (the rewritten key range smears
+                # across every output file)
+                merged = kept.unionByName(
+                    df, allowMissingColumns=True
+                ).coalesce(len(candidates))
             else:
                 merged = df  # pure insert: no file can hold a match
             return commit(
