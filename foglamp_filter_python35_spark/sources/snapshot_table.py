@@ -624,12 +624,26 @@ def merge_upsert(
     performs from its data-skipping stats.  Without key-column
     coverage, the merge falls back to the full-table rewrite.
 
+    Retry fairness: the pruned path writes its rewritten data ONCE per
+    candidate set and, when a publish conflict's rival left every
+    candidate file in place (appends elsewhere in the key space — the
+    dominant traffic), RE-PUBLISHES the already-written files against
+    the new parent as a metadata-only retry, so append-heavy
+    contention cannot starve a merge.  Only a rival that replaced or
+    intersected the candidates (another merge, OPTIMIZE) forces the
+    data to be rebuilt; a rewriter hot-looping full-table OPTIMIZE
+    passes can therefore still exhaust ``max_retries`` — the loud,
+    documented starvation tradeoff of symmetric optimistic
+    concurrency, mirroring the compaction-storm note that saturated
+    append traffic starves OPTIMIZE.
+
     Like every rewrite (``compact``, ``optimize_zorder``), the merge
     re-harvests the stat columns the parent manifest covered — found by
     the r14 cross-protocol storm: an un-inheriting MERGE silently
     destroyed the whole table's file-skipping metadata (the rewritten
     files replace the covered ones, taking their stats with them).
     """
+    from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -644,6 +658,13 @@ def merge_upsert(
         if "bounds" not in hull_memo:
             hull_memo["bounds"] = _merge_key_hull(df, keys)
         return hull_memo["bounds"]
+
+    # write-once cache for the pruned path: (candidate file set) ->
+    # (written relpaths, writer schema json).  Data files are immutable
+    # and uniquely named, so an unchanged candidate set means the
+    # already-written merge output is still exact — re-publish it
+    # against the new parent without touching data.
+    written: dict = {}
 
     for _ in range(max_retries):
         parent = current_version(path)
@@ -667,9 +688,14 @@ def merge_upsert(
         try:
             if candidates is None:
                 # no key-column stats coverage: full-table rewrite
+                # (upsert key side broadcast: it is small by contract,
+                # and a shuffled anti-join triples the attempt's
+                # latency, widening the optimistic-conflict window)
                 snap = read_snapshot(spark, path, version=parent)
                 kept = snap.join(
-                    df.select(*keys).distinct(), keys, "left_anti"
+                    F.broadcast(df.select(*keys).distinct()),
+                    keys,
+                    "left_anti",
                 )
                 merged = kept.unionByName(df, allowMissingColumns=True)
                 return commit(
@@ -679,36 +705,57 @@ def merge_upsert(
                     require_parent=parent,
                     stats_cols=harvest,
                 )
-            if candidates:
-                schema = StructType.fromJson(pm["schema"])
-                cand = spark.read.schema(schema).parquet(
-                    *(os.path.join(path, f) for f in candidates)
+            cand_key = frozenset(candidates)
+            if cand_key not in written:
+                if candidates:
+                    schema = StructType.fromJson(pm["schema"])
+                    cand = spark.read.schema(schema).parquet(
+                        *(os.path.join(path, f) for f in candidates)
+                    )
+                    kept = cand.join(
+                        F.broadcast(df.select(*keys).distinct()),
+                        keys,
+                        "left_anti",
+                    )
+                    # rewrite candidates file-for-file: without the
+                    # coalesce, the anti-join's shuffle partitioning
+                    # writes spark.sql.shuffle.partitions files per
+                    # merge — file-count bloat that also WIDENS the
+                    # next merge's candidate stats (the rewritten key
+                    # range smears across every output file)
+                    merged = kept.unionByName(
+                        df, allowMissingColumns=True
+                    ).coalesce(len(candidates))
+                else:
+                    merged = df  # pure insert: no file can hold a match
+                commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
+                merged.write.mode("error").parquet(commit_dir)
+                written[cand_key] = (
+                    [
+                        os.path.relpath(f, path)
+                        for f in _list_parquet(commit_dir)
+                    ],
+                    json.loads(merged.schema.json()),
                 )
-                kept = cand.join(
-                    df.select(*keys).distinct(), keys, "left_anti"
-                )
-                # rewrite candidates file-for-file: without the
-                # coalesce, the anti-join's shuffle partitioning writes
-                # spark.sql.shuffle.partitions files per merge —
-                # file-count bloat that also WIDENS the next merge's
-                # candidate stats (the rewritten key range smears
-                # across every output file)
-                merged = kept.unionByName(
-                    df, allowMissingColumns=True
-                ).coalesce(len(candidates))
-            else:
-                merged = df  # pure insert: no file can hold a match
-            return commit(
-                merged,
+                # abandoned outputs of earlier attempts (rival replaced
+                # our candidates) are young unreferenced dirs; the
+                # vacuum retention guard reclaims them, same as a lost
+                # same-txn commit's
+            new_files, writer_schema = written[cand_key]
+            return _publish(
                 path,
-                mode="append",
-                require_parent=parent,
-                stats_cols=harvest,
-                _replace_files=frozenset(candidates),
+                new_files,
+                writer_schema,
+                "append",
+                10,
+                None,
+                parent,
+                harvest,
+                replace_files=cand_key,
                 # a pure-insert merge IS an append (streams need no
                 # ignoreChanges for it); only a rewriting merge gets
                 # the rewrite label the streaming source gates on
-                _operation="merge" if candidates else None,
+                operation="merge" if candidates else None,
             )
         except CommitConflict:
             continue  # someone committed meanwhile; re-read and re-merge
