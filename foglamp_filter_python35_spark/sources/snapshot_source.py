@@ -109,6 +109,7 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
 
     def _added_files(self, sv: int, ev: int) -> list[str]:
         files: list[str] = []
+        prev: dict | None = None  # v-1's manifest from the last iteration
         for v in range(sv + 1, ev + 1):
             try:
                 m = _manifest(self._path, v)
@@ -128,24 +129,63 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
                 ) from None
             if v == 0 or m["parent"] is None:
                 added = m["files"]
-            elif m["operation"] == "append":
-                parent_files = set(_manifest(self._path, m["parent"])["files"])
-                added = [f for f in m["files"] if f not in parent_files]
-            elif self._ignore_changes:
-                # rewrite commit: re-deliver the files it actually
-                # produced (for a partial rewrite like a file-pruned
-                # MERGE that is just the rewritten candidates; a full
-                # overwrite re-delivers everything) — the documented
-                # ignoreChanges tradeoff
-                parent_files = set(_manifest(self._path, m["parent"])["files"])
-                added = [f for f in m["files"] if f not in parent_files]
             else:
-                raise ValueError(
-                    f"version {v} is a {m['operation']!r} commit; streaming "
-                    "a rewritten table re-delivers rows — pass "
-                    "ignoreChanges=true to accept that"
-                )
+                # the walk is contiguous (parent is always v-1), so the
+                # previous iteration's manifest serves as the parent —
+                # halving the driver-side metadata reads of a long
+                # offset-window replay; only the FIRST iteration (or a
+                # non-linear parent, which this log never produces)
+                # pays a read, and only that read can sit below the
+                # retention floor
+                if prev is not None and m["parent"] == v - 1:
+                    parent_files = set(prev["files"])
+                else:
+                    try:
+                        parent_files = set(
+                            _manifest(self._path, m["parent"])["files"]
+                        )
+                    except FileNotFoundError:
+                        parent_files = None
+                if m["operation"] == "append":
+                    if parent_files is None:
+                        # without the parent list an append's new files
+                        # are unidentifiable, and over-delivering would
+                        # break append-only exactly-once: the curated
+                        # retention error, naming the parent
+                        raise FileNotFoundError(
+                            f"{self._path!r}: manifest v{m['parent']} "
+                            f"(parent of v{v}) was expired by vacuum "
+                            f"while this stream's checkpoint lagged at "
+                            f"v{sv} (the retention-vs-streaming contract "
+                            f"in snapshot_table.vacuum) — size "
+                            f"keep_versions above the stream's maximum "
+                            f"checkpoint lag, and re-seed this stream "
+                            f"from a fresh batch read"
+                        ) from None
+                    added = [f for f in m["files"] if f not in parent_files]
+                elif self._ignore_changes:
+                    # rewrite commit: re-deliver the files it actually
+                    # produced (for a partial rewrite like a file-pruned
+                    # MERGE that is just the rewritten candidates; a
+                    # full overwrite re-delivers everything) — the
+                    # documented ignoreChanges tradeoff.  A vacuumed
+                    # parent degrades to the full file set: MORE
+                    # re-delivery, still inside the same contract,
+                    # never a crash on a previously-working resume
+                    if parent_files is None:
+                        added = m["files"]
+                    else:
+                        added = [
+                            f for f in m["files"] if f not in parent_files
+                        ]
+                else:
+                    raise ValueError(
+                        f"version {v} is a {m['operation']!r} commit; "
+                        "streaming a rewritten table re-delivers rows — "
+                        "pass ignoreChanges=true to accept that"
+                    )
             files.extend(added)
+            prev = m
         return files
 
     def _rows(self, files: list[str]) -> list[tuple]:

@@ -157,10 +157,7 @@ def _read_manifest(path: str, version: int) -> dict:
             # cause the evidence contradicts.
             try:
                 has_older = any(
-                    f.startswith("v")
-                    and f.endswith(".json")
-                    and f[1:-5].isdigit()
-                    and int(f[1:-5]) < version
+                    (m := _MANIFEST_RE.match(f)) and int(m.group(1)) < version
                     for f in os.listdir(_manifest_dir(path))
                 )
             except OSError:
@@ -281,9 +278,6 @@ def commit(
     txn: str | None = None,
     require_parent: int | None = None,
     stats_cols: list[str] | None = None,
-    *,
-    _replace_files: frozenset[str] | None = None,
-    _operation: str | None = None,
 ) -> int:
     """Atomically commit ``df`` to the table at ``path``.
 
@@ -336,8 +330,6 @@ def commit(
         txn,
         require_parent,
         stats_cols,
-        replace_files=_replace_files,
-        operation=_operation,
     )
 
 
@@ -353,6 +345,7 @@ def _publish(
     *,
     replace_files: frozenset[str] | None = None,
     operation: str | None = None,
+    precomputed_stats: dict | None = None,
 ) -> int:
     """The metadata half of a commit: harvest optional footer stats for
     the new files, then run the optimistic manifest-publish loop.
@@ -364,17 +357,23 @@ def _publish(
     rewrite a file-pruned MERGE publishes.  It requires
     ``require_parent``: a partial rewrite computed against one parent
     must never be re-targeted onto another.  ``operation`` overrides
-    the history label (e.g. ``"merge"``) without changing semantics."""
+    the history label (e.g. ``"merge"``) without changing semantics.
+    ``precomputed_stats`` skips the footer harvest (a republishing
+    merge retry passes the stats it harvested with the write — as
+    loop-invariant as the files themselves)."""
     if replace_files and require_parent is None:
         raise ValueError("replace_files requires require_parent")
-    new_stats = (
-        {
-            rel: _file_stats(os.path.join(path, rel), stats_cols)
-            for rel in new_files
-        }
-        if stats_cols
-        else {}
-    )
+    if precomputed_stats is not None:
+        new_stats = precomputed_stats
+    else:
+        new_stats = (
+            {
+                rel: _file_stats(os.path.join(path, rel), stats_cols)
+                for rel in new_files
+            }
+            if stats_cols
+            else {}
+        )
 
     for _ in range(max_retries):
         parent = current_version(path)
@@ -525,29 +524,48 @@ def commit_files(
     )
 
 
+# broadcast the upsert key side of the merge anti-join only below this
+# many upsert ROWS (an upper bound on distinct keys): broadcasting a
+# huge upsert would OOM where the unhinted shuffle join completes
+_MERGE_BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _stats_cover(manifest: dict, keys: list[str]) -> bool:
+    """Does ``manifest`` carry per-file stats for every key column on
+    at least one file?  The SINGLE coverage gate shared by
+    ``merge_upsert``'s pruned-path decision and
+    ``_merge_candidate_files`` — two copies of this rule would let the
+    caller's path choice silently diverge from the helper's."""
+    covered: set[str] = set()
+    for per_file in (manifest.get("stats") or {}).values():
+        covered.update(per_file)
+    return set(keys) <= covered
+
+
 def _merge_key_hull(
     df: DataFrame, keys: list[str]
-) -> dict[str, tuple] | None:
-    """Per-column [min, max] hull of the upsert's keys — ONE tiny job
-    on the (small) upsert side.  Loop-invariant across a merge's
-    publish retries, so callers compute it once OUTSIDE the optimistic
-    retry loop: an extra job inside the loop widens the conflict
-    window and starves the merge under write-heavy contention (seen as
-    exhausted retries in the r14 cross-protocol storm).
+) -> tuple[dict[str, tuple] | None, int]:
+    """(per-column [min, max] hull of the upsert's keys, upsert row
+    count) — ONE tiny job on the upsert side.  Loop-invariant across a
+    merge's publish retries, so callers compute it once OUTSIDE the
+    optimistic retry loop: an extra job inside the loop widens the
+    conflict window and starves the merge under write-heavy contention
+    (seen as exhausted retries in the r14 cross-protocol storm).
 
-    None means some key column is NULL on EVERY upsert row (min is
-    None only when all values are), and NULL never equals an existing
-    key — no file can match."""
+    A None hull means some key column is NULL on EVERY upsert row (min
+    is None only when all values are), and NULL never equals an
+    existing key — no file can match."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for k in keys:
         aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
     row = df.select(*aggs).collect()[0]
+    n = row["_n"]
     bounds = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
     if any(lo is None for lo, _ in bounds.values()):
-        return None
-    return bounds
+        return None, n
+    return bounds, n
 
 
 def _merge_candidate_files(
@@ -569,14 +587,11 @@ def _merge_candidate_files(
     column, or any non-comparable/NaN bound, stays a candidate.
     """
     stats = manifest.get("stats") or {}
-    covered: set[str] = set()
-    for per_file in stats.values():
-        covered.update(per_file)
-    if not set(keys) <= covered:
+    if not _stats_cover(manifest, keys):
         return None
 
     if bounds is None:
-        bounds = _merge_key_hull(df, keys)
+        bounds, _n = _merge_key_hull(df, keys)
     if bounds is None:
         return []
 
@@ -648,23 +663,53 @@ def merge_upsert(
 
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
-    # the upsert-side key hull is loop-invariant: compute it at most
-    # once, and only if some attempt actually has stats coverage —
-    # running this job INSIDE the retry loop widens the conflict window
-    # enough to starve the merge under storm-level contention
+    # the upsert-side key hull (and row count) is loop-invariant:
+    # compute it at most once — running this job INSIDE the retry loop
+    # widens the conflict window enough to starve the merge under
+    # storm-level contention
     hull_memo: dict = {}
 
     def _hull():
-        if "bounds" not in hull_memo:
-            hull_memo["bounds"] = _merge_key_hull(df, keys)
-        return hull_memo["bounds"]
+        if "h" not in hull_memo:
+            hull_memo["h"] = _merge_key_hull(df, keys)
+        return hull_memo["h"]
+
+    def _key_frame():
+        # the anti-join's build side: broadcast it when plausibly small
+        # (a shuffled anti-join triples the attempt's latency, widening
+        # the optimistic-conflict window), but let Spark plan a shuffle
+        # join for huge upserts instead of OOMing a forced broadcast
+        kf = df.select(*keys).distinct()
+        _bounds, n = _hull()
+        return F.broadcast(kf) if n <= _MERGE_BROADCAST_KEY_LIMIT else kf
 
     # write-once cache for the pruned path: (candidate file set) ->
-    # (written relpaths, writer schema json).  Data files are immutable
-    # and uniquely named, so an unchanged candidate set means the
-    # already-written merge output is still exact — re-publish it
-    # against the new parent without touching data.
+    # (written relpaths, writer schema json, harvested stats).  Data
+    # files are immutable and uniquely named, so an unchanged candidate
+    # set means the already-written merge output is still exact —
+    # re-publish it against the new parent without touching data.
     written: dict = {}
+
+    def _fresh_cache_entry(cand_key):
+        # a cached write sits UNREFERENCED until its publish wins, and
+        # the retry loop can stretch that window across attempts —
+        # refresh the files' mtimes so the vacuum in-flight age guard
+        # (min_age_seconds, mtime-based) keeps covering them; if a
+        # vacuum tuned below the guard already reclaimed them, evict
+        # and rebuild rather than publish a manifest of deleted files
+        entry = written.get(cand_key)
+        if entry is None:
+            return None
+        now = time.time()
+        try:
+            for rel in entry[0]:
+                absf = os.path.join(path, rel)
+                os.utime(absf, (now, now))
+                os.utime(os.path.dirname(absf), (now, now))
+        except OSError:
+            written.pop(cand_key, None)
+            return None
+        return entry
 
     for _ in range(max_retries):
         parent = current_version(path)
@@ -675,9 +720,8 @@ def merge_upsert(
                 continue
         pm = _read_manifest(path, parent)
         harvest = _parent_stat_cols(path, parent) or None
-        covered = {c for s in (pm.get("stats") or {}).values() for c in s}
-        if set(keys) <= covered:
-            bounds = _hull()
+        if _stats_cover(pm, keys):
+            bounds, _n = _hull()
             candidates = (
                 []  # all-NULL key hull: no upsert row can match
                 if bounds is None
@@ -688,15 +732,8 @@ def merge_upsert(
         try:
             if candidates is None:
                 # no key-column stats coverage: full-table rewrite
-                # (upsert key side broadcast: it is small by contract,
-                # and a shuffled anti-join triples the attempt's
-                # latency, widening the optimistic-conflict window)
                 snap = read_snapshot(spark, path, version=parent)
-                kept = snap.join(
-                    F.broadcast(df.select(*keys).distinct()),
-                    keys,
-                    "left_anti",
-                )
+                kept = snap.join(_key_frame(), keys, "left_anti")
                 merged = kept.unionByName(df, allowMissingColumns=True)
                 return commit(
                     merged,
@@ -706,17 +743,14 @@ def merge_upsert(
                     stats_cols=harvest,
                 )
             cand_key = frozenset(candidates)
-            if cand_key not in written:
+            entry = _fresh_cache_entry(cand_key)
+            if entry is None:
                 if candidates:
                     schema = StructType.fromJson(pm["schema"])
                     cand = spark.read.schema(schema).parquet(
                         *(os.path.join(path, f) for f in candidates)
                     )
-                    kept = cand.join(
-                        F.broadcast(df.select(*keys).distinct()),
-                        keys,
-                        "left_anti",
-                    )
+                    kept = cand.join(_key_frame(), keys, "left_anti")
                     # rewrite candidates file-for-file: without the
                     # coalesce, the anti-join's shuffle partitioning
                     # writes spark.sql.shuffle.partitions files per
@@ -730,18 +764,32 @@ def merge_upsert(
                     merged = df  # pure insert: no file can hold a match
                 commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
                 merged.write.mode("error").parquet(commit_dir)
-                written[cand_key] = (
-                    [
-                        os.path.relpath(f, path)
-                        for f in _list_parquet(commit_dir)
-                    ],
+                new_files = [
+                    os.path.relpath(f, path)
+                    for f in _list_parquet(commit_dir)
+                ]
+                # harvest footer stats WITH the write: they are as
+                # loop-invariant as the files, and re-reading footers
+                # on every republish retry would put I/O back inside
+                # the conflict window.  A rival changing the table's
+                # stat coverage mid-retry leaves these stats narrower
+                # or wider than the final harvest list — safe either
+                # way (missing per-column stats only disable skipping)
+                entry = written[cand_key] = (
+                    new_files,
                     json.loads(merged.schema.json()),
+                    {
+                        rel: _file_stats(os.path.join(path, rel), harvest)
+                        for rel in new_files
+                    }
+                    if harvest
+                    else {},
                 )
                 # abandoned outputs of earlier attempts (rival replaced
                 # our candidates) are young unreferenced dirs; the
                 # vacuum retention guard reclaims them, same as a lost
                 # same-txn commit's
-            new_files, writer_schema = written[cand_key]
+            new_files, writer_schema, new_stats = entry
             return _publish(
                 path,
                 new_files,
@@ -756,6 +804,7 @@ def merge_upsert(
                 # ignoreChanges for it); only a rewriting merge gets
                 # the rewrite label the streaming source gates on
                 operation="merge" if candidates else None,
+                precomputed_stats=new_stats,
             )
         except CommitConflict:
             continue  # someone committed meanwhile; re-read and re-merge

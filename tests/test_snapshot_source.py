@@ -116,6 +116,85 @@ def test_streaming_source_rejects_rewrites_without_optin(spark, tmp_path):
     assert ks == [0, 1, 2, 3, 4, 100, 101]
 
 
+def test_ignore_changes_redelivers_only_rewritten_files(spark, tmp_path):
+    """r14: a file-pruned MERGE is a PARTIAL rewrite — with
+    ignoreChanges the stream re-delivers only the files the merge
+    actually produced, never the whole table; and a rewrite whose
+    PARENT manifest was vacuumed degrades to full-set re-delivery
+    (more re-delivery, same contract) instead of crashing a
+    previously-working resume."""
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 3), (3, 6), (6, 9)):
+        st.commit(
+            _df(spark, lo, hi).coalesce(1), t, mode="append",
+            stats_cols=["k"],
+        )
+    ck = str(tmp_path / "ck")
+    got: list[int] = []
+
+    def drain():
+        got.clear()
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _e: got.extend(r["k"] for r in df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(got)
+
+    assert drain() == list(range(9))
+    # pruned merge: hull [4, 4] touches only the middle file, so the
+    # resume re-delivers exactly that file's rows
+    st.merge_upsert(spark.createDataFrame([(4,)], ["k"]), t, key="k")
+    assert drain() == [3, 4, 5]
+
+    # a rewrite whose parent manifest is then vacuumed: the diff is
+    # impossible, so the resume degrades to the rewrite's full set
+    st.compact(spark, t, target_files=1)
+    st.vacuum(t, keep_versions=1)
+    assert drain() == list(range(9))
+
+
+def test_append_with_vacuumed_parent_fails_actionably(spark, tmp_path):
+    """An APPEND whose parent manifest fell below the retention floor
+    cannot identify its new files, and over-delivering would break
+    append-only exactly-once — the resume must fail with the curated
+    retention error naming the parent, not a bare open() error."""
+    t = str(tmp_path / "tbl")
+    st.commit(_df(spark, 0, 3), t)                     # v0
+    st.commit(_df(spark, 3, 6), t, mode="append")      # v1
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(lambda df, _e: df.collect())
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # checkpoint now at v1
+
+    st.commit(_df(spark, 6, 9), t, mode="append")      # v2
+    st.vacuum(t, keep_versions=1)                      # expires v0, v1
+    q = start()
+    with pytest.raises(Exception, match="expired by vacuum|STREAM_FAILED"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+
+
 @pytest.mark.slow
 def test_table_to_table_pipeline_is_exactly_once_across_restart(
     spark, tmp_path
