@@ -419,6 +419,50 @@ def test_merge_upsert_pruned_path_survives_concurrent_commit(
     assert got[7] == -7.0 and got[500] == 500.0 and len(got) == 101
 
 
+def test_merge_cache_evicts_when_written_files_vanish(
+    spark, tmp_path, monkeypatch
+):
+    """The write-once retry cache must never publish a manifest of
+    deleted files: if a (mis-tuned) vacuum reclaims the
+    written-but-unpublished merge output between retries, the next
+    attempt detects it (the mtime-refresh probe fails), evicts the
+    entry, and rebuilds."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    st.commit(
+        _df(spark, 0, 100).withColumn("v", F2.col("k") * 1.0).coalesce(1),
+        t,
+        stats_cols=["k"],
+    )
+
+    real_publish = st._publish
+    sabotage = {"armed": True, "victims": None}
+
+    def publish_and_sabotage(path_, new_files, *args, **kwargs):
+        if sabotage["armed"]:
+            # simulate a vacuum racing the retry loop: the freshly
+            # written (still unreferenced) merge output disappears and
+            # the publish loses its serializable race
+            sabotage["armed"] = False
+            sabotage["victims"] = list(new_files)
+            for rel in new_files:
+                os.remove(os.path.join(path_, rel))
+            raise st.CommitConflict("injected: rival landed, files reclaimed")
+        return real_publish(path_, new_files, *args, **kwargs)
+
+    monkeypatch.setattr(st, "_publish", publish_and_sabotage)
+    st.merge_upsert(
+        spark.createDataFrame([(7, -7.0)], ["k", "v"]), t, key="k"
+    )
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[7] == -7.0 and len(got) == 100
+    # the head manifest references none of the deleted first-attempt
+    # files — the cache was evicted and rebuilt, not republished
+    head_files = set(st._read_manifest(t, st.current_version(t))["files"])
+    assert not head_files & set(sabotage["victims"])
+
+
 def test_merge_upsert_pruned_matches_full_rewrite_model(spark, tmp_path):
     """Model check: a scripted mix of updates/inserts/extreme-movers on
     a covered table must leave exactly the state a dict model predicts
