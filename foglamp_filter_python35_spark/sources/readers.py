@@ -291,13 +291,23 @@ def kafka_source_options(
     ``extra`` passes additional connector options through verbatim,
     e.g. ``maxOffsetsPerTrigger="10000"`` for backpressure or an
     authenticated cluster's ``**{"kafka.security.protocol":
-    "SASL_SSL"}`` (dotted names need dict-splat syntax)."""
-    return {
+    "SASL_SSL"}`` (dotted names need dict-splat syntax).  Keys that
+    collide with the three core options are REJECTED: splatting
+    ``extra`` last would let ``subscribe=...`` in extra silently mask
+    the positional ``topic`` — the plumbing contract stays
+    unambiguous by failing instead."""
+    core = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
-        **extra,
     }
+    clash = sorted(set(extra) & set(core))
+    if clash:
+        raise ValueError(
+            f"extra option(s) {clash} collide with the positional "
+            "core options — pass them positionally instead"
+        )
+    return {**core, **extra}
 
 
 def parse_kafka_records(

@@ -438,6 +438,33 @@ def _publish(
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             try:
+                # last-instant existence check on the files this
+                # manifest is about to reference: a vacuum tuned below
+                # the publish latency can reclaim not-yet-referenced
+                # data between the committer's write (or a merge
+                # retry's mtime refresh) and this link.  The mtime
+                # guards make that a contract violation, but violate
+                # it and the failure mode without this check is a
+                # manifest of deleted files — silent corruption.  With
+                # it: a loud CommitConflict (a merge's next retry
+                # evicts its write-once cache via the failing utime
+                # probe and rebuilds).  One stat-to-link syscall of
+                # window remains — irreducible without coordinating
+                # vacuum and commit; the same residual race Delta
+                # documents for VACUUM retention below write duration.
+                vanished = [
+                    rel
+                    for rel in new_files
+                    if not os.path.exists(os.path.join(path, rel))
+                ]
+                if vanished:
+                    PUBLISH_GUARD_TRIPS["vanished_before_link"] += 1
+                    raise CommitConflict(
+                        f"data files vanished before publish on "
+                        f"{path!r} (a vacuum with min_age_seconds "
+                        f"below the publish latency reclaimed them): "
+                        f"{vanished[:3]}"
+                    )
                 os.link(tmp, target)
             finally:
                 os.unlink(tmp)
@@ -528,6 +555,44 @@ def commit_files(
 # many upsert ROWS (an upper bound on distinct keys): broadcasting a
 # huge upsert would OOM where the unhinted shuffle join completes
 _MERGE_BROADCAST_KEY_LIMIT = 2_000_000
+# byte-aware companion to the row cap: 2M rows of wide string or
+# multi-column keys can be hundreds of MB — past Spark's comfortable
+# broadcast size even when the ROW count looks small.  Both gates must
+# pass for the forced broadcast.
+_MERGE_BROADCAST_BYTES_LIMIT = 64 << 20
+# above this many DISTINCT upsert keys, per-file key-set pruning stops
+# collecting the keys to the driver and merges prune on the hull alone
+# (the keyset walk is O(files * log keys) driver-side; the collect that
+# feeds it is the one cost that must stay bounded)
+_MERGE_KEYSET_PRUNE_LIMIT = 100_000
+
+# test/ops observability: how many publishes aborted because a racing
+# vacuum reclaimed the not-yet-referenced data files between the
+# committer's write (or the merge cache's mtime refresh) and the
+# manifest link.  A non-zero count means vacuum's min_age_seconds is
+# tuned below the publish latency — the documented contract violation,
+# surfaced loudly instead of as a manifest of deleted files.
+PUBLISH_GUARD_TRIPS = {"vanished_before_link": 0}
+
+
+def _estimate_key_row_bytes(schema, keys: list[str]) -> int:
+    """Rough per-row byte width of the key columns for the broadcast
+    gate — deliberately pessimistic for variable-width types (a wrong
+    guess only flips a borderline broadcast to a shuffle join, never
+    an OOM)."""
+    width = 0
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for k in keys:
+        t = by_name.get(k, "string")
+        if t in ("tinyint", "smallint", "int", "boolean", "float", "date"):
+            width += 8
+        elif t in ("bigint", "double", "long"):
+            width += 8
+        elif t.startswith("decimal") or t.startswith("timestamp"):
+            width += 16
+        else:  # string/binary/array/struct: assume wide
+            width += 48
+    return max(width, 8)
 
 
 def _stats_cover(manifest: dict, keys: list[str]) -> bool:
@@ -568,16 +633,127 @@ def _merge_key_hull(
     return bounds, n
 
 
+def _merge_key_probe(
+    df: DataFrame, keys: list[str]
+) -> tuple[dict[str, tuple] | None, int, list[tuple] | None]:
+    """(hull, distinct-key count, sorted key set or None) in ONE job
+    for the common small-upsert case: collect the distinct key tuples
+    up to ``_MERGE_KEYSET_PRUNE_LIMIT`` and derive the hull driver-side
+    from the collected set.  Oversized upserts fall back to the
+    ``_merge_key_hull`` aggregate (two jobs total) with keyset=None —
+    pruning then degrades to the hull, exactly the pre-r15 behavior.
+
+    The keyset drops tuples with a NULL in any key column (NULL never
+    equals a stored key, so they can't require reading any file — the
+    anti-join still sees them via the full key frame, and the insert
+    half of the merge still lands them).  If any collected value is a
+    float NaN the keyset is discarded (Spark joins treat NaN = NaN as
+    TRUE, but NaN breaks the sorted-bisect walk): hull-only pruning,
+    conservative.  Loop-invariant like the hull — callers memoize it
+    outside the optimistic retry loop."""
+    probe = (
+        df.select(*keys)
+        .distinct()
+        .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
+        .collect()
+    )
+    if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
+        bounds, n = _merge_key_hull(df, keys)
+        return bounds, n, None
+    n = len(probe)
+    tuples = [
+        tuple(r[k] for k in keys)
+        for r in probe
+        if all(r[k] is not None for k in keys)
+    ]
+    if not tuples:
+        # every distinct key has a NULL component: nothing can match
+        return None, n, []
+    if any(
+        isinstance(v, float) and v != v for t in tuples for v in t
+    ):
+        bounds = {
+            k: (
+                min(t[i] for t in tuples),
+                max(t[i] for t in tuples),
+            )
+            for i, k in enumerate(keys)
+        }
+        return bounds, n, None  # NaN keys: hull-only, stay conservative
+    tuples.sort()
+    bounds = {
+        k: (min(t[i] for t in tuples), max(t[i] for t in tuples))
+        for i, k in enumerate(keys)
+    }
+    return bounds, n, tuples
+
+
+def _keyset_hits_file(
+    keyset: list[tuple], keys: list[str], per_file: dict
+) -> bool:
+    """Does SOME key tuple fall inside this file's per-column bounds?
+    ``keyset`` is sorted, so the first key column narrows by bisect
+    (O(log n)); the remaining columns scan the narrowed slice.  Any
+    missing or incomparable per-column stat passes that column —
+    conservative, same contract as the hull check."""
+    import bisect  # noqa: PLC0415
+
+    lo_idx, hi_idx = 0, len(keyset)
+    rng0 = per_file.get(keys[0])
+    if rng0 is not None:
+        try:
+            lo_idx = bisect.bisect_left(keyset, (rng0[0],))
+            hi_idx = bisect.bisect_right(
+                keyset, (rng0[1],), lo=lo_idx
+            )
+            # bisect on the 1-tuple prefix: tuples sharing rng0[1] as
+            # their first element sort AFTER (rng0[1],) — extend the
+            # upper edge past them
+            while hi_idx < len(keyset) and keyset[hi_idx][0] == rng0[1]:
+                hi_idx += 1
+        except TypeError:
+            lo_idx, hi_idx = 0, len(keyset)  # incomparable: full scan
+    if lo_idx >= hi_idx:
+        return False
+    if len(keys) == 1:
+        return True
+    for t in keyset[lo_idx:hi_idx]:
+        ok = True
+        for i, k in enumerate(keys[1:], start=1):
+            rng = per_file.get(k)
+            if rng is None:
+                continue
+            try:
+                if t[i] < rng[0] or t[i] > rng[1]:
+                    ok = False
+                    break
+            except TypeError:
+                continue
+        if ok:
+            return True
+    return False
+
+
 def _merge_candidate_files(
     df: DataFrame,
     manifest: dict,
     keys: list[str],
     bounds: dict[str, tuple] | None = None,
+    keyset: list[tuple] | None = None,
 ) -> list[str] | None:
     """Files of ``manifest`` that can contain a row matching one of
     ``df``'s keys, decided by per-file stats against the upsert's
     per-column key hull (``bounds``, precomputed by the caller via
-    ``_merge_key_hull``; computed here if omitted).
+    ``_merge_key_hull``; computed here if omitted) and — when the
+    caller collected one — the actual distinct KEY SET (``keyset``,
+    sorted tuples from ``_merge_key_probe``).
+
+    The keyset refinement is Delta dynamic-file-pruning's shape: a file
+    stays a candidate only if SOME upsert key falls inside its bounds,
+    so an upsert touching the table's min and max keys no longer makes
+    every file a candidate the way a single [min, max] hull does
+    (pre-r15 that two-extreme-keys shape degenerated to a full
+    rewrite).
 
     Returns None when the manifest carries no stats for some key
     column on any file — the caller then falls back to the full
@@ -612,8 +788,13 @@ def _merge_candidate_files(
                     break
             except TypeError:
                 continue  # incomparable stat/bound types: stay candidate
-        if not disjoint:
-            out.append(f)
+        if disjoint:
+            continue
+        if keyset is not None and not _keyset_hits_file(
+            keyset, keys, per_file
+        ):
+            continue  # hull intersects but no actual key falls inside
+        out.append(f)
     return out
 
 
@@ -631,9 +812,13 @@ def merge_upsert(
 
     FILE-PRUNED when the manifest's per-file stats cover every key
     column: only files whose recorded [min, max] can intersect the
-    upsert's key hull are read, anti-joined, and rewritten; untouched
-    files are carried into the child manifest verbatim (a partial-
-    rewrite append publish).  At 100 TB this is the difference between
+    upsert's key hull — refined, for upserts of up to
+    ``_MERGE_KEYSET_PRUNE_LIMIT`` distinct keys, by the ACTUAL key set
+    (a file survives only if some key falls inside its bounds, so a
+    two-extreme-keys upsert touches two files, not the whole table) —
+    are read, anti-joined, and rewritten; untouched files are carried
+    into the child manifest verbatim (a partial-rewrite append
+    publish).  At 100 TB this is the difference between
     rewriting the table and rewriting the handful of files a MERGE
     actually touches — the same file-pruned copy-on-write Delta's MERGE
     performs from its data-skipping stats.  Without key-column
@@ -663,25 +848,33 @@ def merge_upsert(
 
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
-    # the upsert-side key hull (and row count) is loop-invariant:
-    # compute it at most once — running this job INSIDE the retry loop
-    # widens the conflict window enough to starve the merge under
-    # storm-level contention
+    # the upsert-side key probe (hull + distinct count + small-upsert
+    # key set) is loop-invariant: compute it at most once — running
+    # this job INSIDE the retry loop widens the conflict window enough
+    # to starve the merge under storm-level contention
     hull_memo: dict = {}
 
-    def _hull():
-        if "h" not in hull_memo:
-            hull_memo["h"] = _merge_key_hull(df, keys)
-        return hull_memo["h"]
+    def _probe():
+        if "p" not in hull_memo:
+            hull_memo["p"] = _merge_key_probe(df, keys)
+        return hull_memo["p"]
 
     def _key_frame():
         # the anti-join's build side: broadcast it when plausibly small
         # (a shuffled anti-join triples the attempt's latency, widening
         # the optimistic-conflict window), but let Spark plan a shuffle
-        # join for huge upserts instead of OOMing a forced broadcast
+        # join for huge upserts instead of OOMing a forced broadcast.
+        # Two gates, BOTH required: distinct-row count AND estimated
+        # bytes (row count alone lets 2M wide-string keys force a
+        # multi-hundred-MB broadcast)
         kf = df.select(*keys).distinct()
-        _bounds, n = _hull()
-        return F.broadcast(kf) if n <= _MERGE_BROADCAST_KEY_LIMIT else kf
+        _bounds, n, _keyset = _probe()
+        row_bytes = _estimate_key_row_bytes(df.schema, keys)
+        small = (
+            n <= _MERGE_BROADCAST_KEY_LIMIT
+            and n * row_bytes <= _MERGE_BROADCAST_BYTES_LIMIT
+        )
+        return F.broadcast(kf) if small else kf
 
     # write-once cache for the pruned path: (candidate file set) ->
     # (written relpaths, writer schema json, harvested stats).  Data
@@ -721,11 +914,13 @@ def merge_upsert(
         pm = _read_manifest(path, parent)
         harvest = _parent_stat_cols(path, parent) or None
         if _stats_cover(pm, keys):
-            bounds, _n = _hull()
+            bounds, _n, keyset = _probe()
             candidates = (
                 []  # all-NULL key hull: no upsert row can match
                 if bounds is None
-                else _merge_candidate_files(df, pm, keys, bounds=bounds)
+                else _merge_candidate_files(
+                    df, pm, keys, bounds=bounds, keyset=keyset
+                )
             )
         else:
             candidates = None
@@ -1152,6 +1347,16 @@ def vacuum(
     retention-duration contract, which it defaults to 7 days, exists
     for exactly this race).  The default 0.0 is the quiescent-table
     mode: safe only when no commit is in flight.
+
+    ``min_age_seconds`` must ALSO exceed one publish's latency for
+    ``merge_upsert``'s retry loop: a merge's write-once output sits
+    unreferenced across publish retries, kept young by an mtime
+    refresh at the top of each attempt — the refresh-to-link gap is
+    one publish.  A vacuum tuned below that gap can reclaim the files
+    mid-publish; the pre-link existence guard in ``_publish`` then
+    fails the commit LOUDLY (CommitConflict; the merge evicts its
+    cache and rebuilds) instead of publishing a manifest of deleted
+    files.  See the r15 live-race storm test for the interleaving.
 
     Retention vs streaming: a streaming reader replaying an uncommitted
     micro-batch (``readBetweenOffsets``) needs the files ADDED between

@@ -73,6 +73,16 @@ def _delta_df(spark):
     )
 
 
+def _extreme_pair_df(spark, n_rows: int):
+    """The r15 degenerate shape: an upsert touching the table's MIN and
+    MAX keys.  Hull-only pruning marks EVERY file a candidate (full
+    rewrite); per-file key-set pruning must keep candidates at the two
+    files that actually hold those keys."""
+    return spark.createDataFrame(
+        [(0, -2.0), (n_rows - 1, -2.0)], ["k", "v"]
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
@@ -124,10 +134,34 @@ def main() -> None:
         assert all(got[k] == -1.0 for k in range(DELTA_KEYS))
         assert got[100] != -1.0
 
+        # two-extreme-keys upsert (r15): hull covers every file, the
+        # key set hits exactly two — candidates must stay O(touched)
+        pre_files = st._read_manifest(covered, st.current_version(covered))[
+            "files"
+        ]
+        t0 = time.monotonic()
+        st.merge_upsert(_extreme_pair_df(spark, n), covered, key="k")
+        extreme_wall = time.monotonic() - t0
+        m2 = st._read_manifest(covered, st.current_version(covered))
+        replaced = len([f for f in pre_files if f not in m2["files"]])
+        assert replaced <= 2, (
+            f"extreme-pair merge rewrote {replaced} files at {mult}x "
+            f"(keyset pruning regressed to the hull)"
+        )
+        lo_probe = dict(
+            st.read_snapshot(spark, covered)
+            .filter("k <= 1")
+            .select("k", "v")
+            .collect()
+        )
+        assert lo_probe[0] == -2.0 and lo_probe[1] == -1.0
+
         out["points"][f"{mult}x"] = {
             "base_rows": n,
             "base_files": n_files,
             "pruned_merge_wall": round(pruned_wall, 3),
+            "extreme_pair_wall": round(extreme_wall, 3),
+            "extreme_pair_files_rewritten": replaced,
             "full_merge_wall": (
                 round(full_wall, 3) if full_wall is not None else None
             ),
@@ -135,6 +169,7 @@ def main() -> None:
         print(
             f"{mult}x: rows={n} files={n_files} "
             f"pruned={pruned_wall:.3f}s "
+            f"extreme_pair={extreme_wall:.3f}s/{replaced}f "
             f"full={'%.3f' % full_wall + 's' if full_wall else 'n/a'}",
             flush=True,
         )
