@@ -10,66 +10,67 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r13 driver evidence covers all
-# 153 catalog queries, none ever red.  The round-14 window
-# (tools/rotate_window.py, change-aware: 0 package files changed since
-# the r13 boundary, so 0 FORCED entries) is purely staleness-ordered:
-# the eight r10 leftovers (token_pmi, text_normalize, conversion_latency,
-# error_burst_join, weighted_sample, lang_mix_gini, dup_rate_by_source,
-# split_leakage) then the 42 least-recently-verified r11 greens
-# (signal cohort, text cohort, and the r11 vector/dedup audits).  After
-# r14 every catalog query's driver evidence is r11 or newer — the
-# VERDICT r13 "evidence staleness" ask.  Queries not listed keep module
-# order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r14 driver evidence covers all
+# 153 catalog queries, none ever red.  The round-15 window
+# (tools/rotate_window.py, change-aware: the two package files changed
+# since the r14 boundary — sources/snapshot_table.py, sources/readers.py
+# — back no catalog query, so 0 FORCED entries) is purely
+# staleness-ordered: the eight r11 leftovers (bloom_filter_audit,
+# ab_test_readout, hll_distinct_audit, source_vocab_divergence,
+# value_drift_chi2, vocab_coverage, ngram_novelty, corpus_pipeline_e2e —
+# all judge-re-verified at the r14 HEAD) then the 42 least-recently-
+# verified r12 greens (the T1-T8 events cohort and the relational/TPC-H
+# cohort).  After r15 no query's driver evidence predates r12.  Queries
+# not listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "token_pmi",  # green r10
-    "text_normalize",  # green r10
-    "conversion_latency",  # green r10
-    "error_burst_join",  # green r10
-    "weighted_sample",  # green r10
-    "lang_mix_gini",  # green r10
-    "dup_rate_by_source",  # green r10
-    "split_leakage",  # green r10
-    "spc_control_chart",  # green r11
-    "value_delta",  # green r11
-    "change_detect",  # green r11
-    "threshold_alarm",  # green r11
-    "zscore_anomaly",  # green r11
-    "downsample_1h",  # green r11
-    "locf_gap_fill",  # green r11
-    "session_rollup",  # green r11
-    "percentile_summary",  # green r11
-    "deadband_suppress",  # green r11
-    "interp_gap_fill",  # green r11
-    "winsorize_clip",  # green r11
-    "asset_correlation",  # green r11
-    "mad_outliers",  # green r11
-    "text_stats",  # green r11
-    "token_fertility",  # green r11
-    "quality_score",  # green r11
-    "language_id",  # green r11
-    "token_count_total",  # green r11
-    "doc_fingerprint",  # green r11
-    "tfidf_top_terms",  # green r11
-    "bigram_topk",  # green r11
-    "train_test_split",  # green r11
-    "doc_chunking",  # green r11
-    "lang_mismatch",  # green r11
-    "corpus_prefilter",  # green r11
-    "stratified_sample",  # green r11
-    "pii_redact",  # green r11
-    "benchmark_contamination",  # green r11
-    "doc_repetition",  # green r11
-    "top_bigram_fraction",  # green r11
-    "pretokenize_counts",  # green r11
-    "doc_length_histogram",  # green r11
-    "minhash_accuracy",  # green r11
-    "dedup_cluster_histogram",  # green r11
-    "ivf_recall_audit",  # green r11
-    "embedding_label_margin",  # green r11
-    "ivf_train_kmeans",  # green r11
-    "embedding_pca_power",  # green r11
-    "span_dedup",  # green r11
-    "trigram_lm",  # green r11
-    "event_disorder_audit",  # green r11
+    "bloom_filter_audit",  # green r11
+    "ab_test_readout",  # green r11
+    "hll_distinct_audit",  # green r11
+    "source_vocab_divergence",  # green r11
+    "value_drift_chi2",  # green r11
+    "vocab_coverage",  # green r11
+    "ngram_novelty",  # green r11
+    "corpus_pipeline_e2e",  # green r11
+    "scale35",  # green r12
+    "python_filter_scale35",  # green r12
+    "readings35_add100",  # green r12
+    "asset_filter",  # green r12
+    "payload_projection",  # green r12
+    "empty_payload_drop",  # green r12
+    "metadata_carry",  # green r12
+    "type_coercion",  # green r12
+    "pricing_summary",  # green r12
+    "revenue_by_nation",  # green r12
+    "top_orders_per_segment",  # green r12
+    "order_priority_semijoin",  # green r12
+    "sessionization",  # green r12
+    "hourly_event_rollup",  # green r12
+    "rollup_revenue",  # green r12
+    "set_ops_users",  # green r12
+    "distinct_users",  # green r12
+    "event_type_pivot",  # green r12
+    "top_parts_by_revenue",  # green r12
+    "asof_last_signup",  # green r12
+    "value_band_join",  # green r12
+    "customers_without_orders",  # green r12
+    "cube_revenue",  # green r12
+    "orders_above_cust_avg",  # green r12
+    "skewed_asset_rollup",  # green r12
+    "shipping_priority",  # green r12
+    "forecast_revenue",  # green r12
+    "event_funnel",  # green r12
+    "top_suppliers",  # green r12
+    "returned_items",  # green r12
+    "priority_by_linestatus",  # green r12
+    "volume_shipping",  # green r12
+    "market_share",  # green r12
+    "product_profit",  # green r12
+    "important_parts",  # green r12
+    "custdist",  # green r12
+    "promo_revenue",  # green r12
+    "small_qty_revenue",  # green r12
+    "large_orders",  # green r12
+    "disjunctive_filter",  # green r12
+    "sales_opportunity",  # green r12
+    "props_json_stats",  # green r12
 )

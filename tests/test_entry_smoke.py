@@ -34,12 +34,13 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r13 evidence covers all 153 queries, so the round-14
-    window is purely staleness-ordered (0 package files changed at
-    rotation time, so no forced entries): the eight r10 leftovers, then
-    the 42 least-recently-verified r11 greens (signal + text cohorts
-    and the r11 vector/dedup audits).  Guard the ordering so an
-    innocent module reshuffle can't silently evict them."""
+    Cumulative r1-r14 evidence covers all 153 queries, so the round-15
+    window is purely staleness-ordered (the two package files changed
+    at rotation time back no catalog query, so no forced entries): the
+    eight r11 leftovers, then the 42 least-recently-verified r12 greens
+    (the T1-T8 events cohort and the relational/TPC-H cohort).  Guard
+    the ordering so an innocent module reshuffle can't silently evict
+    them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -49,29 +50,31 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r10": ("token_pmi", "text_normalize", "conversion_latency",
-                      "error_burst_join", "weighted_sample",
-                      "lang_mix_gini", "dup_rate_by_source",
-                      "split_leakage"),
-        "signal-r11": ("spc_control_chart", "value_delta", "change_detect",
-                       "threshold_alarm", "zscore_anomaly",
-                       "downsample_1h", "locf_gap_fill", "session_rollup",
-                       "percentile_summary", "deadband_suppress",
-                       "interp_gap_fill", "winsorize_clip",
-                       "asset_correlation", "mad_outliers"),
-        "text-r11": ("text_stats", "token_fertility", "quality_score",
-                     "language_id", "token_count_total",
-                     "doc_fingerprint", "tfidf_top_terms", "bigram_topk",
-                     "train_test_split", "doc_chunking", "lang_mismatch",
-                     "corpus_prefilter", "stratified_sample",
-                     "pii_redact", "benchmark_contamination",
-                     "doc_repetition", "top_bigram_fraction",
-                     "pretokenize_counts", "doc_length_histogram"),
-        "audits-r11": ("minhash_accuracy", "dedup_cluster_histogram",
-                       "ivf_recall_audit", "embedding_label_margin",
-                       "ivf_train_kmeans", "embedding_pca_power",
-                       "span_dedup", "trigram_lm",
-                       "event_disorder_audit"),
+        "stale-r11": ("bloom_filter_audit", "ab_test_readout",
+                      "hll_distinct_audit", "source_vocab_divergence",
+                      "value_drift_chi2", "vocab_coverage",
+                      "ngram_novelty", "corpus_pipeline_e2e"),
+        "events-r12": ("scale35", "python_filter_scale35",
+                       "readings35_add100", "asset_filter",
+                       "payload_projection", "empty_payload_drop",
+                       "metadata_carry", "type_coercion",
+                       "sessionization", "hourly_event_rollup",
+                       "event_type_pivot", "event_funnel",
+                       "skewed_asset_rollup", "props_json_stats"),
+        "relational-r12": ("pricing_summary", "revenue_by_nation",
+                           "top_orders_per_segment",
+                           "order_priority_semijoin", "rollup_revenue",
+                           "set_ops_users", "distinct_users",
+                           "top_parts_by_revenue", "asof_last_signup",
+                           "value_band_join", "customers_without_orders",
+                           "cube_revenue", "orders_above_cust_avg",
+                           "shipping_priority", "forecast_revenue",
+                           "top_suppliers", "returned_items",
+                           "priority_by_linestatus", "volume_shipping",
+                           "market_share", "product_profit",
+                           "important_parts", "custdist", "promo_revenue",
+                           "small_qty_revenue", "large_orders",
+                           "disjunctive_filter", "sales_opportunity"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
