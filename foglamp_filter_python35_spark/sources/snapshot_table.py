@@ -650,17 +650,51 @@ def _merge_key_probe(
     float NaN the keyset is discarded (Spark joins treat NaN = NaN as
     TRUE, but NaN breaks the sorted-bisect walk): hull-only pruning,
     conservative.  Loop-invariant like the hull — callers memoize it
-    outside the optimistic retry loop."""
-    probe = (
-        df.select(*keys)
-        .distinct()
-        .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
-        .collect()
-    )
-    if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
-        bounds, n = _merge_key_hull(df, keys)
-        return bounds, n, None
-    n = len(probe)
+    outside the optimistic retry loop.
+
+    Job budget at scale: a LOCAL upsert (createDataFrame — the common
+    programmatic merge) goes straight to the one-job distinct-collect.
+    A non-local upsert (file-backed, potentially huge) must NOT pay a
+    full distinct-key shuffle just to learn "too big": it first runs
+    the hull aggregate extended with approx_count_distinct (map-side
+    sketches, no wide shuffle — the r14 cost) and only collects the
+    keys when the estimate says they fit, with the hard limit
+    re-checked at collect time (the sketch's ±5%)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if df.isLocal():
+        probe = (
+            df.select(*keys)
+            .distinct()
+            .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
+            .collect()
+        )
+        if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
+            bounds, n = _merge_key_hull(df, keys)
+            return bounds, n, None
+        n = len(probe)
+    else:
+        aggs = [
+            F.count(F.lit(1)).alias("_n"),
+            F.approx_count_distinct(F.struct(*keys)).alias("_nd"),
+        ]
+        for k in keys:
+            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+        row = df.select(*aggs).collect()[0]
+        n = row["_n"]
+        bounds = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
+        if any(lo is None for lo, _ in bounds.values()):
+            return None, n, None
+        if row["_nd"] > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
+            return bounds, n, None  # estimated too big: hull-only
+        probe = (
+            df.select(*keys)
+            .distinct()
+            .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
+            .collect()
+        )
+        if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
+            return bounds, n, None  # the sketch under-counted
     tuples = [
         tuple(r[k] for k in keys)
         for r in probe

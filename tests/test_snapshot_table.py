@@ -1916,3 +1916,38 @@ def test_vacuum_races_mid_retry_merge_live(spark, tmp_path, monkeypatch):
     got = {r["k"]: r["v"] for r in st.read_snapshot(spark, tb).collect()}
     assert got[150] == -2.0
     assert len(got) == 300 + landed_b["append"]
+
+
+def test_merge_keyset_from_file_backed_upsert(spark, tmp_path):
+    """The non-local probe branch: a file-backed (non-``isLocal``)
+    upsert must not pay a distinct-key shuffle up front — it runs the
+    hull aggregate with an approx-distinct sketch first and only then
+    collects the keys — and must still key-set-prune: the same
+    two-extreme-keys shape touches 2 of 4 files."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
+        st.commit(
+            _df(spark, lo, hi).withColumn("v", F2.col("k") * 2.0).coalesce(1),
+            t,
+            stats_cols=["k"],
+        )
+    parent_files = st._read_manifest(t, st.current_version(t))["files"]
+
+    src = str(tmp_path / "upsert_src")
+    spark.createDataFrame([(0, -1.0), (399, -2.0)], ["k", "v"]).write.parquet(
+        src
+    )
+    upsert = spark.read.parquet(src)
+    assert not upsert.isLocal()
+    bounds, n, keyset = st._merge_key_probe(upsert, ["k"])
+    assert bounds == {"k": (0, 399)} and n == 2
+    assert keyset == [(0,), (399,)]
+
+    st.merge_upsert(upsert, t, key="k")
+    m = st._read_manifest(t, st.current_version(t))
+    replaced = [f for f in parent_files if f not in m["files"]]
+    assert len(replaced) == 2
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[0] == -1.0 and got[399] == -2.0 and len(got) == 400
