@@ -110,6 +110,15 @@ def test_kafka_option_plumbing_jar_free(spark):
         "startingOffsets": "latest",
     }
 
+    # extra keys colliding with the core options fail loudly instead
+    # of silently masking the positional arguments (r15 ADVICE)
+    with pytest.raises(ValueError, match="subscribe"):
+        R.kafka_source_options("b:9092", "t", subscribe="other-topic")
+    with pytest.raises(ValueError, match="startingOffsets"):
+        R.kafka_source_options(
+            "b:9092", "t", **{"startingOffsets": "earliest"}
+        )
+
     payloads = [
         b'{"id":1,"asset_code":"pump","ts":1000,"user_ts":1000,'
         b'"reading":{"value":1.5},"reading_str":{}}',
