@@ -552,8 +552,9 @@ def commit_files(
 
 
 # broadcast the upsert key side of the merge anti-join only below this
-# many upsert ROWS (an upper bound on distinct keys): broadcasting a
-# huge upsert would OOM where the unhinted shuffle join completes
+# many DISTINCT keys (exact when the probe collected them, a sketch
+# estimate or the row-count upper bound otherwise): broadcasting a huge
+# key frame would OOM where the unhinted shuffle join completes
 _MERGE_BROADCAST_KEY_LIMIT = 2_000_000
 # byte-aware companion to the row cap: 2M rows of wide string or
 # multi-column keys can be hundreds of MB — past Spark's comfortable
@@ -584,9 +585,10 @@ def _estimate_key_row_bytes(schema, keys: list[str]) -> int:
     by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
     for k in keys:
         t = by_name.get(k, "string")
-        if t in ("tinyint", "smallint", "int", "boolean", "float", "date"):
-            width += 8
-        elif t in ("bigint", "double", "long"):
+        if t in (
+            "tinyint", "smallint", "int", "bigint",
+            "boolean", "float", "double", "date",
+        ):
             width += 8
         elif t.startswith("decimal") or t.startswith("timestamp"):
             width += 16
@@ -620,17 +622,45 @@ def _merge_key_hull(
     A None hull means some key column is NULL on EVERY upsert row (min
     is None only when all values are), and NULL never equals an
     existing key — no file can match."""
+    row = _hull_row(df, keys)
+    return _bounds_from_row(row, keys), row["_n"]
+
+
+def _hull_row(df: DataFrame, keys: list[str], *, with_distinct: bool = False):
+    """The one aggregate row behind every key-hull computation: total
+    count plus per-key min/max, optionally an approx-distinct sketch —
+    shared so the probe and the fallback hull can never diverge."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     aggs = [F.count(F.lit(1)).alias("_n")]
+    if with_distinct:
+        aggs.append(F.approx_count_distinct(F.struct(*keys)).alias("_nd"))
     for k in keys:
         aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
-    row = df.select(*aggs).collect()[0]
-    n = row["_n"]
-    bounds = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
-    if any(lo is None for lo, _ in bounds.values()):
-        return None, n
-    return bounds, n
+    return df.select(*aggs).collect()[0]
+
+
+def _bounds_from_row(row, keys: list[str]) -> dict[str, tuple] | None:
+    """Hull dict from a ``_hull_row`` result, NaN-neutralized: a key
+    column whose Spark min or max is NaN gets a (NaN, NaN) hull, which
+    compares False against every file range — that column can then
+    never mark a file disjoint.  Pruning on a real bound while a NaN
+    key rides along would trust parquet writers to omit stats on
+    NaN-bearing files (Spark joins treat NaN = NaN as TRUE, so a NaN
+    upsert key CAN match stored rows); most writers do omit them, but
+    the hull must not bet correctness on a foreign writer's NaN
+    convention."""
+    nan = float("nan")
+    bounds: dict[str, tuple] = {}
+    for k in keys:
+        lo, hi = row[f"lo_{k}"], row[f"hi_{k}"]
+        if lo is None:
+            return None  # this key column is NULL on every row
+        if any(isinstance(v, float) and v != v for v in (lo, hi)):
+            bounds[k] = (nan, nan)
+        else:
+            bounds[k] = (lo, hi)
+    return bounds
 
 
 def _merge_key_probe(
@@ -640,17 +670,21 @@ def _merge_key_probe(
     for the common small-upsert case: collect the distinct key tuples
     up to ``_MERGE_KEYSET_PRUNE_LIMIT`` and derive the hull driver-side
     from the collected set.  Oversized upserts fall back to the
-    ``_merge_key_hull`` aggregate (two jobs total) with keyset=None —
-    pruning then degrades to the hull, exactly the pre-r15 behavior.
+    ``_merge_key_hull`` aggregate with keyset=None — pruning then
+    degrades to the hull, exactly the pre-r15 behavior.  The returned
+    count is the DISTINCT-key count (exact when collected, the sketch
+    estimate otherwise): it feeds the broadcast gates, and the frame
+    being gated IS the distinct key frame.
 
     The keyset drops tuples with a NULL in any key column (NULL never
     equals a stored key, so they can't require reading any file — the
     anti-join still sees them via the full key frame, and the insert
     half of the merge still lands them).  If any collected value is a
-    float NaN the keyset is discarded (Spark joins treat NaN = NaN as
-    TRUE, but NaN breaks the sorted-bisect walk): hull-only pruning,
-    conservative.  Loop-invariant like the hull — callers memoize it
-    outside the optimistic retry loop.
+    float NaN the keyset is discarded (NaN breaks the sorted-bisect
+    walk) and the hull is NaN-neutralized by ``_bounds_from_row`` /
+    the per-column rebuild below: hull-only pruning, conservative.
+    Loop-invariant like the hull — callers memoize it outside the
+    optimistic retry loop.
 
     Job budget at scale: a LOCAL upsert (createDataFrame — the common
     programmatic merge) goes straight to the one-job distinct-collect.
@@ -660,8 +694,7 @@ def _merge_key_probe(
     sketches, no wide shuffle — the r14 cost) and only collects the
     keys when the estimate says they fit, with the hard limit
     re-checked at collect time (the sketch's ±5%)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
+    spark_bounds: dict[str, tuple] | None = None
     if df.isLocal():
         probe = (
             df.select(*keys)
@@ -670,23 +703,19 @@ def _merge_key_probe(
             .collect()
         )
         if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
-            bounds, n = _merge_key_hull(df, keys)
-            return bounds, n, None
+            # true distinct count unknown (> the limit): report total
+            # rows — a safe UPPER bound for the broadcast gates
+            bounds, rows = _merge_key_hull(df, keys)
+            return bounds, rows, None
         n = len(probe)
     else:
-        aggs = [
-            F.count(F.lit(1)).alias("_n"),
-            F.approx_count_distinct(F.struct(*keys)).alias("_nd"),
-        ]
-        for k in keys:
-            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
-        row = df.select(*aggs).collect()[0]
-        n = row["_n"]
-        bounds = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
-        if any(lo is None for lo, _ in bounds.values()):
+        row = _hull_row(df, keys, with_distinct=True)
+        spark_bounds = _bounds_from_row(row, keys)
+        n = row["_nd"]
+        if spark_bounds is None:
             return None, n, None
-        if row["_nd"] > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
-            return bounds, n, None  # estimated too big: hull-only
+        if n > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
+            return spark_bounds, n, None  # estimated too big: hull-only
         probe = (
             df.select(*keys)
             .distinct()
@@ -694,7 +723,10 @@ def _merge_key_probe(
             .collect()
         )
         if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
-            return bounds, n, None  # the sketch under-counted
+            # the sketch under-counted; total rows is the safe upper
+            # bound for the broadcast gates
+            return spark_bounds, row["_n"], None
+        n = len(probe)
     tuples = [
         tuple(r[k] for k in keys)
         for r in probe
@@ -703,17 +735,21 @@ def _merge_key_probe(
     if not tuples:
         # every distinct key has a NULL component: nothing can match
         return None, n, []
-    if any(
-        isinstance(v, float) and v != v for t in tuples for v in t
-    ):
-        bounds = {
-            k: (
-                min(t[i] for t in tuples),
-                max(t[i] for t in tuples),
-            )
-            for i, k in enumerate(keys)
-        }
-        return bounds, n, None  # NaN keys: hull-only, stay conservative
+    if any(isinstance(v, float) and v != v for t in tuples for v in t):
+        # NaN keys: no keyset (the bisect walk needs a total order) and
+        # a NaN-neutral hull — per column, (NaN, NaN) when any value is
+        # NaN (compares False against every range: never disjoint),
+        # plain min/max otherwise.  Python's min/max are order-
+        # dependent under NaN, so they are only safe on NaN-free values.
+        nan = float("nan")
+        bounds = {}
+        for i, k in enumerate(keys):
+            vals = [t[i] for t in tuples]
+            if any(isinstance(v, float) and v != v for v in vals):
+                bounds[k] = (nan, nan)
+            else:
+                bounds[k] = (min(vals), max(vals))
+        return bounds, n, None
     tuples.sort()
     bounds = {
         k: (min(t[i] for t in tuples), max(t[i] for t in tuples))
@@ -751,7 +787,11 @@ def _keyset_hits_file(
         return False
     if len(keys) == 1:
         return True
-    for t in keyset[lo_idx:hi_idx]:
+    # index walk, not a slice: a full-range scan (stats missing on the
+    # first key column) over a near-limit keyset would otherwise copy
+    # 100k tuples per candidate file
+    for idx in range(lo_idx, hi_idx):
+        t = keyset[idx]
         ok = True
         for i, k in enumerate(keys[1:], start=1):
             rng = per_file.get(k)

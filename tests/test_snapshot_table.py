@@ -1951,3 +1951,53 @@ def test_merge_keyset_from_file_backed_upsert(spark, tmp_path):
     assert len(replaced) == 2
     got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
     assert got[0] == -1.0 and got[399] == -2.0 and len(got) == 400
+
+
+def test_merge_nan_keys_never_prune_and_still_match(spark, tmp_path):
+    """NaN-neutral hulls (r15 review find): Spark joins treat
+    NaN = NaN as TRUE, so a NaN upsert key CAN match stored rows — but
+    parquet writer conventions for NaN stats vary, so no file may be
+    pruned on a key column whose upsert hull contains NaN.  Python's
+    min/max are order-dependent under NaN (min([nan, 1.0]) is nan but
+    min([1.0, nan]) is 1.0), so the driver-side hull must neutralize,
+    never compute through, NaN."""
+    t = str(tmp_path / "tbl")
+    st.commit(
+        spark.createDataFrame(
+            [(5.0, 1.0), (9.0, 2.0)], "k double, v double"
+        ).coalesce(1),
+        t,
+        stats_cols=["k"],
+    )
+    st.commit(
+        spark.createDataFrame(
+            [(100.0, 3.0), (float("nan"), 4.0)], "k double, v double"
+        ).coalesce(1),
+        t,
+        mode="append",
+        stats_cols=["k"],
+    )
+    m = st._read_manifest(t, st.current_version(t))
+
+    # probe: keyset discarded, hull NaN-neutralized per column
+    upsert = spark.createDataFrame(
+        [(1.0, -1.0), (float("nan"), -4.0)], "k double, v double"
+    )
+    bounds, n, keyset = st._merge_key_probe(upsert, ["k"])
+    assert keyset is None and n == 2
+    lo, hi = bounds["k"]
+    assert lo != lo and hi != hi  # (NaN, NaN): compares False everywhere
+
+    # no file is pruned — including the stats-covered [5, 9] file that
+    # an order-dependent (1.0, 1.0) hull would wrongly mark disjoint
+    cands = st._merge_candidate_files(upsert, m, ["k"], bounds=bounds)
+    assert cands is not None and set(cands) == set(m["files"])
+
+    # end-to-end: the NaN upsert key REPLACES the stored NaN row
+    # (Spark's NaN = NaN join semantics), no duplicate, no stale value
+    st.merge_upsert(upsert, t, key="k")
+    rows = st.read_snapshot(spark, t).collect()
+    by_nan = [r["v"] for r in rows if r["k"] != r["k"]]
+    assert by_nan == [-4.0], f"NaN key mishandled: {by_nan}"
+    got = {r["k"]: r["v"] for r in rows if r["k"] == r["k"]}
+    assert got == {5.0: 1.0, 9.0: 2.0, 100.0: 3.0, 1.0: -1.0}
