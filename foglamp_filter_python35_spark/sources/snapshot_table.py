@@ -666,15 +666,14 @@ def _bounds_from_row(row, keys: list[str]) -> dict[str, tuple] | None:
 def _merge_key_probe(
     df: DataFrame, keys: list[str]
 ) -> tuple[dict[str, tuple] | None, int, list[tuple] | None]:
-    """(hull, distinct-key count, sorted key set or None) in ONE job
-    for the common small-upsert case: collect the distinct key tuples
-    up to ``_MERGE_KEYSET_PRUNE_LIMIT`` and derive the hull driver-side
-    from the collected set.  Oversized upserts fall back to the
-    ``_merge_key_hull`` aggregate with keyset=None — pruning then
-    degrades to the hull, exactly the pre-r15 behavior.  The returned
-    count is the DISTINCT-key count (exact when collected, the sketch
-    estimate otherwise): it feeds the broadcast gates, and the frame
-    being gated IS the distinct key frame.
+    """(hull, distinct-key count, sorted key set or None): the hull
+    aggregate (plus a distinct sketch), then — when the sketch says the
+    keys fit under ``_MERGE_KEYSET_PRUNE_LIMIT`` — one collect of the
+    distinct key tuples.  Oversized upserts keep keyset=None — pruning
+    then degrades to the hull, exactly the pre-r15 behavior.  The
+    returned count is the DISTINCT-key count (exact when collected,
+    the sketch estimate otherwise): it feeds the broadcast gates, and
+    the frame being gated IS the distinct key frame.
 
     The keyset drops tuples with a NULL in any key column (NULL never
     equals a stored key, so they can't require reading any file — the
@@ -686,47 +685,30 @@ def _merge_key_probe(
     Loop-invariant like the hull — callers memoize it outside the
     optimistic retry loop.
 
-    Job budget at scale: a LOCAL upsert (createDataFrame — the common
-    programmatic merge) goes straight to the one-job distinct-collect.
-    A non-local upsert (file-backed, potentially huge) must NOT pay a
-    full distinct-key shuffle just to learn "too big": it first runs
+    Job budget at scale: a potentially huge upsert must NOT pay a full
+    distinct-key shuffle just to learn "too big": the probe first runs
     the hull aggregate extended with approx_count_distinct (map-side
     sketches, no wide shuffle — the r14 cost) and only collects the
     keys when the estimate says they fit, with the hard limit
     re-checked at collect time (the sketch's ±5%)."""
-    spark_bounds: dict[str, tuple] | None = None
-    if df.isLocal():
-        probe = (
-            df.select(*keys)
-            .distinct()
-            .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
-            .collect()
-        )
-        if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
-            # true distinct count unknown (> the limit): report total
-            # rows — a safe UPPER bound for the broadcast gates
-            bounds, rows = _merge_key_hull(df, keys)
-            return bounds, rows, None
-        n = len(probe)
-    else:
-        row = _hull_row(df, keys, with_distinct=True)
-        spark_bounds = _bounds_from_row(row, keys)
-        n = row["_nd"]
-        if spark_bounds is None:
-            return None, n, None
-        if n > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
-            return spark_bounds, n, None  # estimated too big: hull-only
-        probe = (
-            df.select(*keys)
-            .distinct()
-            .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
-            .collect()
-        )
-        if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
-            # the sketch under-counted; total rows is the safe upper
-            # bound for the broadcast gates
-            return spark_bounds, row["_n"], None
-        n = len(probe)
+    row = _hull_row(df, keys, with_distinct=True)
+    spark_bounds = _bounds_from_row(row, keys)
+    n = row["_nd"]
+    if spark_bounds is None:
+        return None, n, None
+    if n > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
+        return spark_bounds, n, None  # estimated too big: hull-only
+    probe = (
+        df.select(*keys)
+        .distinct()
+        .limit(_MERGE_KEYSET_PRUNE_LIMIT + 1)
+        .collect()
+    )
+    if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
+        # the sketch under-counted; total rows is the safe upper
+        # bound for the broadcast gates
+        return spark_bounds, row["_n"], None
+    n = len(probe)
     tuples = [
         tuple(r[k] for k in keys)
         for r in probe
@@ -933,22 +915,25 @@ def merge_upsert(
             hull_memo["p"] = _merge_key_probe(df, keys)
         return hull_memo["p"]
 
+    def _small():
+        # the broadcast gate, shared by the anti-join hint and the
+        # output-layout choice.  Two gates, BOTH required: distinct-key
+        # count AND estimated bytes (count alone lets 2M wide-string
+        # keys force a multi-hundred-MB broadcast)
+        _bounds, n, _keyset = _probe()
+        row_bytes = _estimate_key_row_bytes(df.schema, keys)
+        return (
+            n <= _MERGE_BROADCAST_KEY_LIMIT
+            and n * row_bytes <= _MERGE_BROADCAST_BYTES_LIMIT
+        )
+
     def _key_frame():
         # the anti-join's build side: broadcast it when plausibly small
         # (a shuffled anti-join triples the attempt's latency, widening
         # the optimistic-conflict window), but let Spark plan a shuffle
-        # join for huge upserts instead of OOMing a forced broadcast.
-        # Two gates, BOTH required: distinct-row count AND estimated
-        # bytes (row count alone lets 2M wide-string keys force a
-        # multi-hundred-MB broadcast)
+        # join for huge upserts instead of OOMing a forced broadcast
         kf = df.select(*keys).distinct()
-        _bounds, n, _keyset = _probe()
-        row_bytes = _estimate_key_row_bytes(df.schema, keys)
-        small = (
-            n <= _MERGE_BROADCAST_KEY_LIMIT
-            and n * row_bytes <= _MERGE_BROADCAST_BYTES_LIMIT
-        )
-        return F.broadcast(kf) if small else kf
+        return F.broadcast(kf) if _small() else kf
 
     # write-once cache for the pruned path: (candidate file set) ->
     # (written relpaths, writer schema json, harvested stats).  Data
@@ -1020,22 +1005,71 @@ def merge_upsert(
                         *(os.path.join(path, f) for f in candidates)
                     )
                     kept = cand.join(_key_frame(), keys, "left_anti")
-                    # rewrite candidates file-for-file: without the
-                    # coalesce, the anti-join's shuffle partitioning
-                    # writes spark.sql.shuffle.partitions files per
-                    # merge — file-count bloat that also WIDENS the
-                    # next merge's candidate stats (the rewritten key
-                    # range smears across every output file)
-                    merged = kept.unionByName(
-                        df, allowMissingColumns=True
-                    ).coalesce(len(candidates))
+                    if _small():
+                        # broadcast anti-join: NO shuffle anywhere in
+                        # this plan, so the scan keeps one task per
+                        # candidate file and each output file inherits
+                        # its candidate's tight key range.  Coalescing
+                        # the union to len(candidates) tasks here
+                        # collapsed the whole read+join+write to N
+                        # tasks — measured 3.7x slower at 2 candidates
+                        # (r15 profile) — and fused upsert rows into
+                        # candidate files, smearing their stats.  The
+                        # upsert instead lands as its own file(s),
+                        # squeezed to ~500k rows apiece so a 32-part
+                        # tiny upsert doesn't scatter 32 tiny files;
+                        # its range is the upsert hull, so a wide-hull
+                        # upsert leaves one always-candidate small
+                        # file behind — rewritten by the next merge,
+                        # never accumulating.  Keyset-sized upserts
+                        # (≤100k keys — the common programmatic merge)
+                        # use repartition: the shuffle is trivial at
+                        # that size, while coalesce(1) over a
+                        # createDataFrame/parallelize plan serializes
+                        # its ~32 Python-worker slice evaluations into
+                        # ONE task (measured ~5s for a 2-row upsert,
+                        # r15 profile).  Bigger upserts coalesce:
+                        # shuffle-free, and at that size the slices
+                        # are real data, not worker round-trips
+                        _b, n_keys, ks = _probe()
+                        up_parts = max(1, n_keys // 500_000 + 1)
+                        up = (
+                            df.repartition(up_parts)
+                            if ks is not None
+                            else df.coalesce(up_parts)
+                        )
+                        merged = kept.unionByName(
+                            up, allowMissingColumns=True
+                        )
+                    else:
+                        # shuffled anti-join: without the coalesce its
+                        # shuffle partitioning writes
+                        # spark.sql.shuffle.partitions files per merge
+                        # — file-count bloat that also WIDENS the next
+                        # merge's candidate stats (the rewritten key
+                        # range smears across every output file)
+                        merged = kept.unionByName(
+                            df, allowMissingColumns=True
+                        ).coalesce(len(candidates))
                 else:
                     merged = df  # pure insert: no file can hold a match
                 commit_dir = os.path.join(_data_dir(path), uuid.uuid4().hex)
                 merged.write.mode("error").parquet(commit_dir)
+                # drop zero-row part files (Spark can emit one for an
+                # empty leading partition, e.g. a kept-side scan whose
+                # every row was replaced): registering an empty file
+                # would add a stats-less PERMANENT candidate that every
+                # future merge conservatively rewrites.  The rewrite
+                # branch always lands the (non-empty) upsert, so at
+                # least one output survives; the dropped file is young
+                # and unreferenced — the vacuum retention guard
+                # reclaims it like any abandoned attempt's output
+                import pyarrow.parquet as _pq  # noqa: PLC0415
+
                 new_files = [
                     os.path.relpath(f, path)
                     for f in _list_parquet(commit_dir)
+                    if _pq.read_metadata(f).num_rows > 0
                 ]
                 # harvest footer stats WITH the write: they are as
                 # loop-invariant as the files, and re-reading footers
