@@ -1919,11 +1919,11 @@ def test_vacuum_races_mid_retry_merge_live(spark, tmp_path, monkeypatch):
 
 
 def test_merge_keyset_from_file_backed_upsert(spark, tmp_path):
-    """The non-local probe branch: a file-backed (non-``isLocal``)
-    upsert must not pay a distinct-key shuffle up front — it runs the
-    hull aggregate with an approx-distinct sketch first and only then
-    collects the keys — and must still key-set-prune: the same
-    two-extreme-keys shape touches 2 of 4 files."""
+    """A file-backed upsert through the uniform probe path (hull
+    aggregate + approx-distinct sketch first, bounded key collect
+    second — never a distinct-key shuffle up front) must still
+    key-set-prune: the same two-extreme-keys shape touches 2 of 4
+    files."""
     from pyspark.sql import functions as F2
 
     t = str(tmp_path / "tbl")
