@@ -292,19 +292,24 @@ def kafka_source_options(
     e.g. ``maxOffsetsPerTrigger="10000"`` for backpressure or an
     authenticated cluster's ``**{"kafka.security.protocol":
     "SASL_SSL"}`` (dotted names need dict-splat syntax).  Keys that
-    collide with the three core options are REJECTED: splatting
-    ``extra`` last would let ``subscribe=...`` in extra silently mask
-    the positional ``topic`` — the plumbing contract stays
-    unambiguous by failing instead."""
+    collide with the three core options AND disagree with them are
+    REJECTED: splatting ``extra`` last would let ``subscribe=...`` in
+    extra silently mask the positional ``topic`` — the plumbing
+    contract stays unambiguous by failing instead.  A collision whose
+    value EQUALS the resolved core value passes (ADVICE r16): a
+    config-driven options dict that happens to restate
+    ``startingOffsets="latest"`` is idempotent, not ambiguous."""
     core = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
     }
-    clash = sorted(set(extra) & set(core))
+    clash = sorted(
+        k for k in extra if k in core and extra[k] != core[k]
+    )
     if clash:
         raise ValueError(
-            f"extra option(s) {clash} collide with the positional "
+            f"extra option(s) {clash} contradict the positional "
             "core options — pass them positionally instead"
         )
     return {**core, **extra}

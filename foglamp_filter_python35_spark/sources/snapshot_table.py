@@ -39,8 +39,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -458,7 +460,8 @@ def _publish(
                     if not os.path.exists(os.path.join(path, rel))
                 ]
                 if vanished:
-                    PUBLISH_GUARD_TRIPS["vanished_before_link"] += 1
+                    with _GUARD_LOCK:
+                        PUBLISH_GUARD_TRIPS["vanished_before_link"] += 1
                     raise CommitConflict(
                         f"data files vanished before publish on "
                         f"{path!r} (a vacuum with min_age_seconds "
@@ -566,35 +569,95 @@ _MERGE_BROADCAST_BYTES_LIMIT = 64 << 20
 # (the keyset walk is O(files * log keys) driver-side; the collect that
 # feeds it is the one cost that must stay bounded)
 _MERGE_KEYSET_PRUNE_LIMIT = 100_000
+# below this much TOTAL table data a merge skips the keyset collect
+# (one extra Spark job + a driver walk) and prunes on the hull alone:
+# the keyset's best case saves rewriting at most the whole table, so
+# when the whole table rewrites in less than the collect job costs the
+# probe is a pure tax (r16 verdict ask 1; threshold measured by
+# tools/merge_scale_probe.py --small-series, recorded in SCALE.md)
+_MERGE_SMALL_TABLE_BYTES = 256 << 20
+# manifests past this many files never pay the per-file getsize() walk
+# the byte gate needs — they are big by construction
+_MERGE_SMALL_TABLE_FILES = 512
 
 # test/ops observability: how many publishes aborted because a racing
 # vacuum reclaimed the not-yet-referenced data files between the
 # committer's write (or the merge cache's mtime refresh) and the
 # manifest link.  A non-zero count means vacuum's min_age_seconds is
 # tuned below the publish latency — the documented contract violation,
-# surfaced loudly instead of as a manifest of deleted files.
+# surfaced loudly instead of as a manifest of deleted files.  The
+# increment is lock-guarded: concurrent committers in threads (the
+# storm tests run exactly that shape) would otherwise lose counts to
+# the read-modify-write race — observability-only, so a lost count is
+# not corruption, but exactness is cheap (ADVICE r15).
 PUBLISH_GUARD_TRIPS = {"vanished_before_link": 0}
+_GUARD_LOCK = threading.Lock()
 
 
-def _estimate_key_row_bytes(schema, keys: list[str]) -> int:
-    """Rough per-row byte width of the key columns for the broadcast
-    gate — deliberately pessimistic for variable-width types (a wrong
-    guess only flips a borderline broadcast to a shuffle join, never
-    an OOM)."""
+_FIXED_KEY_WIDTHS = (
+    "tinyint", "smallint", "int", "bigint",
+    "boolean", "float", "double", "date",
+)
+
+# per-value JVM overhead added on top of a measured payload width when
+# sizing a broadcast: object header + offset bookkeeping in the hashed
+# relation's UnsafeRows
+_KEY_VALUE_OVERHEAD = 16
+
+
+def _is_fixed_width(type_str: str) -> bool:
+    return type_str in _FIXED_KEY_WIDTHS or type_str.startswith(
+        ("decimal", "timestamp")
+    )
+
+
+def _estimate_key_row_bytes(
+    schema, keys: list[str], measured: dict[str, float] | None = None
+) -> int:
+    """Per-row byte width of the key columns for the broadcast gate.
+
+    Fixed-width types are exact.  Variable-width types (string, binary,
+    array, struct, map) use ``measured`` — the upsert's own
+    avg(length) per column, harvested by ``_hull_row`` in the same
+    aggregate job the probe already runs — plus per-value JVM overhead.
+    Only when no measurement exists (caller skipped the hull job) does
+    a flat 48-byte guess apply, and that guess CAN be wrong in the
+    dangerous direction: ~1.3M distinct 500B-average keys estimated at
+    48B pass both gates and force a ~650MB broadcast (ADVICE r15) —
+    which is exactly why every merge path now feeds the measured
+    average through."""
     width = 0
     by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
     for k in keys:
         t = by_name.get(k, "string")
-        if t in (
-            "tinyint", "smallint", "int", "bigint",
-            "boolean", "float", "double", "date",
-        ):
+        if t in _FIXED_KEY_WIDTHS:
             width += 8
         elif t.startswith("decimal") or t.startswith("timestamp"):
             width += 16
-        else:  # string/binary/array/struct: assume wide
+        elif measured is not None and measured.get(k) is not None:
+            width += int(measured[k]) + _KEY_VALUE_OVERHEAD
+        else:  # unmeasured string/binary/array/struct: assume wide
             width += 48
     return max(width, 8)
+
+
+def _keyset_bytes(tuples: list[tuple]) -> int:
+    """ACTUAL byte size of a collected key set — when the probe holds
+    the distinct keys in hand, the broadcast gate sizes the real
+    payload instead of any estimate."""
+    total = 0
+    for t in tuples:
+        total += _KEY_VALUE_OVERHEAD  # per-row bookkeeping
+        for v in t:
+            if isinstance(v, str):
+                total += len(v.encode("utf-8", "surrogatepass")) + (
+                    _KEY_VALUE_OVERHEAD
+                )
+            elif isinstance(v, (bytes, bytearray)):
+                total += len(v) + _KEY_VALUE_OVERHEAD
+            else:
+                total += 8
+    return total
 
 
 def _stats_cover(manifest: dict, keys: list[str]) -> bool:
@@ -607,6 +670,33 @@ def _stats_cover(manifest: dict, keys: list[str]) -> bool:
     for per_file in (manifest.get("stats") or {}).values():
         covered.update(per_file)
     return set(keys) <= covered
+
+
+def _keyset_probe_worthwhile(path: str, manifest: dict) -> bool:
+    """Adaptive merge path choice (r16): is per-file KEY-SET pruning
+    worth its fixed cost (one distinct-collect job + a driver-side
+    bisect walk) on this table?  The keyset's payoff is bounded by the
+    cost of rewriting the files the hull keeps but the keys miss — at
+    most the whole table — so below ``_MERGE_SMALL_TABLE_BYTES`` of
+    total data the collect job alone exceeds the best possible saving
+    and the merge prunes on the (job-free-by-then) hull alone.  Decided
+    from the manifest + O(files) driver ``getsize`` calls, no Spark job;
+    manifests past ``_MERGE_SMALL_TABLE_FILES`` files skip even the
+    stat walk.  A vanished file (racing vacuum/rival) makes the size
+    unknowable — answer True, the purely-performance-conservative
+    choice (the publish guard, not this gate, owns correctness)."""
+    files = manifest["files"]
+    if len(files) > _MERGE_SMALL_TABLE_FILES:
+        return True
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(os.path.join(path, f))
+        except OSError:
+            return True
+        if total >= _MERGE_SMALL_TABLE_BYTES:
+            return True
+    return False
 
 
 def _merge_key_hull(
@@ -629,15 +719,44 @@ def _merge_key_hull(
 def _hull_row(df: DataFrame, keys: list[str], *, with_distinct: bool = False):
     """The one aggregate row behind every key-hull computation: total
     count plus per-key min/max, optionally an approx-distinct sketch —
-    shared so the probe and the fallback hull can never diverge."""
+    shared so the probe and the fallback hull can never diverge.  With
+    the sketch it also measures avg(length) of every variable-width
+    key column (``w_{k}``), feeding the broadcast byte gate a REAL
+    width instead of a flat guess — same job, one more map-side agg."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")]
     if with_distinct:
         aggs.append(F.approx_count_distinct(F.struct(*keys)).alias("_nd"))
+        for k in keys:
+            t = types.get(k, "string")
+            if _is_fixed_width(t):
+                continue
+            if t == "string":
+                width = F.octet_length(F.col(k))
+            elif t == "binary":
+                width = F.length(F.col(k))
+            else:  # array/struct/map: JSON length over-approximates
+                width = F.octet_length(F.to_json(F.struct(F.col(k))))
+            aggs.append(F.avg(width).alias(f"w_{k}"))
     for k in keys:
         aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
     return df.select(*aggs).collect()[0]
+
+
+def _measured_widths(row, keys: list[str]) -> dict[str, float]:
+    """The ``w_{k}`` avg-width measurements a ``_hull_row`` result
+    carries (only variable-width key columns have one)."""
+    out: dict[str, float] = {}
+    for k in keys:
+        try:
+            v = row[f"w_{k}"]
+        except ValueError:
+            continue  # fixed-width column: no measurement needed
+        if v is not None:
+            out[k] = v
+    return out
 
 
 def _bounds_from_row(row, keys: list[str]) -> dict[str, tuple] | None:
@@ -663,17 +782,37 @@ def _bounds_from_row(row, keys: list[str]) -> dict[str, tuple] | None:
     return bounds
 
 
+class _KeyProbe(NamedTuple):
+    """Everything ``merge_upsert`` learns about its upsert's keys from
+    at most two jobs, memoized outside the retry loop."""
+
+    bounds: dict[str, tuple] | None  # NaN-neutral per-column key hull
+    n_keys: int  # distinct keys: exact if collected, else sketch/rows
+    keyset: list[tuple] | None  # sorted distinct tuples, when collected
+    n_rows: int  # TOTAL upsert rows (sizes the output layout)
+    key_bytes: int  # broadcast payload: actual if collected, measured-avg est. otherwise
+
+
 def _merge_key_probe(
-    df: DataFrame, keys: list[str]
-) -> tuple[dict[str, tuple] | None, int, list[tuple] | None]:
-    """(hull, distinct-key count, sorted key set or None): the hull
-    aggregate (plus a distinct sketch), then — when the sketch says the
-    keys fit under ``_MERGE_KEYSET_PRUNE_LIMIT`` — one collect of the
-    distinct key tuples.  Oversized upserts keep keyset=None — pruning
-    then degrades to the hull, exactly the pre-r15 behavior.  The
-    returned count is the DISTINCT-key count (exact when collected,
-    the sketch estimate otherwise): it feeds the broadcast gates, and
-    the frame being gated IS the distinct key frame.
+    df: DataFrame, keys: list[str], *, collect_keyset: bool = True
+) -> _KeyProbe:
+    """(hull, distinct-key count, sorted key set or None, row count,
+    key-frame bytes): the hull aggregate (plus a distinct sketch and
+    avg key widths), then — when ``collect_keyset`` and the sketch says
+    the keys fit under ``_MERGE_KEYSET_PRUNE_LIMIT`` — one collect of
+    the distinct key tuples.  Oversized upserts keep keyset=None —
+    pruning then degrades to the hull, exactly the pre-r15 behavior;
+    ``collect_keyset=False`` (small tables, where a full rewrite is
+    cheaper than the collect job the keyset costs) does the same while
+    keeping the sketch count and measured widths for the broadcast
+    gate.  The returned count is the DISTINCT-key count (exact when
+    collected, the sketch estimate otherwise): it feeds the broadcast
+    gates, and the frame being gated IS the distinct key frame.
+    ``key_bytes`` is that frame's payload size — the ACTUAL byte size
+    of the collected tuples when the keyset is in hand, else the count
+    times a per-row width built from the measured avg(length) of every
+    variable-width key column (never the flat guess that let 1.3M
+    500B-average keys through the gate — ADVICE r15).
 
     The keyset drops tuples with a NULL in any key column (NULL never
     equals a stored key, so they can't require reading any file — the
@@ -692,12 +831,17 @@ def _merge_key_probe(
     keys when the estimate says they fit, with the hard limit
     re-checked at collect time (the sketch's ±5%)."""
     row = _hull_row(df, keys, with_distinct=True)
+    n_rows = row["_n"]
+    est_row_bytes = _estimate_key_row_bytes(
+        df.schema, keys, _measured_widths(row, keys)
+    )
     spark_bounds = _bounds_from_row(row, keys)
     n = row["_nd"]
     if spark_bounds is None:
-        return None, n, None
-    if n > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
-        return spark_bounds, n, None  # estimated too big: hull-only
+        return _KeyProbe(None, n, None, n_rows, n * est_row_bytes)
+    if not collect_keyset or n > _MERGE_KEYSET_PRUNE_LIMIT * 0.8:
+        # hull-only: skipped by choice (small table) or estimated too big
+        return _KeyProbe(spark_bounds, n, None, n_rows, n * est_row_bytes)
     probe = (
         df.select(*keys)
         .distinct()
@@ -707,7 +851,9 @@ def _merge_key_probe(
     if len(probe) > _MERGE_KEYSET_PRUNE_LIMIT:
         # the sketch under-counted; total rows is the safe upper
         # bound for the broadcast gates
-        return spark_bounds, row["_n"], None
+        return _KeyProbe(
+            spark_bounds, n_rows, None, n_rows, n_rows * est_row_bytes
+        )
     n = len(probe)
     tuples = [
         tuple(r[k] for k in keys)
@@ -716,7 +862,8 @@ def _merge_key_probe(
     ]
     if not tuples:
         # every distinct key has a NULL component: nothing can match
-        return None, n, []
+        return _KeyProbe(None, n, [], n_rows, 0)
+    actual_bytes = _keyset_bytes(tuples)
     if any(isinstance(v, float) and v != v for t in tuples for v in t):
         # NaN keys: no keyset (the bisect walk needs a total order) and
         # a NaN-neutral hull — per column, (NaN, NaN) when any value is
@@ -731,13 +878,13 @@ def _merge_key_probe(
                 bounds[k] = (nan, nan)
             else:
                 bounds[k] = (min(vals), max(vals))
-        return bounds, n, None
+        return _KeyProbe(bounds, n, None, n_rows, actual_bytes)
     tuples.sort()
     bounds = {
         k: (min(t[i] for t in tuples), max(t[i] for t in tuples))
         for i, k in enumerate(keys)
     }
-    return bounds, n, tuples
+    return _KeyProbe(bounds, n, tuples, n_rows, actual_bytes)
 
 
 def _keyset_hits_file(
@@ -880,6 +1027,14 @@ def merge_upsert(
     performs from its data-skipping stats.  Without key-column
     coverage, the merge falls back to the full-table rewrite.
 
+    ADAPTIVE (r16): the keyset refinement costs one extra Spark job
+    (the distinct-key collect) plus a driver walk, and its payoff is
+    bounded by the rewrite it avoids — so tables below
+    ``_MERGE_SMALL_TABLE_BYTES`` of total data (decided from the
+    manifest + driver ``getsize``, no job) prune on the hull alone.
+    Semantics are identical either way (the keyset only shrinks the
+    candidate list); only the job count changes.
+
     Retry fairness: the pruned path writes its rewritten data ONCE per
     candidate set and, when a publish conflict's rival left every
     candidate file in place (appends elsewhere in the key space — the
@@ -905,26 +1060,36 @@ def merge_upsert(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     # the upsert-side key probe (hull + distinct count + small-upsert
-    # key set) is loop-invariant: compute it at most once — running
-    # this job INSIDE the retry loop widens the conflict window enough
-    # to starve the merge under storm-level contention
-    hull_memo: dict = {}
+    # key set) is loop-invariant: compute it at most once per flavor —
+    # running this job INSIDE the retry loop widens the conflict window
+    # enough to starve the merge under storm-level contention.  Two
+    # flavors share the memo: the FULL probe (with the keyset collect)
+    # satisfies hull-only requests, so at most one upgrade ever runs
+    # (a rival growing the table past the small-table threshold
+    # mid-retry).
+    probe_memo: dict[str, _KeyProbe] = {}
 
-    def _probe():
-        if "p" not in hull_memo:
-            hull_memo["p"] = _merge_key_probe(df, keys)
-        return hull_memo["p"]
+    def _probe(full: bool = False) -> _KeyProbe:
+        if "full" in probe_memo:
+            return probe_memo["full"]
+        if not full and "hull" in probe_memo:
+            return probe_memo["hull"]
+        flavor = "full" if full else "hull"
+        probe_memo[flavor] = _merge_key_probe(
+            df, keys, collect_keyset=full
+        )
+        return probe_memo[flavor]
 
     def _small():
         # the broadcast gate, shared by the anti-join hint and the
         # output-layout choice.  Two gates, BOTH required: distinct-key
-        # count AND estimated bytes (count alone lets 2M wide-string
-        # keys force a multi-hundred-MB broadcast)
-        _bounds, n, _keyset = _probe()
-        row_bytes = _estimate_key_row_bytes(df.schema, keys)
+        # count AND bytes — actual bytes when the keyset was collected,
+        # measured-avg-width estimate otherwise (count alone lets 2M
+        # wide-string keys force a multi-hundred-MB broadcast)
+        p = _probe()
         return (
-            n <= _MERGE_BROADCAST_KEY_LIMIT
-            and n * row_bytes <= _MERGE_BROADCAST_BYTES_LIMIT
+            p.n_keys <= _MERGE_BROADCAST_KEY_LIMIT
+            and p.key_bytes <= _MERGE_BROADCAST_BYTES_LIMIT
         )
 
     def _key_frame():
@@ -973,12 +1138,18 @@ def merge_upsert(
         pm = _read_manifest(path, parent)
         harvest = _parent_stat_cols(path, parent) or None
         if _stats_cover(pm, keys):
-            bounds, _n, keyset = _probe()
+            # adaptive path choice: the keyset collect + walk only pays
+            # for itself past the small-table threshold; below it the
+            # merge prunes on the hull alone (pre-r15 behavior, zero
+            # extra jobs vs the brute path — pure-insert detection and
+            # the append-labeled streaming contract are preserved
+            # either way)
+            p = _probe(full=_keyset_probe_worthwhile(path, pm))
             candidates = (
                 []  # all-NULL key hull: no upsert row can match
-                if bounds is None
+                if p.bounds is None
                 else _merge_candidate_files(
-                    df, pm, keys, bounds=bounds, keyset=keyset
+                    df, pm, keys, bounds=p.bounds, keyset=p.keyset
                 )
             )
         else:
@@ -1021,21 +1192,30 @@ def merge_upsert(
                         # its range is the upsert hull, so a wide-hull
                         # upsert leaves one always-candidate small
                         # file behind — rewritten by the next merge,
-                        # never accumulating.  Keyset-sized upserts
-                        # (≤100k keys — the common programmatic merge)
-                        # use repartition: the shuffle is trivial at
-                        # that size, while coalesce(1) over a
+                        # never accumulating.  Sized from the ROW
+                        # count, not the distinct-key count: a
+                        # duplicate-heavy upsert (1k keys across 10M
+                        # rows — every row lands, merge unions df
+                        # verbatim) must not funnel through one task
+                        # (ADVICE r15).  Small upserts (≤100k rows —
+                        # the common programmatic merge) use
+                        # repartition: the shuffle is trivial at that
+                        # size, while coalesce(1) over a
                         # createDataFrame/parallelize plan serializes
                         # its ~32 Python-worker slice evaluations into
                         # ONE task (measured ~5s for a 2-row upsert,
                         # r15 profile).  Bigger upserts coalesce:
                         # shuffle-free, and at that size the slices
                         # are real data, not worker round-trips
-                        _b, n_keys, ks = _probe()
-                        up_parts = max(1, n_keys // 500_000 + 1)
+                        p_up = _probe()
+                        up_parts = max(
+                            1,
+                            p_up.n_rows // 500_000 + 1,
+                            p_up.n_keys // 500_000 + 1,
+                        )
                         up = (
                             df.repartition(up_parts)
-                            if ks is not None
+                            if p_up.n_rows <= _MERGE_KEYSET_PRUNE_LIMIT
                             else df.coalesce(up_parts)
                         )
                         merged = kept.unionByName(

@@ -1539,13 +1539,17 @@ def test_zorder_unions_cols_with_parent_stats(spark, tmp_path):
     assert covered == {"k", "x"}
 
 
-def test_merge_keyset_prunes_extreme_pair(spark, tmp_path):
+def test_merge_keyset_prunes_extreme_pair(spark, tmp_path, monkeypatch):
     """r15 verdict ask 2: an upsert touching the table's MIN and MAX
     keys must rewrite only the two files that actually hold those keys
     — per-file key-SET pruning (Delta dynamic-file-pruning shape),
     where the single [min, max] hull used pre-r15 made every file a
-    candidate and degenerated to a full-table rewrite."""
+    candidate and degenerated to a full-table rewrite.  (The adaptive
+    small-table gate would skip the keyset on a table this tiny — the
+    threshold is zeroed so this pins the keyset machinery itself.)"""
     from pyspark.sql import functions as F2
+
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", 0)
 
     t = str(tmp_path / "tbl")
     for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
@@ -1588,11 +1592,13 @@ def test_merge_keyset_prunes_extreme_pair(spark, tmp_path):
     assert got[0] == 0.5 and got[1000] == 9.0 and len(got) == 401
 
 
-def test_merge_keyset_prunes_multi_column_key(spark, tmp_path):
+def test_merge_keyset_prunes_multi_column_key(spark, tmp_path, monkeypatch):
     """Key-set pruning with a COMPOSITE key: a file survives only if
     some (k1, k2) tuple fits BOTH of its per-column ranges — the
     per-column hull alone cannot see that (1, 'z') and (9, 'a') never
-    hit a file whose ranges are k1 in [1, 1] and k2 in ['a', 'a']."""
+    hit a file whose ranges are k1 in [1, 1] and k2 in ['a', 'a'].
+    Small-table threshold zeroed: this pins the keyset machinery."""
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", 0)
     t = str(tmp_path / "tbl")
     rows1 = [(1, "a", 1.0), (1, "b", 2.0)]
     rows2 = [(9, "y", 3.0), (9, "z", 4.0)]
@@ -1918,13 +1924,15 @@ def test_vacuum_races_mid_retry_merge_live(spark, tmp_path, monkeypatch):
     assert len(got) == 300 + landed_b["append"]
 
 
-def test_merge_keyset_from_file_backed_upsert(spark, tmp_path):
+def test_merge_keyset_from_file_backed_upsert(spark, tmp_path, monkeypatch):
     """A file-backed upsert through the uniform probe path (hull
     aggregate + approx-distinct sketch first, bounded key collect
     second — never a distinct-key shuffle up front) must still
     key-set-prune: the same two-extreme-keys shape touches 2 of 4
-    files."""
+    files.  Small-table threshold zeroed to exercise the keyset path."""
     from pyspark.sql import functions as F2
+
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", 0)
 
     t = str(tmp_path / "tbl")
     for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
@@ -1941,9 +1949,10 @@ def test_merge_keyset_from_file_backed_upsert(spark, tmp_path):
     )
     upsert = spark.read.parquet(src)
     assert not upsert.isLocal()
-    bounds, n, keyset = st._merge_key_probe(upsert, ["k"])
-    assert bounds == {"k": (0, 399)} and n == 2
-    assert keyset == [(0,), (399,)]
+    p = st._merge_key_probe(upsert, ["k"])
+    assert p.bounds == {"k": (0, 399)} and p.n_keys == 2
+    assert p.keyset == [(0,), (399,)]
+    assert p.n_rows == 2 and p.key_bytes > 0
 
     st.merge_upsert(upsert, t, key="k")
     m = st._read_manifest(t, st.current_version(t))
@@ -1983,8 +1992,9 @@ def test_merge_nan_keys_never_prune_and_still_match(spark, tmp_path):
     upsert = spark.createDataFrame(
         [(1.0, -1.0), (float("nan"), -4.0)], "k double, v double"
     )
-    bounds, n, keyset = st._merge_key_probe(upsert, ["k"])
-    assert keyset is None and n == 2
+    p = st._merge_key_probe(upsert, ["k"])
+    bounds = p.bounds
+    assert p.keyset is None and p.n_keys == 2
     lo, hi = bounds["k"]
     assert lo != lo and hi != hi  # (NaN, NaN): compares False everywhere
 
@@ -2001,3 +2011,189 @@ def test_merge_nan_keys_never_prune_and_still_match(spark, tmp_path):
     assert by_nan == [-4.0], f"NaN key mishandled: {by_nan}"
     got = {r["k"]: r["v"] for r in rows if r["k"] == r["k"]}
     assert got == {5.0: 1.0, 9.0: 2.0, 100.0: 3.0, 1.0: -1.0}
+
+
+# ---------------------------------------------------------------------------
+# r16: adaptive merge path choice + measured broadcast byte gate
+
+
+def test_merge_small_table_skips_keyset_collect(spark, tmp_path, monkeypatch):
+    """r16 verdict ask 1: on a table below the small-table byte
+    threshold the merge must NOT pay the keyset collect job (hull-only
+    pruning, the pre-r15 tax-free path) — while staying exactly as
+    correct, and keeping a pure insert an append-labeled commit (the
+    streaming-compatibility contract the short-circuit must not
+    break)."""
+    from pyspark.sql import functions as F2
+
+    calls: list[bool] = []
+    real = st._merge_key_probe
+
+    def spy(df, keys, *, collect_keyset=True):
+        calls.append(collect_keyset)
+        return real(df, keys, collect_keyset=collect_keyset)
+
+    monkeypatch.setattr(st, "_merge_key_probe", spy)
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
+        st.commit(
+            _df(spark, lo, hi).withColumn("v", F2.col("k") * 2.0).coalesce(1),
+            t,
+            stats_cols=["k"],
+        )
+    pm = st._read_manifest(t, st.current_version(t))
+    assert st._keyset_probe_worthwhile(t, pm) is False
+
+    # extreme-pair upsert: hull-only rewrites all 4 files (that is the
+    # accepted small-table tradeoff — the whole table is cheaper than
+    # the collect job) but the ANSWER is identical
+    st.merge_upsert(
+        spark.createDataFrame([(0, -1.0), (399, -2.0)], ["k", "v"]),
+        t,
+        key="k",
+    )
+    assert calls and all(c is False for c in calls), calls
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[0] == -1.0 and got[399] == -2.0
+    assert got[150] == 300.0 and len(got) == 400
+
+    # a key outside every file range: still detected as a pure insert
+    # (hull misses every file) and committed as an APPEND
+    st.merge_upsert(
+        spark.createDataFrame([(1000, 9.0)], ["k", "v"]), t, key="k"
+    )
+    m2 = st._read_manifest(t, st.current_version(t))
+    assert m2["operation"] == "append"
+    assert all(c is False for c in calls)
+
+
+def test_keyset_probe_worthwhile_gate(spark, tmp_path, monkeypatch):
+    """The adaptive gate itself: byte threshold, file-count
+    short-circuit, and the vanished-file conservative answer."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    st.commit(
+        _df(spark, 0, 100).withColumn("v", F2.col("k") * 2.0).coalesce(1),
+        t,
+        stats_cols=["k"],
+    )
+    pm = st._read_manifest(t, st.current_version(t))
+
+    assert st._keyset_probe_worthwhile(t, pm) is False  # tiny table
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", 0)
+    assert st._keyset_probe_worthwhile(t, pm) is True  # 0-byte floor
+
+    # file-count short-circuit fires before any getsize walk
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", 1 << 60)
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_FILES", 0)
+    assert st._keyset_probe_worthwhile(t, pm) is True
+
+    # a file the OS can no longer stat makes the size unknowable:
+    # answer True (performance-conservative; correctness lives in the
+    # publish guard, not here)
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_FILES", 512)
+    pm_gone = {**pm, "files": [*pm["files"], "data/none/gone.parquet"]}
+    assert st._keyset_probe_worthwhile(t, pm_gone) is True
+
+
+def test_merge_broadcast_gate_measures_key_width(spark):
+    """ADVICE r16 (medium): the broadcast byte gate must use MEASURED
+    key widths, not a flat 48B guess — ~1.3M distinct 500B-average
+    keys pass a flat-estimate gate and force a ~650MB broadcast, the
+    exact OOM the gate exists to prevent."""
+    from pyspark.sql import functions as F2
+
+    up = spark.range(200).select(
+        F2.concat(F2.lit("u" * 500), F2.col("id").cast("string")).alias("k"),
+        F2.lit(1.0).alias("v"),
+    )
+
+    # hull-only probe (no collected keyset): bytes from the measured
+    # avg(octet_length), never the flat guess
+    p = st._merge_key_probe(up, ["k"], collect_keyset=False)
+    assert p.keyset is None
+    per_row = p.key_bytes / max(p.n_keys, 1)
+    assert per_row >= 500  # measured, not 48
+    assert 1_300_000 * per_row > st._MERGE_BROADCAST_BYTES_LIMIT
+    assert 1_300_000 * 48 <= st._MERGE_BROADCAST_BYTES_LIMIT  # the old hole
+
+    # collected keyset: ACTUAL payload bytes of the tuples in hand
+    p2 = st._merge_key_probe(up, ["k"])
+    assert p2.keyset is not None and p2.n_keys == 200
+    assert p2.key_bytes >= sum(
+        len(t[0].encode()) for t in p2.keyset
+    )
+
+    # the estimator keeps its pessimistic default when unmeasured, and
+    # honors a measurement when given one
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    s = StructType([StructField("k", StringType())])
+    assert st._estimate_key_row_bytes(s, ["k"]) == 48
+    assert st._estimate_key_row_bytes(s, ["k"], {"k": 500.0}) >= 500
+
+
+def test_keyset_hits_file_matches_brute_reference():
+    """r16 verdict ask 3: the bisect walk in ``_keyset_hits_file``
+    (first-column duplicate extension past bisect_right, incomparable
+    fallback to full scan, missing-stat pass-through) must agree with
+    the obvious brute-force reference on random keysets x random
+    per-file stats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    def brute(keyset, keys, per_file):
+        def within(t):
+            for i, k in enumerate(keys):
+                rng = per_file.get(k)
+                if rng is None:
+                    continue
+                try:
+                    if t[i] < rng[0] or t[i] > rng[1]:
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        return any(within(t) for t in keyset)
+
+    int_vals = hst.integers(min_value=0, max_value=8)
+    str_vals = hst.sampled_from(list("abcdef"))
+
+    @hst.composite
+    def case(draw):
+        n_cols = draw(hst.integers(min_value=1, max_value=3))
+        col_types = [draw(hst.booleans()) for _ in range(n_cols)]
+        vals = [int_vals if is_int else str_vals for is_int in col_types]
+        tuples = draw(
+            hst.lists(
+                hst.tuples(*vals), min_size=1, max_size=30, unique=True
+            )
+        )
+        keys = [f"k{i}" for i in range(n_cols)]
+        per_file = {}
+        for i, k in enumerate(keys):
+            mode = draw(hst.integers(min_value=0, max_value=3))
+            if mode == 0:
+                continue  # stats missing for this column
+            if mode == 1:
+                # INCOMPARABLE stat type for this column (exercises the
+                # TypeError fallback): swap int<->str domains
+                other = str_vals if col_types[i] else int_vals
+                a, b = draw(other), draw(other)
+            else:
+                a, b = draw(vals[i]), draw(vals[i])
+            per_file[k] = (min(a, b), max(a, b))
+        return sorted(tuples), keys, per_file
+
+    @settings(max_examples=400, deadline=None)
+    @given(case())
+    def check(c):
+        keyset, keys, per_file = c
+        assert st._keyset_hits_file(keyset, keys, per_file) == brute(
+            keyset, keys, per_file
+        )
+
+    check()

@@ -110,7 +110,7 @@ def test_kafka_option_plumbing_jar_free(spark):
         "startingOffsets": "latest",
     }
 
-    # extra keys colliding with the core options fail loudly instead
+    # extra keys CONTRADICTING the core options fail loudly instead
     # of silently masking the positional arguments (r15 ADVICE)
     with pytest.raises(ValueError, match="subscribe"):
         R.kafka_source_options("b:9092", "t", subscribe="other-topic")
@@ -118,6 +118,16 @@ def test_kafka_option_plumbing_jar_free(spark):
         R.kafka_source_options(
             "b:9092", "t", **{"startingOffsets": "earliest"}
         )
+    # ...but a collision whose value EQUALS the resolved core value is
+    # an idempotent config dict, not an ambiguity — it passes (r16
+    # ADVICE: config-driven option dicts restate defaults)
+    assert R.kafka_source_options(
+        "b:9092", "t", subscribe="t", **{"startingOffsets": "latest"}
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+    }
 
     payloads = [
         b'{"id":1,"asset_code":"pump","ts":1000,"user_ts":1000,'
