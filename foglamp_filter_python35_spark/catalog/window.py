@@ -10,67 +10,66 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r14 driver evidence covers all
-# 153 catalog queries, none ever red.  The round-15 window
+# ``queries()`` each round.  Cumulative r1-r15 driver evidence covers all
+# 153 catalog queries, none ever red.  The round-16 window
 # (tools/rotate_window.py, change-aware: the two package files changed
-# since the r14 boundary — sources/snapshot_table.py, sources/readers.py
+# since the r15 boundary — sources/snapshot_table.py, sources/readers.py
 # — back no catalog query, so 0 FORCED entries) is purely
-# staleness-ordered: the eight r11 leftovers (bloom_filter_audit,
-# ab_test_readout, hll_distinct_audit, source_vocab_divergence,
-# value_drift_chi2, vocab_coverage, ngram_novelty, corpus_pipeline_e2e —
-# all judge-re-verified at the r14 HEAD) then the 42 least-recently-
-# verified r12 greens (the T1-T8 events cohort and the relational/TPC-H
-# cohort).  After r15 no query's driver evidence predates r12.  Queries
-# not listed keep module order after the prioritized block.
+# staleness-ordered: the three r12 leftovers (click_view_reconciliation,
+# sequence_packing, sliding_unique_users — all judge-re-verified at the
+# r15 HEAD) then the 47 least-recently-verified r13 greens (the
+# dedup/vector/multimodal family plus the r13 relational cohort).  After
+# r16 no query's driver evidence predates r13.  Queries not listed keep
+# module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "bloom_filter_audit",  # green r11
-    "ab_test_readout",  # green r11
-    "hll_distinct_audit",  # green r11
-    "source_vocab_divergence",  # green r11
-    "value_drift_chi2",  # green r11
-    "vocab_coverage",  # green r11
-    "ngram_novelty",  # green r11
-    "corpus_pipeline_e2e",  # green r11
-    "scale35",  # green r12
-    "python_filter_scale35",  # green r12
-    "readings35_add100",  # green r12
-    "asset_filter",  # green r12
-    "payload_projection",  # green r12
-    "empty_payload_drop",  # green r12
-    "metadata_carry",  # green r12
-    "type_coercion",  # green r12
-    "pricing_summary",  # green r12
-    "revenue_by_nation",  # green r12
-    "top_orders_per_segment",  # green r12
-    "order_priority_semijoin",  # green r12
-    "sessionization",  # green r12
-    "hourly_event_rollup",  # green r12
-    "rollup_revenue",  # green r12
-    "set_ops_users",  # green r12
-    "distinct_users",  # green r12
-    "event_type_pivot",  # green r12
-    "top_parts_by_revenue",  # green r12
-    "asof_last_signup",  # green r12
-    "value_band_join",  # green r12
-    "customers_without_orders",  # green r12
-    "cube_revenue",  # green r12
-    "orders_above_cust_avg",  # green r12
-    "skewed_asset_rollup",  # green r12
-    "shipping_priority",  # green r12
-    "forecast_revenue",  # green r12
-    "event_funnel",  # green r12
-    "top_suppliers",  # green r12
-    "returned_items",  # green r12
-    "priority_by_linestatus",  # green r12
-    "volume_shipping",  # green r12
-    "market_share",  # green r12
-    "product_profit",  # green r12
-    "important_parts",  # green r12
-    "custdist",  # green r12
-    "promo_revenue",  # green r12
-    "small_qty_revenue",  # green r12
-    "large_orders",  # green r12
-    "disjunctive_filter",  # green r12
-    "sales_opportunity",  # green r12
-    "props_json_stats",  # green r12
+    "click_view_reconciliation",  # green r12
+    "sequence_packing",  # green r12
+    "sliding_unique_users",  # green r12
+    "revenue_deciles",  # green r13
+    "name_fuzzy_match",  # green r13
+    "grouping_sets_revenue",  # green r13
+    "value_histogram",  # green r13
+    "retention_cohorts",  # green r13
+    "latest_event_per_user",  # green r13
+    "waiting_suppliers",  # green r13
+    "min_cost_supplier",  # green r13
+    "dominant_part_suppliers",  # green r13
+    "salted_enrich_rollup",  # green r13
+    "column_profile",  # green r13
+    "snapshot_diff",  # green r13
+    "weekday_hour_heatmap",  # green r13
+    "parts_supplier_counts",  # green r13
+    "moving_average",  # green r13
+    "median_filter",  # green r13
+    "ema_smooth",  # green r13
+    "deadband_chunked",  # green r13
+    "dedup_exact",  # green r13
+    "minhash_lsh_dedup",  # green r13
+    "ngram_jaccard_pairs",  # green r13
+    "doc_containment",  # green r13
+    "simhash_dedup",  # green r13
+    "dedup_clusters",  # green r13
+    "dedup_apply",  # green r13
+    "dedup_ensemble",  # green r13
+    "embedding_norm_outliers",  # green r13
+    "embedding_topk",  # green r13
+    "embedding_cosine_dup",  # green r13
+    "embedding_ivf_topk",  # green r13
+    "embedding_knn_join",  # green r13
+    "embedding_lsh_dup",  # green r13
+    "embedding_centroids",  # green r13
+    "embedding_quantize",  # green r13
+    "semantic_dedup",  # green r13
+    "knn_label_purity",  # green r13
+    "embedding_dim_stats",  # green r13
+    "ivf_cell_histogram",  # green r13
+    "multimodal_dedup",  # green r13
+    "multimodal_meta",  # green r13
+    "multimodal_features",  # green r13
+    "multimodal_resize",  # green r13
+    "multimodal_frames",  # green r13
+    "top_session_paths",  # green r13
+    "domain_quota_sample",  # green r13
+    "incremental_dedup",  # green r13
+    "sliding_window_rate",  # green r13
 )

@@ -573,9 +573,11 @@ _MERGE_KEYSET_PRUNE_LIMIT = 100_000
 # (one extra Spark job + a driver walk) and prunes on the hull alone:
 # the keyset's best case saves rewriting at most the whole table, so
 # when the whole table rewrites in less than the collect job costs the
-# probe is a pure tax (r16 verdict ask 1; threshold measured by
-# tools/merge_scale_probe.py --small-series, recorded in SCALE.md)
-_MERGE_SMALL_TABLE_BYTES = 256 << 20
+# probe is a pure tax (r16 verdict ask 1).  Measured crossover
+# (tools/merge_scale_probe.py --adaptive, extreme-pair shape, SCALE.md
+# r16): hull-only wins at 42MB (1.41s vs 1.47s), keyset wins at 125MB
+# (1.58s vs 2.05s) — 64MB splits the bracket
+_MERGE_SMALL_TABLE_BYTES = 64 << 20
 # manifests past this many files never pay the per-file getsize() walk
 # the byte gate needs — they are big by construction
 _MERGE_SMALL_TABLE_FILES = 512
@@ -887,18 +889,70 @@ def _merge_key_probe(
     return _KeyProbe(bounds, n, tuples, n_rows, actual_bytes)
 
 
+# total tuple-scan iterations one _merge_candidate_files walk may spend
+# across ALL files before degrading big slices to a conservative True:
+# the walk is driver-side pure Python, and without a bound a 10k-file
+# manifest whose stats miss the first key column costs O(files x keys)
+# — measured 325s at 10k files x 100k keys (r16 probe).  With the
+# budget + the exact per-column bisect check the same shape is ~0.5s.
+_KEYSET_WALK_BUDGET = 2_000_000
+
+
+class _KeysetIndex:
+    """Per-merge acceleration for the keyset walk: column-sorted value
+    arrays (an EXACT per-column disjointness test in O(log keys) per
+    file) plus a shared tuple-scan work budget.  False answers stay
+    exact; once the budget is spent, a slice too big to scan returns
+    True — conservative (the file stays a candidate), never wrong."""
+
+    def __init__(self, keyset: list[tuple], keys: list[str]):
+        self.col_sorted: list[list | None] = []
+        for i in range(len(keys)):
+            try:
+                self.col_sorted.append(sorted({t[i] for t in keyset}))
+            except TypeError:
+                self.col_sorted.append(None)  # unsortable: skip checks
+        self.budget = _KEYSET_WALK_BUDGET
+
+    def col_disjoint(self, i: int, rng) -> bool:
+        """Exact: does NO keyset value of column ``i`` fall in ``rng``?"""
+        import bisect  # noqa: PLC0415
+
+        vals = self.col_sorted[i]
+        if vals is None:
+            return False
+        try:
+            j = bisect.bisect_left(vals, rng[0])
+            return j >= len(vals) or vals[j] > rng[1]
+        except TypeError:
+            return False  # incomparable stat: cannot prove disjoint
+
+
 def _keyset_hits_file(
-    keyset: list[tuple], keys: list[str], per_file: dict
+    keyset: list[tuple],
+    keys: list[str],
+    per_file: dict,
+    index: _KeysetIndex | None = None,
 ) -> bool:
     """Does SOME key tuple fall inside this file's per-column bounds?
     ``keyset`` is sorted, so the first key column narrows by bisect
     (O(log n)); the remaining columns scan the narrowed slice.  Any
     missing or incomparable per-column stat passes that column —
-    conservative, same contract as the hull check."""
+    conservative, same contract as the hull check.
+
+    Without ``index`` the answer is exact (the property-test
+    reference contract).  With it (``_merge_candidate_files`` builds
+    one per walk), per-column disjointness is decided first by an
+    exact O(log keys) bisect, and the remaining tuple scan draws on a
+    WALK-WIDE work budget — a slice too big for the remaining budget
+    returns True (stays a candidate) instead of scanning, bounding the
+    driver cost of a stats-poor 10k-file manifest at ~0.5s where the
+    unbounded walk measured 325s (r16)."""
     import bisect  # noqa: PLC0415
 
     lo_idx, hi_idx = 0, len(keyset)
     rng0 = per_file.get(keys[0])
+    narrowed = False
     if rng0 is not None:
         try:
             lo_idx = bisect.bisect_left(keyset, (rng0[0],))
@@ -910,12 +964,26 @@ def _keyset_hits_file(
             # upper edge past them
             while hi_idx < len(keyset) and keyset[hi_idx][0] == rng0[1]:
                 hi_idx += 1
+            narrowed = True
         except TypeError:
             lo_idx, hi_idx = 0, len(keyset)  # incomparable: full scan
     if lo_idx >= hi_idx:
         return False
     if len(keys) == 1:
         return True
+    if index is not None:
+        # exact per-column disjointness over the whole keyset: cheap,
+        # and catches most real disjoint files without any tuple scan
+        for i, k in enumerate(keys):
+            if i == 0 and narrowed:
+                continue  # the bisect already proved column 0 overlaps
+            rng = per_file.get(k)
+            if rng is not None and index.col_disjoint(i, rng):
+                return False
+        span = hi_idx - lo_idx
+        if span > index.budget:
+            return True  # budget spent: conservative candidate
+        index.budget -= span
     # index walk, not a slice: a full-range scan (stats missing on the
     # first key column) over a near-limit keyset would otherwise copy
     # 100k tuples per candidate file
@@ -974,6 +1042,7 @@ def _merge_candidate_files(
     if bounds is None:
         return []
 
+    index = _KeysetIndex(keyset, keys) if keyset else None
     out = []
     for f in manifest["files"]:
         per_file = stats.get(f, {})
@@ -994,7 +1063,7 @@ def _merge_candidate_files(
         if disjoint:
             continue
         if keyset is not None and not _keyset_hits_file(
-            keyset, keys, per_file
+            keyset, keys, per_file, index=index
         ):
             continue  # hull intersects but no actual key falls inside
         out.append(f)

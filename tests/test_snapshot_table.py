@@ -2192,8 +2192,56 @@ def test_keyset_hits_file_matches_brute_reference():
     @given(case())
     def check(c):
         keyset, keys, per_file = c
-        assert st._keyset_hits_file(keyset, keys, per_file) == brute(
-            keyset, keys, per_file
+        want = brute(keyset, keys, per_file)
+        assert st._keyset_hits_file(keyset, keys, per_file) == want
+        # the indexed fast path (per-column bisect + work budget) must
+        # agree exactly while its budget lasts
+        index = st._KeysetIndex(keyset, keys)
+        assert (
+            st._keyset_hits_file(keyset, keys, per_file, index=index)
+            == want
         )
 
     check()
+
+
+def test_keyset_walk_budget_degrades_conservatively():
+    """r16: once the walk-wide budget is spent, a big slice returns
+    True (the file stays a candidate — never a wrong False), while the
+    exact per-column bisect check still prunes provably-disjoint files
+    for free."""
+    # k2 is "lo" on the first half of the key space, "hi" on the rest:
+    # a file over k1 in [600, 700] with k2 = "lo" passes every
+    # PER-COLUMN check (both columns overlap the keyset's value sets)
+    # but no single TUPLE hits it — only the slice scan can see that
+    keyset = sorted(
+        (i, "lo" if i < 500 else "hi") for i in range(1000)
+    )
+    keys = ["k1", "k2"]
+    cross_file = {"k1": (600, 700), "k2": ("lo", "lo")}
+    assert st._keyset_hits_file(keyset, keys, cross_file) is False  # exact
+
+    index = st._KeysetIndex(keyset, keys)
+    index.budget = 0  # force exhaustion
+    # with no budget the slice scan is skipped — conservative True,
+    # never a wrong False
+    assert st._keyset_hits_file(
+        keyset, keys, cross_file, index=index
+    ) is True
+
+    # ...but exact pruning that needs NO tuple scan still fires with
+    # budget 0: per-column disjointness (k2 below every value) and the
+    # first-column bisect miss
+    assert st._keyset_hits_file(
+        keyset, keys, {"k2": ("a", "b")}, index=index
+    ) is False
+    assert st._keyset_hits_file(
+        keyset, keys, {"k1": (5000, 6000)}, index=index
+    ) is False
+
+    # with budget available the indexed path is exact on the same file
+    fresh = st._KeysetIndex(keyset, keys)
+    assert st._keyset_hits_file(
+        keyset, keys, cross_file, index=fresh
+    ) is False
+    assert fresh.budget < st._KEYSET_WALK_BUDGET  # the scan was paid for

@@ -83,10 +83,146 @@ def _extreme_pair_df(spark, n_rows: int):
     )
 
 
+def _table_bytes(st, path) -> int:
+    m = st._read_manifest(path, st.current_version(path))
+    return sum(
+        os.path.getsize(os.path.join(path, f)) for f in m["files"]
+    )
+
+
+def adaptive_series(spark, st, mults: list[int]) -> None:
+    """r16 verdict ask 1: measure the extreme-pair merge under BOTH
+    forced paths (hull-only full-ish rewrite vs keyset pruning) on
+    fresh covered clones at each scale, so the small-table threshold
+    is a number read off a table, not a guess.  Also runs the SHIPPED
+    adaptive gate and reports which path it chose."""
+    out: dict = {
+        "metric": "merge_adaptive_crossover",
+        "unit": "sec",
+        "threshold_bytes": st._MERGE_SMALL_TABLE_BYTES,
+        "points": {},
+    }
+    for mult in mults:
+        n = BASE_ROWS * mult
+        walls: dict[str, float] = {}
+        for flavor, floor in (("hull", 1 << 60), ("keyset", 0)):
+            t = f"{ROOT}/adaptive_{flavor}_{mult}x"
+            st.commit(_base_df(spark, n), t, stats_cols=["k"])
+            st._MERGE_SMALL_TABLE_BYTES = floor
+            w = None
+            try:
+                for _rep in range(2):
+                    t0 = time.monotonic()
+                    st.merge_upsert(_extreme_pair_df(spark, n), t, key="k")
+                    w1 = time.monotonic() - t0
+                    w = w1 if w is None else min(w, w1)
+            finally:
+                st._MERGE_SMALL_TABLE_BYTES = out["threshold_bytes"]
+            walls[flavor] = round(w, 3)
+        # the shipped gate's choice on a fresh clone
+        t = f"{ROOT}/adaptive_ship_{mult}x"
+        st.commit(_base_df(spark, n), t, stats_cols=["k"])
+        tb = _table_bytes(st, t)
+        chose = (
+            "keyset"
+            if st._keyset_probe_worthwhile(
+                t, st._read_manifest(t, st.current_version(t))
+            )
+            else "hull"
+        )
+        t0 = time.monotonic()
+        st.merge_upsert(_extreme_pair_df(spark, n), t, key="k")
+        ship_wall = round(time.monotonic() - t0, 3)
+        best = min(walls, key=walls.get)
+        out["points"][f"{mult}x"] = {
+            "base_rows": n,
+            "table_bytes": tb,
+            "hull_only_wall": walls["hull"],
+            "keyset_wall": walls["keyset"],
+            "shipped_gate_chose": chose,
+            "shipped_wall": ship_wall,
+            "faster_path": best,
+        }
+        print(
+            f"adaptive {mult}x: rows={n} bytes={tb} "
+            f"hull={walls['hull']}s keyset={walls['keyset']}s "
+            f"faster={best} shipped_chose={chose} ({ship_wall}s)",
+            flush=True,
+        )
+    print(json.dumps(out))
+
+
+def wide_manifest_walk(st, n_files: int, n_keys: int) -> None:
+    """r16 verdict ask 7: the per-merge driver keyset walk is
+    O(files x log keys) best-case but O(files x keys) when stats are
+    missing on the FIRST key column (full scan per file).  Measure
+    both on a synthetic in-memory manifest — pure driver cost, no
+    Spark."""
+    keyset = sorted((i * 7, f"s{i % 97}") for i in range(n_keys))
+    keys = ["k1", "k2"]
+    span = n_keys * 7
+    # best case: tight disjoint per-file ranges on the first column
+    stats_tight = {
+        f"data/x/f{i}.parquet": {
+            "k1": [i * span // n_files, (i + 1) * span // n_files - 1],
+            "k2": ["s0", "s99"],
+        }
+        for i in range(n_files)
+    }
+    # worst case: NO stats on k1 (bisect degenerates to a full scan),
+    # k2 range that matches late or never
+    stats_worst = {
+        f"data/x/f{i}.parquet": {"k2": ["zz", "zzz"]}
+        for i in range(n_files)
+    }
+    out = {
+        "metric": "keyset_walk_driver_wall",
+        "unit": "sec",
+        "n_files": n_files,
+        "n_keys": n_keys,
+        "points": {},
+    }
+    for label, stats in (("tight", stats_tight), ("stats_missing", stats_worst)):
+        manifest = {"files": list(stats), "stats": stats}
+        # the walk as _merge_candidate_files runs it: one _KeysetIndex
+        # per walk (exact per-column bisect + work budget)
+        t0 = time.monotonic()
+        index = st._KeysetIndex(keyset, keys)
+        hits = sum(
+            1
+            for f in manifest["files"]
+            if st._keyset_hits_file(keyset, keys, stats[f], index=index)
+        )
+        out["points"][label] = {
+            "wall": round(time.monotonic() - t0, 3),
+            "candidate_files": hits,
+            "budget_left": index.budget,
+        }
+        print(
+            f"walk {label}: files={n_files} keys={n_keys} "
+            f"wall={out['points'][label]['wall']}s hits={hits} "
+            f"budget_left={index.budget}",
+            flush=True,
+        )
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
     ap.add_argument("--control-mults", default="1,10")
+    ap.add_argument(
+        "--adaptive",
+        default=None,
+        help="comma-separated mults for the adaptive-crossover series "
+        "(e.g. 1,10,30); runs ONLY that series",
+    )
+    ap.add_argument(
+        "--wide-manifest",
+        action="store_true",
+        help="measure the driver-side keyset walk on a synthetic "
+        "10k-file manifest (no Spark); runs ONLY that probe",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     control = {int(m) for m in args.control_mults.split(",") if m}
@@ -95,9 +231,22 @@ def main() -> None:
         snapshot_table as st,
     )
 
+    if args.wide_manifest:
+        wide_manifest_walk(st, n_files=10_000, n_keys=100_000)
+        return
+
     spark = _spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
     shutil.rmtree(ROOT, ignore_errors=True)
+
+    if args.adaptive:
+        adaptive_series(spark, st, [int(m) for m in args.adaptive.split(",")])
+        return
+
+    # continuity series (r14/r15 comparability): FORCE the keyset path —
+    # the adaptive gate would legitimately choose hull-only below the
+    # small-table threshold, which is measured by --adaptive instead
+    st._MERGE_SMALL_TABLE_BYTES = 0
     out: dict = {"metric": "merge_upsert_wall", "unit": "sec", "points": {}}
     for mult in mults:
         n = BASE_ROWS * mult
