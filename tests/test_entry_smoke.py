@@ -34,13 +34,13 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r14 evidence covers all 153 queries, so the round-15
+    Cumulative r1-r15 evidence covers all 153 queries, so the round-16
     window is purely staleness-ordered (the two package files changed
     at rotation time back no catalog query, so no forced entries): the
-    eight r11 leftovers, then the 42 least-recently-verified r12 greens
-    (the T1-T8 events cohort and the relational/TPC-H cohort).  Guard
-    the ordering so an innocent module reshuffle can't silently evict
-    them."""
+    three r12 leftovers, then the 47 least-recently-verified r13
+    greens (the dedup/vector/multimodal family plus the r13 relational
+    cohort).  Guard the ordering so an innocent module reshuffle can't
+    silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -50,31 +50,32 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r11": ("bloom_filter_audit", "ab_test_readout",
-                      "hll_distinct_audit", "source_vocab_divergence",
-                      "value_drift_chi2", "vocab_coverage",
-                      "ngram_novelty", "corpus_pipeline_e2e"),
-        "events-r12": ("scale35", "python_filter_scale35",
-                       "readings35_add100", "asset_filter",
-                       "payload_projection", "empty_payload_drop",
-                       "metadata_carry", "type_coercion",
-                       "sessionization", "hourly_event_rollup",
-                       "event_type_pivot", "event_funnel",
-                       "skewed_asset_rollup", "props_json_stats"),
-        "relational-r12": ("pricing_summary", "revenue_by_nation",
-                           "top_orders_per_segment",
-                           "order_priority_semijoin", "rollup_revenue",
-                           "set_ops_users", "distinct_users",
-                           "top_parts_by_revenue", "asof_last_signup",
-                           "value_band_join", "customers_without_orders",
-                           "cube_revenue", "orders_above_cust_avg",
-                           "shipping_priority", "forecast_revenue",
-                           "top_suppliers", "returned_items",
-                           "priority_by_linestatus", "volume_shipping",
-                           "market_share", "product_profit",
-                           "important_parts", "custdist", "promo_revenue",
-                           "small_qty_revenue", "large_orders",
-                           "disjunctive_filter", "sales_opportunity"),
+        "stale-r12": ("click_view_reconciliation", "sequence_packing",
+                      "sliding_unique_users"),
+        "dedup-r13": ("dedup_exact", "minhash_lsh_dedup",
+                      "ngram_jaccard_pairs", "doc_containment",
+                      "simhash_dedup", "dedup_clusters", "dedup_apply",
+                      "dedup_ensemble", "incremental_dedup"),
+        "vector-r13": ("embedding_norm_outliers", "embedding_topk",
+                       "embedding_cosine_dup", "embedding_ivf_topk",
+                       "embedding_knn_join", "embedding_lsh_dup",
+                       "embedding_centroids", "embedding_quantize",
+                       "semantic_dedup", "knn_label_purity",
+                       "embedding_dim_stats", "ivf_cell_histogram"),
+        "multimodal-r13": ("multimodal_dedup", "multimodal_meta",
+                           "multimodal_features", "multimodal_resize",
+                           "multimodal_frames"),
+        "relational-r13": ("revenue_deciles", "name_fuzzy_match",
+                           "grouping_sets_revenue", "value_histogram",
+                           "retention_cohorts", "latest_event_per_user",
+                           "waiting_suppliers", "min_cost_supplier",
+                           "dominant_part_suppliers",
+                           "salted_enrich_rollup", "column_profile",
+                           "snapshot_diff", "weekday_hour_heatmap",
+                           "parts_supplier_counts"),
+        "signal-r13": ("moving_average", "median_filter", "ema_smooth",
+                       "deadband_chunked", "top_session_paths",
+                       "domain_quota_sample", "sliding_window_rate"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
