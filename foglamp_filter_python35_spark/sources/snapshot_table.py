@@ -37,6 +37,7 @@ beyond-the-reference surface, not a port.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import threading
@@ -637,10 +638,13 @@ def _estimate_key_row_bytes(
         elif t.startswith("decimal") or t.startswith("timestamp"):
             width += 16
         elif measured is not None and measured.get(k) is not None:
-            width += int(measured[k]) + _KEY_VALUE_OVERHEAD
+            width += math.ceil(measured[k]) + _KEY_VALUE_OVERHEAD
         else:  # unmeasured string/binary/array/struct: assume wide
             width += 48
-    return max(width, 8)
+    # per-row bookkeeping, same charge _keyset_bytes applies — the two
+    # sizings of identical data must not disagree in the dangerous
+    # (under-estimating) direction near the gate threshold
+    return max(width, 8) + _KEY_VALUE_OVERHEAD
 
 
 def _keyset_bytes(tuples: list[tuple]) -> int:
@@ -741,19 +745,32 @@ def _hull_row(df: DataFrame, keys: list[str], *, with_distinct: bool = False):
                 width = F.length(F.col(k))
             else:  # array/struct/map: JSON length over-approximates
                 width = F.octet_length(F.to_json(F.struct(F.col(k))))
-            aggs.append(F.avg(width).alias(f"w_{k}"))
+            # avg AND max: the avg is row-weighted, but the broadcast
+            # frame is the DISTINCT key frame — under heavy duplication
+            # of a narrow key the row-avg underestimates the distinct
+            # frame's width, so the probe switches to the max
+            aggs += [
+                F.avg(width).alias(f"w_{k}"),
+                F.max(width).alias(f"wmax_{k}"),
+            ]
     for k in keys:
         aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
     return df.select(*aggs).collect()[0]
 
 
-def _measured_widths(row, keys: list[str]) -> dict[str, float]:
-    """The ``w_{k}`` avg-width measurements a ``_hull_row`` result
-    carries (only variable-width key columns have one)."""
+def _measured_widths(row, keys: list[str], *, use_max: bool) -> dict[str, float]:
+    """The width measurements a ``_hull_row`` result carries (only
+    variable-width key columns have one).  ``use_max`` selects the
+    max(length) instead of the row-weighted avg: the broadcast frame
+    is the DISTINCT key frame, and when the upsert is duplicate-heavy
+    (rows >> distinct keys) the row-avg can be dominated by a narrow
+    hot key while the distinct frame is full of wide rare keys — the
+    exact under-estimate the gate must not make."""
     out: dict[str, float] = {}
+    prefix = "wmax_" if use_max else "w_"
     for k in keys:
         try:
-            v = row[f"w_{k}"]
+            v = row[prefix + k]
         except ValueError:
             continue  # fixed-width column: no measurement needed
         if v is not None:
@@ -834,8 +851,12 @@ def _merge_key_probe(
     re-checked at collect time (the sketch's ±5%)."""
     row = _hull_row(df, keys, with_distinct=True)
     n_rows = row["_n"]
+    # duplicate-heavy upserts (rows >> distinct keys): size the
+    # distinct key frame by the MAX width, not the row-weighted avg a
+    # hot narrow key can drag down (review r16)
+    dup_heavy = n_rows > 2 * max(row["_nd"], 1)
     est_row_bytes = _estimate_key_row_bytes(
-        df.schema, keys, _measured_widths(row, keys)
+        df.schema, keys, _measured_widths(row, keys, use_max=dup_heavy)
     )
     spark_bounds = _bounds_from_row(row, keys)
     n = row["_nd"]
@@ -955,15 +976,19 @@ def _keyset_hits_file(
     narrowed = False
     if rng0 is not None:
         try:
-            lo_idx = bisect.bisect_left(keyset, (rng0[0],))
-            hi_idx = bisect.bisect_right(
-                keyset, (rng0[1],), lo=lo_idx
+            # key-based bisect on the FIRST ELEMENT, not the 1-tuple
+            # prefix: tuples sharing rng0[1] as their first element
+            # would sort after (rng0[1],), and extending past them
+            # linearly is O(duplicates) per file — uncharged driver
+            # work a hot first-column value turns back into the
+            # O(files x keys) stall the walk budget exists to prevent
+            # (review r16).  With key=, both edges stay O(log n).
+            lo_idx = bisect.bisect_left(
+                keyset, rng0[0], key=lambda t: t[0]
             )
-            # bisect on the 1-tuple prefix: tuples sharing rng0[1] as
-            # their first element sort AFTER (rng0[1],) — extend the
-            # upper edge past them
-            while hi_idx < len(keyset) and keyset[hi_idx][0] == rng0[1]:
-                hi_idx += 1
+            hi_idx = bisect.bisect_right(
+                keyset, rng0[1], lo=lo_idx, key=lambda t: t[0]
+            )
             narrowed = True
         except TypeError:
             lo_idx, hi_idx = 0, len(keyset)  # incomparable: full scan
@@ -1042,7 +1067,9 @@ def _merge_candidate_files(
     if bounds is None:
         return []
 
-    index = _KeysetIndex(keyset, keys) if keyset else None
+    # single-key walks return at the len(keys)==1 short-circuit before
+    # ever consulting the index — don't pay its O(n log n) sort
+    index = _KeysetIndex(keyset, keys) if keyset and len(keys) > 1 else None
     out = []
     for f in manifest["files"]:
         per_file = stats.get(f, {})
@@ -1137,6 +1164,11 @@ def merge_upsert(
     # (a rival growing the table past the small-table threshold
     # mid-retry).
     probe_memo: dict[str, _KeyProbe] = {}
+    # the small-table gate's getsize walk is loop-variant only through
+    # the parent manifest — memoize per parent version so a contended
+    # retry against the SAME parent never repeats up to 512 stat
+    # syscalls inside the conflict window (review r16)
+    worth_memo: dict[int, bool] = {}
 
     def _probe(full: bool = False) -> _KeyProbe:
         if "full" in probe_memo:
@@ -1213,7 +1245,9 @@ def merge_upsert(
             # extra jobs vs the brute path — pure-insert detection and
             # the append-labeled streaming contract are preserved
             # either way)
-            p = _probe(full=_keyset_probe_worthwhile(path, pm))
+            if parent not in worth_memo:
+                worth_memo[parent] = _keyset_probe_worthwhile(path, pm)
+            p = _probe(full=worth_memo[parent])
             candidates = (
                 []  # all-NULL key hull: no upsert row can match
                 if p.bounds is None

@@ -1696,7 +1696,10 @@ def test_merge_broadcast_gate_is_bytes_aware(spark):
     )
     w_long = st._estimate_key_row_bytes(long_schema, ["k"])
     w_str2 = st._estimate_key_row_bytes(str_schema, ["a", "b"])
-    assert w_long == 8 and w_str2 == 96
+    # widths + the same per-row overhead _keyset_bytes charges (the
+    # two sizings of identical data must not diverge downward)
+    assert w_long == 8 + st._KEY_VALUE_OVERHEAD
+    assert w_str2 == 96 + st._KEY_VALUE_OVERHEAD
     # 2M bigint keys fit the byte budget; 2M two-string keys do not
     assert 2_000_000 * w_long <= st._MERGE_BROADCAST_BYTES_LIMIT
     assert 2_000_000 * w_str2 > st._MERGE_BROADCAST_BYTES_LIMIT
@@ -2131,8 +2134,33 @@ def test_merge_broadcast_gate_measures_key_width(spark):
     from pyspark.sql.types import StringType, StructField, StructType
 
     s = StructType([StructField("k", StringType())])
-    assert st._estimate_key_row_bytes(s, ["k"]) == 48
+    assert st._estimate_key_row_bytes(s, ["k"]) == 48 + st._KEY_VALUE_OVERHEAD
     assert st._estimate_key_row_bytes(s, ["k"], {"k": 500.0}) >= 500
+
+
+def test_merge_byte_gate_duplicate_skew_uses_max_width(spark):
+    """Review r16: the broadcast frame is the DISTINCT key frame, so a
+    duplicate-heavy upsert (hot narrow key across most rows, wide rare
+    keys) must size the gate from the MAX key width, not the
+    row-weighted average the hot key drags down."""
+    from pyspark.sql import functions as F2
+
+    # 10k rows of an 8-byte hot key + 50 rows of ~500B keys: row-avg
+    # width ~10B, distinct-frame avg ~100B, max ~503B
+    hot = spark.range(10_000).select(
+        F2.lit("hotkey01").alias("k"), F2.lit(1.0).alias("v")
+    )
+    wide = spark.range(50).select(
+        F2.concat(F2.lit("w" * 500), F2.col("id").cast("string")).alias("k"),
+        F2.lit(2.0).alias("v"),
+    )
+    up = hot.unionAll(wide)
+
+    # hull-only probe (the estimate path): dup-heavy -> max width
+    p = st._merge_key_probe(up, ["k"], collect_keyset=False)
+    assert p.keyset is None
+    per_row = p.key_bytes / max(p.n_keys, 1)
+    assert per_row >= 500, f"row-avg leaked into a dup-heavy gate: {per_row}"
 
 
 def test_keyset_hits_file_matches_brute_reference():

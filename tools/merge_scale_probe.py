@@ -175,6 +175,21 @@ def wide_manifest_walk(st, n_files: int, n_keys: int) -> None:
         f"data/x/f{i}.parquet": {"k2": ["zz", "zzz"]}
         for i in range(n_files)
     }
+    # budget-burner: per-column checks PASS on both columns but no
+    # single tuple hits (k2 is "lo" on the low half of the key space,
+    # the file ranges sit in the high half with k2="lo") — only the
+    # tuple scan can answer, so this shape drains the walk budget and
+    # then degrades to conservative True
+    keyset_cross = sorted(
+        (i, "lo" if i < n_keys // 2 else "hi") for i in range(n_keys)
+    )
+    stats_cross = {
+        f"data/x/f{i}.parquet": {
+            "k1": [n_keys // 2, n_keys // 2 + 5000],
+            "k2": ["lo", "lo"],
+        }
+        for i in range(n_files)
+    }
     out = {
         "metric": "keyset_walk_driver_wall",
         "unit": "sec",
@@ -182,16 +197,20 @@ def wide_manifest_walk(st, n_files: int, n_keys: int) -> None:
         "n_keys": n_keys,
         "points": {},
     }
-    for label, stats in (("tight", stats_tight), ("stats_missing", stats_worst)):
+    for label, ks, stats in (
+        ("tight", keyset, stats_tight),
+        ("stats_missing", keyset, stats_worst),
+        ("cross_budget", keyset_cross, stats_cross),
+    ):
         manifest = {"files": list(stats), "stats": stats}
         # the walk as _merge_candidate_files runs it: one _KeysetIndex
         # per walk (exact per-column bisect + work budget)
         t0 = time.monotonic()
-        index = st._KeysetIndex(keyset, keys)
+        index = st._KeysetIndex(ks, keys)
         hits = sum(
             1
             for f in manifest["files"]
-            if st._keyset_hits_file(keyset, keys, stats[f], index=index)
+            if st._keyset_hits_file(ks, keys, stats[f], index=index)
         )
         out["points"][label] = {
             "wall": round(time.monotonic() - t0, 3),
