@@ -10,66 +10,65 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r15 driver evidence covers all
-# 153 catalog queries, none ever red.  The round-16 window
-# (tools/rotate_window.py, change-aware: the two package files changed
-# since the r15 boundary — sources/snapshot_table.py, sources/readers.py
-# — back no catalog query, so 0 FORCED entries) is purely
-# staleness-ordered: the three r12 leftovers (click_view_reconciliation,
-# sequence_packing, sliding_unique_users — all judge-re-verified at the
-# r15 HEAD) then the 47 least-recently-verified r13 greens (the
-# dedup/vector/multimodal family plus the r13 relational cohort).  After
-# r16 no query's driver evidence predates r13.  Queries not listed keep
-# module order after the prioritized block.
+# ``queries()`` each round.  Cumulative r1-r16 driver evidence covers all
+# 153 catalog queries, none ever red.  The round-17 window
+# (tools/rotate_window.py, change-aware: no package file changed since
+# the r16 boundary backs a catalog query, so 0 FORCED entries) is purely
+# staleness-ordered: the three r13 leftovers (bm25_retrieval,
+# corpus_rebalance, event_path_transitions — all judge-re-verified at
+# the r16 HEAD) then the 47 least-recently-verified r14 greens (the
+# signal/text family plus the r14 vector-audit and pipeline cohorts).
+# After r17 no query's driver evidence predates r14.  Queries not
+# listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "click_view_reconciliation",  # green r12
-    "sequence_packing",  # green r12
-    "sliding_unique_users",  # green r12
-    "revenue_deciles",  # green r13
-    "name_fuzzy_match",  # green r13
-    "grouping_sets_revenue",  # green r13
-    "value_histogram",  # green r13
-    "retention_cohorts",  # green r13
-    "latest_event_per_user",  # green r13
-    "waiting_suppliers",  # green r13
-    "min_cost_supplier",  # green r13
-    "dominant_part_suppliers",  # green r13
-    "salted_enrich_rollup",  # green r13
-    "column_profile",  # green r13
-    "snapshot_diff",  # green r13
-    "weekday_hour_heatmap",  # green r13
-    "parts_supplier_counts",  # green r13
-    "moving_average",  # green r13
-    "median_filter",  # green r13
-    "ema_smooth",  # green r13
-    "deadband_chunked",  # green r13
-    "dedup_exact",  # green r13
-    "minhash_lsh_dedup",  # green r13
-    "ngram_jaccard_pairs",  # green r13
-    "doc_containment",  # green r13
-    "simhash_dedup",  # green r13
-    "dedup_clusters",  # green r13
-    "dedup_apply",  # green r13
-    "dedup_ensemble",  # green r13
-    "embedding_norm_outliers",  # green r13
-    "embedding_topk",  # green r13
-    "embedding_cosine_dup",  # green r13
-    "embedding_ivf_topk",  # green r13
-    "embedding_knn_join",  # green r13
-    "embedding_lsh_dup",  # green r13
-    "embedding_centroids",  # green r13
-    "embedding_quantize",  # green r13
-    "semantic_dedup",  # green r13
-    "knn_label_purity",  # green r13
-    "embedding_dim_stats",  # green r13
-    "ivf_cell_histogram",  # green r13
-    "multimodal_dedup",  # green r13
-    "multimodal_meta",  # green r13
-    "multimodal_features",  # green r13
-    "multimodal_resize",  # green r13
-    "multimodal_frames",  # green r13
-    "top_session_paths",  # green r13
-    "domain_quota_sample",  # green r13
-    "incremental_dedup",  # green r13
-    "sliding_window_rate",  # green r13
+    "bm25_retrieval",  # green r13
+    "corpus_rebalance",  # green r13
+    "event_path_transitions",  # green r13
+    "spc_control_chart",  # green r14
+    "value_delta",  # green r14
+    "change_detect",  # green r14
+    "threshold_alarm",  # green r14
+    "zscore_anomaly",  # green r14
+    "downsample_1h",  # green r14
+    "locf_gap_fill",  # green r14
+    "session_rollup",  # green r14
+    "percentile_summary",  # green r14
+    "deadband_suppress",  # green r14
+    "interp_gap_fill",  # green r14
+    "winsorize_clip",  # green r14
+    "asset_correlation",  # green r14
+    "mad_outliers",  # green r14
+    "text_stats",  # green r14
+    "token_fertility",  # green r14
+    "quality_score",  # green r14
+    "language_id",  # green r14
+    "token_count_total",  # green r14
+    "doc_fingerprint",  # green r14
+    "tfidf_top_terms",  # green r14
+    "bigram_topk",  # green r14
+    "train_test_split",  # green r14
+    "doc_chunking",  # green r14
+    "lang_mismatch",  # green r14
+    "corpus_prefilter",  # green r14
+    "stratified_sample",  # green r14
+    "pii_redact",  # green r14
+    "benchmark_contamination",  # green r14
+    "doc_repetition",  # green r14
+    "top_bigram_fraction",  # green r14
+    "pretokenize_counts",  # green r14
+    "doc_length_histogram",  # green r14
+    "minhash_accuracy",  # green r14
+    "dedup_cluster_histogram",  # green r14
+    "ivf_recall_audit",  # green r14
+    "embedding_label_margin",  # green r14
+    "ivf_train_kmeans",  # green r14
+    "embedding_pca_power",  # green r14
+    "span_dedup",  # green r14
+    "trigram_lm",  # green r14
+    "event_disorder_audit",  # green r14
+    "token_pmi",  # green r14
+    "text_normalize",  # green r14
+    "conversion_latency",  # green r14
+    "error_burst_join",  # green r14
+    "weighted_sample",  # green r14
 )

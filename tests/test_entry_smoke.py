@@ -34,13 +34,13 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r15 evidence covers all 153 queries, so the round-16
-    window is purely staleness-ordered (the two package files changed
-    at rotation time back no catalog query, so no forced entries): the
-    three r12 leftovers, then the 47 least-recently-verified r13
-    greens (the dedup/vector/multimodal family plus the r13 relational
-    cohort).  Guard the ordering so an innocent module reshuffle can't
-    silently evict them."""
+    Cumulative r1-r16 evidence covers all 153 queries, so the round-17
+    window is purely staleness-ordered (no package file changed since
+    the r16 boundary backs a catalog query, so no forced entries): the
+    three r13 leftovers, then the 47 least-recently-verified r14
+    greens (the signal/text family plus the r14 vector-audit and
+    pipeline cohorts).  Guard the ordering so an innocent module
+    reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -50,32 +50,29 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r12": ("click_view_reconciliation", "sequence_packing",
-                      "sliding_unique_users"),
-        "dedup-r13": ("dedup_exact", "minhash_lsh_dedup",
-                      "ngram_jaccard_pairs", "doc_containment",
-                      "simhash_dedup", "dedup_clusters", "dedup_apply",
-                      "dedup_ensemble", "incremental_dedup"),
-        "vector-r13": ("embedding_norm_outliers", "embedding_topk",
-                       "embedding_cosine_dup", "embedding_ivf_topk",
-                       "embedding_knn_join", "embedding_lsh_dup",
-                       "embedding_centroids", "embedding_quantize",
-                       "semantic_dedup", "knn_label_purity",
-                       "embedding_dim_stats", "ivf_cell_histogram"),
-        "multimodal-r13": ("multimodal_dedup", "multimodal_meta",
-                           "multimodal_features", "multimodal_resize",
-                           "multimodal_frames"),
-        "relational-r13": ("revenue_deciles", "name_fuzzy_match",
-                           "grouping_sets_revenue", "value_histogram",
-                           "retention_cohorts", "latest_event_per_user",
-                           "waiting_suppliers", "min_cost_supplier",
-                           "dominant_part_suppliers",
-                           "salted_enrich_rollup", "column_profile",
-                           "snapshot_diff", "weekday_hour_heatmap",
-                           "parts_supplier_counts"),
-        "signal-r13": ("moving_average", "median_filter", "ema_smooth",
-                       "deadband_chunked", "top_session_paths",
-                       "domain_quota_sample", "sliding_window_rate"),
+        "stale-r13": ("bm25_retrieval", "corpus_rebalance",
+                      "event_path_transitions"),
+        "signal-r14": ("spc_control_chart", "value_delta", "change_detect",
+                       "threshold_alarm", "zscore_anomaly", "downsample_1h",
+                       "locf_gap_fill", "session_rollup",
+                       "percentile_summary", "deadband_suppress",
+                       "interp_gap_fill", "winsorize_clip",
+                       "asset_correlation", "mad_outliers"),
+        "text-r14": ("text_stats", "token_fertility", "quality_score",
+                     "language_id", "token_count_total", "doc_fingerprint",
+                     "tfidf_top_terms", "bigram_topk", "train_test_split",
+                     "doc_chunking", "lang_mismatch", "corpus_prefilter",
+                     "stratified_sample", "pii_redact",
+                     "benchmark_contamination", "doc_repetition",
+                     "top_bigram_fraction", "pretokenize_counts",
+                     "doc_length_histogram"),
+        "dedup-audit-r14": ("minhash_accuracy", "dedup_cluster_histogram",
+                            "span_dedup"),
+        "vector-audit-r14": ("ivf_recall_audit", "embedding_label_margin",
+                             "ivf_train_kmeans", "embedding_pca_power"),
+        "pipeline-r14": ("trigram_lm", "event_disorder_audit", "token_pmi",
+                         "text_normalize", "conversion_latency",
+                         "error_burst_join", "weighted_sample"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
