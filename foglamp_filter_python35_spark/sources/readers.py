@@ -298,14 +298,18 @@ def kafka_source_options(
     contract stays unambiguous by failing instead.  A collision whose
     value EQUALS the resolved core value passes (ADVICE r16): a
     config-driven options dict that happens to restate
-    ``startingOffsets="latest"`` is idempotent, not ambiguous."""
+    ``startingOffsets="latest"`` is idempotent, not ambiguous.
+    Equality is compared on the STRINGIFIED values (ADVICE r17) — the
+    form ``.option()`` hands the connector anyway — so an
+    equal-but-differently-typed restatement (e.g. a port number as
+    int vs str inside ``kafka.bootstrap.servers``) still passes."""
     core = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
     }
     clash = sorted(
-        k for k in extra if k in core and extra[k] != core[k]
+        k for k in extra if k in core and str(extra[k]) != str(core[k])
     )
     if clash:
         raise ValueError(

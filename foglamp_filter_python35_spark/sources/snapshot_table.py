@@ -570,15 +570,43 @@ _MERGE_BROADCAST_BYTES_LIMIT = 64 << 20
 # (the keyset walk is O(files * log keys) driver-side; the collect that
 # feeds it is the one cost that must stay bounded)
 _MERGE_KEYSET_PRUNE_LIMIT = 100_000
-# below this much TOTAL table data a merge skips the keyset collect
-# (one extra Spark job + a driver walk) and prunes on the hull alone:
-# the keyset's best case saves rewriting at most the whole table, so
-# when the whole table rewrites in less than the collect job costs the
-# probe is a pure tax (r16 verdict ask 1).  Measured crossover
+def _env_int(name: str, default: int) -> int:
+    """Deployment override for a measured-default tunable: a
+    non-negative integer from the DRIVER's environment (both knobs
+    below are consumed driver-side only, so executor env is
+    irrelevant).  A malformed value raises at import — a silently
+    ignored typo'd override is worse than a loud one."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"{name} must be an integer byte/tuple count, got {raw!r}"
+        ) from exc
+    if v < 0:
+        raise ValueError(f"{name} must be >= 0, got {v}")
+    return v
+
+
+# TUNABLE (env FSP_MERGE_SMALL_TABLE_BYTES): below this much TOTAL
+# table data a merge skips the keyset collect (one extra Spark job + a
+# driver walk) and prunes on the hull alone: the keyset's best case
+# saves rewriting at most the whole table, so when the whole table
+# rewrites in less than the collect job costs the probe is a pure tax
+# (r16 verdict ask 1).  The 64 MiB default is a local[32] measurement
 # (tools/merge_scale_probe.py --adaptive, extreme-pair shape, SCALE.md
 # r16): hull-only wins at 42MB (1.41s vs 1.47s), keyset wins at 125MB
-# (1.58s vs 2.05s) — 64MB splits the bracket
-_MERGE_SMALL_TABLE_BYTES = 64 << 20
+# (1.58s vs 2.05s) — 64MB splits the bracket.  Re-tune by re-running
+# that probe on the target cluster: the crossover tracks the cost of
+# ONE extra Spark job (scheduling round-trip + one collect), so a busy
+# shared cluster moves it DOWN (the saved job is worth more) and a
+# fast dedicated one moves it UP.  0 disables the small-table
+# short-circuit entirely (always probe).
+_MERGE_SMALL_TABLE_BYTES = _env_int(
+    "FSP_MERGE_SMALL_TABLE_BYTES", 64 << 20
+)
 # manifests past this many files never pay the per-file getsize() walk
 # the byte gate needs — they are big by construction
 _MERGE_SMALL_TABLE_FILES = 512
@@ -678,21 +706,22 @@ def _stats_cover(manifest: dict, keys: list[str]) -> bool:
     return set(keys) <= covered
 
 
-def _keyset_probe_worthwhile(path: str, manifest: dict) -> bool:
-    """Adaptive merge path choice (r16): is per-file KEY-SET pruning
-    worth its fixed cost (one distinct-collect job + a driver-side
-    bisect walk) on this table?  The keyset's payoff is bounded by the
-    cost of rewriting the files the hull keeps but the keys miss — at
-    most the whole table — so below ``_MERGE_SMALL_TABLE_BYTES`` of
-    total data the collect job alone exceeds the best possible saving
-    and the merge prunes on the (job-free-by-then) hull alone.  Decided
-    from the manifest + O(files) driver ``getsize`` calls, no Spark job;
-    manifests past ``_MERGE_SMALL_TABLE_FILES`` files skip even the
-    stat walk.  A vanished file (racing vacuum/rival) makes the size
-    unknowable — answer True, the purely-performance-conservative
-    choice (the publish guard, not this gate, owns correctness)."""
-    files = manifest["files"]
-    if len(files) > _MERGE_SMALL_TABLE_FILES:
+def _bytes_reach(
+    path: str,
+    files: list[str],
+    threshold: int,
+    max_files: int | None = None,
+) -> bool:
+    """Do ``files`` hold at least ``threshold`` bytes of data?
+    O(files) driver ``getsize`` with early exit at the threshold, no
+    Spark job; ``max_files`` short-circuits the stat walk for file
+    lists big by construction.  A vanished file (racing vacuum/rival)
+    makes the size unknowable — answer True, the purely-performance-
+    conservative choice (the publish guard, not this gate, owns
+    correctness)."""
+    if threshold <= 0:
+        return True
+    if max_files is not None and len(files) > max_files:
         return True
     total = 0
     for f in files:
@@ -700,9 +729,31 @@ def _keyset_probe_worthwhile(path: str, manifest: dict) -> bool:
             total += os.path.getsize(os.path.join(path, f))
         except OSError:
             return True
-        if total >= _MERGE_SMALL_TABLE_BYTES:
+        if total >= threshold:
             return True
     return False
+
+
+def _keyset_probe_worthwhile(path: str, manifest: dict) -> bool:
+    """Adaptive merge path choice (r16): is per-file KEY-SET pruning
+    worth its fixed cost (one distinct-collect job + a driver-side
+    bisect walk) on this table?  The keyset's payoff is bounded by the
+    cost of rewriting the files the hull keeps but the keys miss — at
+    most the whole table — so below ``_MERGE_SMALL_TABLE_BYTES`` of
+    total data the collect job alone exceeds the best possible saving
+    and the merge prunes on the (job-free-by-then) hull alone.
+
+    Total table bytes are only the FIRST bound: the merge loop
+    re-checks the tighter one — the bytes of the files that survive
+    the hull pass — before committing to the collect (ADVICE r16), so
+    a huge table whose hull already prunes to a couple of small files
+    does not pay the probe either."""
+    return _bytes_reach(
+        path,
+        manifest["files"],
+        _MERGE_SMALL_TABLE_BYTES,
+        max_files=_MERGE_SMALL_TABLE_FILES,
+    )
 
 
 def _merge_key_hull(
@@ -813,7 +864,11 @@ class _KeyProbe(NamedTuple):
 
 
 def _merge_key_probe(
-    df: DataFrame, keys: list[str], *, collect_keyset: bool = True
+    df: DataFrame,
+    keys: list[str],
+    *,
+    collect_keyset: bool = True,
+    row_cache: dict | None = None,
 ) -> _KeyProbe:
     """(hull, distinct-key count, sorted key set or None, row count,
     key-frame bytes): the hull aggregate (plus a distinct sketch and
@@ -848,8 +903,18 @@ def _merge_key_probe(
     the hull aggregate extended with approx_count_distinct (map-side
     sketches, no wide shuffle — the r14 cost) and only collects the
     keys when the estimate says they fit, with the hard limit
-    re-checked at collect time (the sketch's ±5%)."""
-    row = _hull_row(df, keys, with_distinct=True)
+    re-checked at collect time (the sketch's ±5%).
+
+    ``row_cache`` (a caller-held dict) memoizes the hull aggregate ROW
+    across flavors: both flavors run the identical ``_hull_row`` job,
+    so a hull-only probe later upgraded to a full one (the merge
+    loop's hull-candidate-bytes re-check, ADVICE r16) pays only the
+    collect — never a second aggregate job."""
+    row = row_cache.get("row") if row_cache is not None else None
+    if row is None:
+        row = _hull_row(df, keys, with_distinct=True)
+        if row_cache is not None:
+            row_cache["row"] = row
     n_rows = row["_n"]
     # duplicate-heavy upserts (rows >> distinct keys): size the
     # distinct key frame by the MAX width, not the row-weighted avg a
@@ -910,13 +975,21 @@ def _merge_key_probe(
     return _KeyProbe(bounds, n, tuples, n_rows, actual_bytes)
 
 
-# total tuple-scan iterations one _merge_candidate_files walk may spend
-# across ALL files before degrading big slices to a conservative True:
-# the walk is driver-side pure Python, and without a bound a 10k-file
-# manifest whose stats miss the first key column costs O(files x keys)
-# — measured 325s at 10k files x 100k keys (r16 probe).  With the
-# budget + the exact per-column bisect check the same shape is ~0.5s.
-_KEYSET_WALK_BUDGET = 2_000_000
+# TUNABLE (env FSP_KEYSET_WALK_BUDGET): total tuple-scan iterations one
+# _merge_candidate_files walk may spend across ALL files before
+# degrading big slices to a conservative True: the walk is driver-side
+# pure Python, and without a bound a 10k-file manifest whose stats miss
+# the first key column costs O(files x keys) — measured 325s at 10k
+# files x 100k keys (r16 probe).  With the budget + the exact
+# per-column bisect check the same shape is ~0.5s.  The 2M default is a
+# local[32] measurement: re-tune by timing the budget-burner shape of
+# tools/merge_scale_probe.py --wide-manifest on the target DRIVER node
+# — the budget caps pure driver CPU, so a slower driver moves it down,
+# and a deployment that would rather burn driver seconds than rewrite
+# conservative-candidate files moves it up.  Exhaustion degrades to
+# candidate-keeping (extra rewrite I/O), never to a wrong prune;
+# 0 disables tuple scans entirely (hull + per-column bisect only).
+_KEYSET_WALK_BUDGET = _env_int("FSP_KEYSET_WALK_BUDGET", 2_000_000)
 
 
 class _KeysetIndex:
@@ -1008,10 +1081,16 @@ def _keyset_hits_file(
         span = hi_idx - lo_idx
         if span > index.budget:
             return True  # budget spent: conservative candidate
-        index.budget -= span
     # index walk, not a slice: a full-range scan (stats missing on the
     # first key column) over a near-limit keyset would otherwise copy
-    # 100k tuples per candidate file
+    # 100k tuples per candidate file.  The budget is charged for
+    # iterations actually EXECUTED, not the whole narrowed span: the
+    # scan usually early-exits on a hit, and pre-charging the span
+    # drained the budget far faster than work done, degrading later
+    # files of an overlapping-hull manifest to conservative candidates
+    # (extra rewrite I/O) sooner than necessary (ADVICE r16).
+    hit = False
+    idx = lo_idx
     for idx in range(lo_idx, hi_idx):
         t = keyset[idx]
         ok = True
@@ -1026,8 +1105,11 @@ def _keyset_hits_file(
             except TypeError:
                 continue
         if ok:
-            return True
-    return False
+            hit = True
+            break
+    if index is not None:
+        index.budget -= idx - lo_idx + 1
+    return hit
 
 
 def _merge_candidate_files(
@@ -1123,13 +1205,16 @@ def merge_upsert(
     performs from its data-skipping stats.  Without key-column
     coverage, the merge falls back to the full-table rewrite.
 
-    ADAPTIVE (r16): the keyset refinement costs one extra Spark job
-    (the distinct-key collect) plus a driver walk, and its payoff is
-    bounded by the rewrite it avoids — so tables below
-    ``_MERGE_SMALL_TABLE_BYTES`` of total data (decided from the
-    manifest + driver ``getsize``, no job) prune on the hull alone.
-    Semantics are identical either way (the keyset only shrinks the
-    candidate list); only the job count changes.
+    ADAPTIVE (r16/r17): the keyset refinement costs one extra Spark
+    job (the distinct-key collect) plus a driver walk, and its payoff
+    is bounded by the rewrite it avoids — so the collect only runs
+    when BOTH byte gates pass: total table data reaches
+    ``_MERGE_SMALL_TABLE_BYTES`` (decided from the manifest + driver
+    ``getsize``, no job) AND the files surviving the hull pass reach
+    the same threshold (ADVICE r16: a huge table whose hull already
+    prunes to a couple of small files has nothing left for the keyset
+    to save).  Semantics are identical either way (the keyset only
+    shrinks the candidate list); only the job count changes.
 
     Retry fairness: the pruned path writes its rewritten data ONCE per
     candidate set and, when a publish conflict's rival left every
@@ -1160,10 +1245,12 @@ def merge_upsert(
     # running this job INSIDE the retry loop widens the conflict window
     # enough to starve the merge under storm-level contention.  Two
     # flavors share the memo: the FULL probe (with the keyset collect)
-    # satisfies hull-only requests, so at most one upgrade ever runs
-    # (a rival growing the table past the small-table threshold
-    # mid-retry).
+    # satisfies hull-only requests, so at most one upgrade ever runs —
+    # and the upgrade reuses the memoized hull aggregate row
+    # (hull_row_memo), so it pays ONLY the distinct collect, never a
+    # second aggregate job.
     probe_memo: dict[str, _KeyProbe] = {}
+    hull_row_memo: dict = {}
     # the small-table gate's getsize walk is loop-variant only through
     # the parent manifest — memoize per parent version so a contended
     # retry against the SAME parent never repeats up to 512 stat
@@ -1177,7 +1264,7 @@ def merge_upsert(
             return probe_memo["hull"]
         flavor = "full" if full else "hull"
         probe_memo[flavor] = _merge_key_probe(
-            df, keys, collect_keyset=full
+            df, keys, collect_keyset=full, row_cache=hull_row_memo
         )
         return probe_memo[flavor]
 
@@ -1247,14 +1334,41 @@ def merge_upsert(
             # either way)
             if parent not in worth_memo:
                 worth_memo[parent] = _keyset_probe_worthwhile(path, pm)
-            p = _probe(full=worth_memo[parent])
-            candidates = (
-                []  # all-NULL key hull: no upsert row can match
-                if p.bounds is None
-                else _merge_candidate_files(
+            p = _probe()
+            if p.bounds is None:
+                candidates = []  # all-NULL key hull: nothing can match
+            else:
+                # hull pass first, always: its SURVIVORS bound the
+                # keyset's real payoff far tighter than total table
+                # bytes — a huge table whose hull already prunes to a
+                # couple of small files must not pay the distinct-
+                # collect job either (ADVICE r16).  The upgrade reuses
+                # the memoized hull row, so the probe-worthy path runs
+                # the same job count as before the re-check existed.
+                candidates = _merge_candidate_files(
                     df, pm, keys, bounds=p.bounds, keyset=p.keyset
                 )
-            )
+                if (
+                    "full" not in probe_memo  # upgrade at most once
+                    and worth_memo[parent]
+                    and candidates
+                    and _bytes_reach(
+                        path,
+                        candidates,
+                        _MERGE_SMALL_TABLE_BYTES,
+                        max_files=_MERGE_SMALL_TABLE_FILES,
+                    )
+                ):
+                    p = _probe(full=True)
+                    if p.bounds is None:
+                        # the collect proved every distinct key carries
+                        # a NULL component (invisible to the per-column
+                        # hull): nothing can match any file
+                        candidates = []
+                    elif p.keyset is not None:
+                        candidates = _merge_candidate_files(
+                            df, pm, keys, bounds=p.bounds, keyset=p.keyset
+                        )
         else:
             candidates = None
         try:

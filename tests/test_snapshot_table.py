@@ -2032,9 +2032,11 @@ def test_merge_small_table_skips_keyset_collect(spark, tmp_path, monkeypatch):
     calls: list[bool] = []
     real = st._merge_key_probe
 
-    def spy(df, keys, *, collect_keyset=True):
+    def spy(df, keys, *, collect_keyset=True, row_cache=None):
         calls.append(collect_keyset)
-        return real(df, keys, collect_keyset=collect_keyset)
+        return real(
+            df, keys, collect_keyset=collect_keyset, row_cache=row_cache
+        )
 
     monkeypatch.setattr(st, "_merge_key_probe", spy)
 
@@ -2273,3 +2275,210 @@ def test_keyset_walk_budget_degrades_conservatively():
         keyset, keys, cross_file, index=fresh
     ) is False
     assert fresh.budget < st._KEYSET_WALK_BUDGET  # the scan was paid for
+
+
+def test_keyset_walk_budget_charges_actual_iterations():
+    """ADVICE r16: the walk budget must pay for iterations actually
+    EXECUTED, not the whole narrowed span — the scan usually
+    early-exits on a hit, and pre-charging the span drained the budget
+    other files still needed, degrading them to conservative
+    candidates (extra rewrite I/O) sooner than necessary."""
+    keyset = sorted((i, "lo" if i < 500 else "hi") for i in range(1000))
+    keys = ["k1", "k2"]
+
+    # early hit: k1 unconstrained (span = all 1000 tuples), first
+    # tuple (0, "lo") matches immediately -> exactly 1 iteration paid
+    index = st._KeysetIndex(keyset, keys)
+    start = index.budget
+    hit_file = {"k1": (0, 2000), "k2": ("lo", "lo")}
+    assert st._keyset_hits_file(keyset, keys, hit_file, index=index)
+    assert start - index.budget == 1, (
+        f"early hit charged {start - index.budget}, want 1"
+    )
+
+    # full miss: the narrowed span [600, 700] scans end to end
+    # (per-column checks pass — both value sets overlap — but no
+    # TUPLE matches) -> the whole 101-tuple span is paid
+    miss_file = {"k1": (600, 700), "k2": ("lo", "lo")}
+    before = index.budget
+    assert not st._keyset_hits_file(keyset, keys, miss_file, index=index)
+    assert before - index.budget == 101, (
+        f"full miss charged {before - index.budget}, want 101"
+    )
+
+
+@pytest.mark.slow
+def test_merge_tunables_honor_env(monkeypatch):
+    """r16 verdict ask 3: the two measured-default merge knobs
+    (_MERGE_SMALL_TABLE_BYTES, _KEYSET_WALK_BUDGET) are deployment
+    tunables read from the DRIVER environment at import, and a
+    malformed override fails loudly at import instead of being
+    silently ignored (a typo'd override that falls back to the default
+    is worse than a crash)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import foglamp_filter_python35_spark.sources.snapshot_table as s;"
+        "print(s._MERGE_SMALL_TABLE_BYTES, s._KEYSET_WALK_BUDGET)"
+    )
+    env = {
+        **os.environ,
+        "FSP_MERGE_SMALL_TABLE_BYTES": "12345",
+        "FSP_KEYSET_WALK_BUDGET": "777",
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    )
+    assert out.stdout.split() == ["12345", "777"]
+
+    bad = {**os.environ, "FSP_MERGE_SMALL_TABLE_BYTES": "64MiB"}
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=bad,
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode != 0
+    assert "FSP_MERGE_SMALL_TABLE_BYTES" in r.stderr
+
+    # parse-level contract: absent -> default; negative -> loud
+    assert st._env_int("FSP_ABSENT_KNOB_XYZ", 42) == 42
+    monkeypatch.setenv("FSP_TEST_KNOB", "-5")
+    with pytest.raises(ValueError):
+        st._env_int("FSP_TEST_KNOB", 1)
+
+
+def test_merge_hull_candidate_recheck_skips_collect(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r16: the keyset's payoff is bounded by the bytes of the
+    files SURVIVING the hull pass, not total table bytes — a table
+    past the total-bytes threshold whose hull already prunes to one
+    small file must not pay the distinct-collect job.  The same table
+    under a wide-hull upsert (every file survives) re-passes the
+    re-check and the collect runs, pruning the rewrite to the real
+    key hits."""
+    from pyspark.sql import functions as F2
+
+    calls: list[bool] = []
+    real = st._merge_key_probe
+
+    def spy(df, keys, *, collect_keyset=True, row_cache=None):
+        calls.append(collect_keyset)
+        return real(
+            df, keys, collect_keyset=collect_keyset, row_cache=row_cache
+        )
+
+    monkeypatch.setattr(st, "_merge_key_probe", spy)
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
+        st.commit(
+            _df(spark, lo, hi).withColumn("v", F2.col("k") * 2.0).coalesce(1),
+            t,
+            stats_cols=["k"],
+        )
+    pm = st._read_manifest(t, st.current_version(t))
+    sizes = [os.path.getsize(os.path.join(t, f)) for f in pm["files"]]
+    # threshold one byte past the biggest single file: the TOTAL gate
+    # passes (4 files sum past it) but no single-file candidate set can
+    monkeypatch.setattr(st, "_MERGE_SMALL_TABLE_BYTES", max(sizes) + 1)
+    assert st._keyset_probe_worthwhile(t, pm) is True
+
+    # narrow-hull upsert -> one candidate file -> collect skipped
+    st.merge_upsert(
+        spark.createDataFrame([(150, -1.0), (160, -2.0)], ["k", "v"]),
+        t,
+        key="k",
+    )
+    assert calls and all(c is False for c in calls), calls
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[150] == -1.0 and got[160] == -2.0 and got[0] == 0.0
+
+    # wide-hull upsert (extreme pair): every file survives the hull,
+    # candidate bytes reach the threshold -> the collect RUNS and the
+    # keyset prunes the rewrite to the two files holding the keys
+    calls.clear()
+    parent_files = st._read_manifest(t, st.current_version(t))["files"]
+    st.merge_upsert(
+        spark.createDataFrame([(0, 5.0), (399, 6.0)], ["k", "v"]),
+        t,
+        key="k",
+    )
+    assert True in calls, calls
+    m = st._read_manifest(t, st.current_version(t))
+    replaced = [f for f in parent_files if f not in m["files"]]
+    assert len(replaced) == 2, (
+        f"extreme-pair rewrote {len(replaced)} files, want 2"
+    )
+    got = {r["k"]: r["v"] for r in st.read_snapshot(spark, t).collect()}
+    assert got[0] == 5.0 and got[399] == 6.0 and got[150] == -1.0
+
+
+@pytest.mark.slow
+def test_merge_probe_nan_keys_yield_no_keyset(spark):
+    """r16 verdict ask 4: the bisect walk needs a TOTAL ORDER, and
+    float NaN breaks it — pin, at the probe level, that an upsert
+    whose surviving (NULL-free) keys contain a NaN always yields
+    keyset=None with a NaN-neutral hull (per column: (NaN, NaN) when
+    any value is NaN, which compares False against every file range —
+    never disjoint, never a wrong prune), and that a keyset the probe
+    DOES return never carries a NaN.  Property-generated so the
+    total-order precondition is mechanical, not an upstream accident."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    nan = float("nan")
+    finite = hst.floats(min_value=-100, max_value=100, allow_nan=False)
+    val = hst.one_of(hst.just(nan), finite, hst.none())
+
+    @hst.composite
+    def upsert(draw):
+        n_cols = draw(hst.integers(min_value=1, max_value=2))
+        rows = draw(
+            hst.lists(
+                hst.tuples(*[val] * n_cols), min_size=1, max_size=6
+            )
+        )
+        if not any(v is not None and v != v for t in rows for v in t):
+            i = draw(hst.integers(min_value=0, max_value=len(rows) - 1))
+            t = list(rows[i])
+            t[0] = nan
+            rows[i] = tuple(t)
+        return n_cols, rows
+
+    @settings(max_examples=12, deadline=None)
+    @given(upsert())
+    def check(c):
+        n_cols, rows = c
+        keys = [f"k{i}" for i in range(n_cols)]
+        schema = ", ".join(f"{k} double" for k in keys)
+        df = spark.createDataFrame(rows, schema=schema)
+        p = st._merge_key_probe(df, keys)
+        survivors = [t for t in rows if all(v is not None for v in t)]
+        nan_cols = [
+            any(t[i] != t[i] for t in survivors) for i in range(n_cols)
+        ]
+        if p.keyset:
+            # a returned keyset must uphold the walk's precondition
+            assert not any(v != v for t in p.keyset for v in t)
+            assert not any(nan_cols)
+        if any(nan_cols):
+            assert not p.keyset  # NaN survivor -> hull-only pruning
+            assert p.bounds is not None  # survivors exist
+            for i, k in enumerate(keys):
+                lo, hi = p.bounds[k]
+                vals = [t[i] for t in survivors]
+                if nan_cols[i]:
+                    assert lo != lo and hi != hi  # (NaN, NaN)
+                else:
+                    assert lo == min(vals) and hi == max(vals)
+
+    check()

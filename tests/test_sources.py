@@ -128,6 +128,19 @@ def test_kafka_option_plumbing_jar_free(spark):
         "subscribe": "t",
         "startingOffsets": "latest",
     }
+    # equal-but-differently-TYPED restatement also passes (r17 ADVICE:
+    # equality compares the STRINGIFIED values — the form .option()
+    # hands the connector anyway) ...
+    typed = R.kafka_source_options(
+        "b:9092", "t", starting_offsets="100", **{"startingOffsets": 100}
+    )
+    assert str(typed["startingOffsets"]) == "100"
+    # ...while a typed CONTRADICTION still fails loudly
+    with pytest.raises(ValueError, match="startingOffsets"):
+        R.kafka_source_options(
+            "b:9092", "t", starting_offsets="100",
+            **{"startingOffsets": 200},
+        )
 
     payloads = [
         b'{"id":1,"asset_code":"pump","ts":1000,"user_ts":1000,'
