@@ -563,16 +563,31 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("q_label"),
+        # probe norm computed once per probe inside the broadcast (r17);
+        # the inline cosine re-folded it per (corpus x probe) row
+        S.norm(F.col("embedding")).alias("_qn"),
+    )
+    # corpus norms once per corpus row BELOW the multiplying join;
+    # dot/(_vn*_qn) is the identical IEEE expression to the inline
+    # cosine — bit-identical scores
+    embn = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        S.norm(F.col("embedding")).alias("_vn"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        embn.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "q_label",
             "vec_id",
             F.col("label").alias("n_label"),
-            S.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+            F.try_divide(
+                S.dot(F.col("embedding"), F.col("qv")),
+                F.col("_vn") * F.col("_qn"),
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -1018,9 +1033,15 @@ def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     queries = emb.filter(F.col("vec_id") % _RECALL_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        # query norm once per query (r17) — reused by the candidate
+        # scoring below instead of re-folding per candidate row
+        S.norm(F.col("embedding")).alias("_qn"),
     )
-    truth = S.knn_join(emb, queries, k=_K).select("qid", "vec_id")
+    truth = S.knn_join(
+        emb, queries.select("qid", "qv"), k=_K
+    ).select("qid", "vec_id")
     assign = S.ivf_assign(emb, centroids)
     probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
         "qid", "cid", S.cosine(F.col("qv"), F.col("cv")).alias("cscore")
@@ -1035,7 +1056,10 @@ def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.join(F.broadcast(queries), "qid").select(
         "qid",
         "vec_id",
-        S.cosine(F.col("embedding"), F.col("qv")).alias("score"),
+        F.try_divide(
+            S.dot(F.col("embedding"), F.col("qv")),
+            S.norm(F.col("embedding")) * F.col("_qn"),
+        ).alias("score"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     ivf = (

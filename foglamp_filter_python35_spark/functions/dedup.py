@@ -105,7 +105,17 @@ def minhash_sets_signatures(
 ) -> DataFrame:
     """(id, sset, s0..s{k-1}) from a precomputed (id, sset) frame — the
     signature fold of ``minhash_doc_sets`` split out so callers holding
-    a shared shingle-set frame (``doc_shingle_sets``) don't re-scan."""
+    a shared shingle-set frame (``doc_shingle_sets``) don't re-scan.
+
+    Kept as k separate transform+array_min passes DELIBERATELY (r17
+    probe): a single-pass fold with a k-wide accumulator
+    (acc[i] = least(acc[i], (h1 + i*h2) % p)) was prototyped and
+    measured SLOWER (0.42s vs 0.25s at sf0.1, k=12) — the fold's
+    per-step array allocation outweighs the saved passes in Spark's
+    interpreted higher-order-function evaluator — and Spark 4.1's
+    ``aggregate`` with an array-typed accumulator additionally resets
+    NULL slots to the init value, a correctness hazard the per-pass
+    form never touches."""
     p = F.lit(MINHASH_PRIME)
     hashed = sets.select(
         F.col(id_col),
