@@ -325,12 +325,24 @@ def test_connected_components_vs_union_find(spark):
         for r in D.connected_components(pairs, iterations=30).collect()
     }
     assert got == want
-    # the star-contraction path must produce the identical label map
-    star = {
+    # the star-contraction path must produce the identical label map —
+    # BOTH sides of the r17 small-graph gate (driver union-find at the
+    # default budget, the distributed loop with the budget forced to 0)
+    star_driver = {
         r.node: r.comp
         for r in D.connected_components_star(pairs).collect()
     }
-    assert star == want
+    assert star_driver == want
+    old_budget = D._CC_DRIVER_EDGE_BUDGET
+    D._CC_DRIVER_EDGE_BUDGET = 0
+    try:
+        star_loop = {
+            r.node: r.comp
+            for r in D.connected_components_star(pairs).collect()
+        }
+    finally:
+        D._CC_DRIVER_EDGE_BUDGET = old_budget
+    assert star_loop == want
 
 
 @pytest.mark.slow
@@ -342,10 +354,18 @@ def test_star_cc_converges_on_deep_chain_where_hashmin_cannot(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    star = {
-        r.node: r.comp
-        for r in D.connected_components_star(pairs).collect()
-    }
+    # force the DISTRIBUTED loop: the point of this test is the star
+    # contraction's convergence, which the r17 small-graph driver gate
+    # would otherwise bypass at this edge count
+    old_budget = D._CC_DRIVER_EDGE_BUDGET
+    D._CC_DRIVER_EDGE_BUDGET = 0
+    try:
+        star = {
+            r.node: r.comp
+            for r in D.connected_components_star(pairs).collect()
+        }
+    finally:
+        D._CC_DRIVER_EDGE_BUDGET = old_budget
     assert star == {i: 0 for i in range(n + 1)}
 
     hashmin = {
@@ -364,6 +384,72 @@ def test_star_cc_empty_and_single_pair(spark):
     one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
     got = {r.node: r.comp for r in D.connected_components_star(one).collect()}
     assert got == {3: 3, 7: 3}
+    # both cases again with the driver gate closed (distributed loop)
+    old_budget = D._CC_DRIVER_EDGE_BUDGET
+    D._CC_DRIVER_EDGE_BUDGET = 0
+    try:
+        assert D.connected_components_star(empty).collect() == []
+        got = {
+            r.node: r.comp
+            for r in D.connected_components_star(one).collect()
+        }
+    finally:
+        D._CC_DRIVER_EDGE_BUDGET = old_budget
+    assert got == {3: 3, 7: 3}
+
+
+def test_star_cc_driver_gate_parity_on_random_graphs(spark):
+    """r17 small-graph gate: the driver union-find path and the
+    distributed star loop must produce the identical label map on a
+    batch of random graphs (different densities, disconnected parts,
+    duplicate/reversed edges)."""
+    import random
+
+    for seed, n_nodes, n_edges in ((3, 20, 10), (5, 40, 55), (9, 15, 40)):
+        rng = random.Random(seed)
+        raw = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        raw = [(a, b) for a, b in raw if a != b]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in raw] or [(0, 1)],
+            "id_a long, id_b long",
+        )
+        fast = {
+            r.node: r.comp
+            for r in D.connected_components_star(pairs).collect()
+        }
+        old_budget = D._CC_DRIVER_EDGE_BUDGET
+        D._CC_DRIVER_EDGE_BUDGET = 0
+        try:
+            loop = {
+                r.node: r.comp
+                for r in D.connected_components_star(pairs).collect()
+            }
+        finally:
+            D._CC_DRIVER_EDGE_BUDGET = old_budget
+        assert fast == loop, f"seed {seed}: gate sides disagree"
+
+
+def test_cc_driver_edge_budget_env_knob():
+    """FSP_CC_DRIVER_EDGE_BUDGET follows the merge-knob contract: valid
+    override respected, malformed/negative values raise loudly."""
+    import pytest as _pytest
+
+    assert D._env_int("FSP_CC_TEST_ABSENT", 7) == 7
+    os_environ = D.os.environ
+    os_environ["FSP_CC_TEST_KNOB"] = "42"
+    try:
+        assert D._env_int("FSP_CC_TEST_KNOB", 7) == 42
+        os_environ["FSP_CC_TEST_KNOB"] = "nope"
+        with _pytest.raises(ValueError):
+            D._env_int("FSP_CC_TEST_KNOB", 7)
+        os_environ["FSP_CC_TEST_KNOB"] = "-1"
+        with _pytest.raises(ValueError):
+            D._env_int("FSP_CC_TEST_KNOB", 7)
+    finally:
+        del os_environ["FSP_CC_TEST_KNOB"]
 
 
 def test_ivf_assign_argmax_ties_pick_lowest_cid(spark):
