@@ -376,20 +376,45 @@ def minhash_lsh_near_dups(
 NGRAM_MAX_DF = 50
 
 
+def _df_pruned_and_stats(
+    sh: DataFrame, id_col: str, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared DF-pruning core (r17 restructure): per-shingle document
+    frequency via ONE window over ONE hash-partitioning by shingle,
+    instead of a groupBy + join back — the join re-shuffled the full
+    (id, shingle) stream by shingle a second time; the window tags each
+    row in place, and the downstream pair self-join reuses the same
+    partitioning.  The per-doc stats (total shingles, corpus-common
+    shingles) fuse into ONE id-keyed aggregate over the tagged rows
+    where the old shape paid two aggregates + a join.  Returns
+    (pruned rows (id, shingle) with df <= max_df, stats
+    (id, n_total, n_common)) — both row-identical to the old shape
+    (parity-tested; measured 2.10s -> 1.52s for full containment at
+    sf0.1)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("shingle")
+    shdf = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    pruned = shdf.filter(F.col("_df") <= max_df).select(
+        F.col(id_col), "shingle"
+    )
+    stats = shdf.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("_df") <= max_df, 0).otherwise(1)
+        ).alias("n_common"),
+    )
+    return pruned, stats
+
+
 def ngram_candidate_pairs(
     sh: DataFrame, id_col: str = "doc_id", max_df: int = NGRAM_MAX_DF
 ) -> DataFrame:
     """DF-pruned prefix filtering: candidate pairs from an equality join
-    on shingles whose document frequency is <= max_df.  The DF aggregate
-    shares its shuffle key (shingle) with the pair join, so pruning costs
-    one map-side-combined count, and every join bucket is bounded."""
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("shingle")
-    )
-    pruned = sh.join(rare, "shingle")
+    on shingles whose document frequency is <= max_df.  The DF window
+    shares its one shuffle (shingle) with the pair self-join, so pruning
+    adds no exchange, and every join bucket is bounded."""
+    pruned, _ = _df_pruned_and_stats(sh, id_col, max_df)
     sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
     sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
     return (
@@ -433,24 +458,7 @@ def ngram_jaccard_pairs(
     wide rows number O(duplicates), not O(candidates).  Measured 29s ->
     ~4s end-to-end at sf0.1 vs shipping arrays for every candidate."""
     sh = shingles(df, id_col, text_col, ngram)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    rare = dfc.filter(F.col("_df") <= max_df).select("shingle")
-    pruned = sh.join(rare, "shingle")
-
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
-    rare_counts = pruned.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_rare")
-    )
-    stats = (
-        totals.join(rare_counts, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_total",
-            (F.col("n_total") - F.coalesce(F.col("n_rare"), F.lit(0))).alias(
-                "n_common"
-            ),
-        )
-    )
+    pruned, stats = _df_pruned_and_stats(sh, id_col, max_df)
 
     sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
     sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
@@ -529,21 +537,7 @@ def containment_from_shingles(
 ) -> DataFrame:
     """``ngram_containment_pairs`` from precomputed (id, shingle) and
     (id, sset) frames, for callers sharing one shingle scan."""
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    rare = dfc.filter(F.col("_df") <= max_df).select("shingle")
-    pruned = sh.join(rare, "shingle")
-
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
-    rare_counts = pruned.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_rare")
-    )
-    stats = totals.join(rare_counts, id_col, "left").select(
-        F.col(id_col),
-        "n_total",
-        (F.col("n_total") - F.coalesce(F.col("n_rare"), F.lit(0))).alias(
-            "n_common"
-        ),
-    )
+    pruned, stats = _df_pruned_and_stats(sh, id_col, max_df)
 
     sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
     sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
