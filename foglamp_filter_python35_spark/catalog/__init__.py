@@ -66,6 +66,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, table: str) -> int:
+    """Exact row count of a driver table from parquet FOOTER metadata —
+    no Spark job (r17).  The defaults-routed sketch-sizing paths
+    (``lsh_config(n)`` / ``ivf_cell_count(n)``) need the corpus row
+    count as a plan-time Python int; ``df.count()`` costs a Spark job
+    per query build (~0.25s warm, ~2.4s on a cold session), while the
+    footer read is ~1ms and bit-identical (``load`` never filters
+    rows, so footer rows == DataFrame rows).  At a real deployment this
+    number is catalog metadata; reading it from storage footers is the
+    same contract."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Association-order-independent SUM of a double column.
 

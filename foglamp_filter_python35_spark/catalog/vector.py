@@ -19,6 +19,7 @@ from foglamp_filter_python35_spark.catalog import (
     o_davg_expr,
     o_ordstat_quantile,
     ordstat_quantile,
+    parquet_row_count,
 )
 from foglamp_filter_python35_spark.functions import similarity as S
 
@@ -197,10 +198,16 @@ def q_embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_sketch_sizing.py::test_gate_scale_defaults_match_oracle
     # _constants).
     emb = load(spark, sf_dir, "embeddings")
+    # n from the parquet footer (r17): the sizing rule needs the corpus
+    # row count at plan time; the footer read is ~1ms where the
+    # emb.count() fallback costs a Spark job per build (~0.25s warm,
+    # ~2.4s cold) — same exact n, so the sketch (and results) are
+    # identical.
     return S.rp_lsh_near_dups(
         emb,
         threshold=_LSH_THRESHOLD,
         dim=_LSH_DIM,
+        n=parquet_row_count(sf_dir, "embeddings"),
     ).orderBy("id_a", "id_b")
 
 
@@ -472,8 +479,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contiguous 0..n-1 testdata ids is exactly the oracle's
     # ``vec_id < {_N_CENTROIDS}`` cut — pinned by
     # tests/test_sketch_sizing.py).  The driver gate therefore verifies
-    # the production defaults path, not a hand-pinned twin.
-    pairs = S.ivf_cell_pairs(emb, None, _DUP_THRESHOLD)
+    # the production defaults path, not a hand-pinned twin.  n comes
+    # from the parquet footer (r17, see q_embedding_lsh_dup) — same
+    # exact count, no plan-build Spark job.
+    pairs = S.ivf_cell_pairs(
+        emb, None, _DUP_THRESHOLD, n=parquet_row_count(sf_dir, "embeddings")
+    )
     comp = connected_components_star(pairs)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id"), F.lit(1).alias("_loser")

@@ -310,3 +310,16 @@ def test_seed_centroids_equals_oracle_prefix_cut(spark):
         for r in emb.filter(F.col("vec_id") < k).collect()
     }
     assert seeded == prefix and len(seeded) == k
+
+
+def test_parquet_footer_count_matches_spark_count(spark):
+    """r17: the defaults-routed sketch sizing now takes the corpus row
+    count from parquet footer metadata instead of a plan-build Spark
+    count job; the two must agree exactly or lsh_config/ivf_cell_count
+    could silently size a different sketch than the oracle pins."""
+    from foglamp_filter_python35_spark.catalog import parquet_row_count
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for table in ("embeddings", "documents"):
+            footer = parquet_row_count(sf, table)
+            assert footer == load(spark, sf, table).count(), (sf, table)
