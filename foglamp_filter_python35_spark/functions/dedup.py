@@ -102,12 +102,18 @@ def shingles(
     corpus read as one parquet split would otherwise run the md5-heavy
     downstream single-threaded.  At 100 TB the source has thousands of
     splits and the repartition collapses into normal scan parallelism.
+    HASH-partitioned by the (unique) doc id, not round-robin (r17):
+    keyless ``repartition(n)`` first pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, needed so retried
+    tasks reproduce the row-to-partition assignment) — a full sort of
+    the tokenized stream at corpus scale; hashing the deterministic id
+    needs no such sort and spreads evenly since ids are unique.
     """
     toks_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ts"))
     toks_df = toks_df.filter(F.size("_ts") >= n)
     if repartition:
         target = df.sparkSession.sparkContext.defaultParallelism
-        toks_df = toks_df.repartition(target)
+        toks_df = toks_df.repartition(target, F.col(id_col))
     return toks_df.select(
         F.col(id_col), F.explode(word_ngrams(F.col("_ts"), n)).alias("shingle")
     )
@@ -132,8 +138,11 @@ def doc_shingle_sets(
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ts"))
     base = base.filter(F.size("_ts") >= n)
     if repartition:
+        # hash by the unique id, not round-robin — skips the
+        # sort-before-repartition a keyless repartition pays (see
+        # ``shingles``)
         target = df.sparkSession.sparkContext.defaultParallelism
-        base = base.repartition(target)
+        base = base.repartition(target, F.col(id_col))
     return base.select(
         F.col(id_col), word_ngrams(F.col("_ts"), n).alias("sset")
     )
