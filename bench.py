@@ -371,6 +371,14 @@ def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
+                # release BETWEEN samples, not after the min-of-N loop
+                # (r17 verdict ask #3): a query that registers a cached
+                # frame would otherwise hand sample 2 a warm CacheManager
+                # hit for sample 1's persisted intermediate, so the
+                # reported min included one cache-warm sample.  Outside
+                # the timed window either way; every sample now pays its
+                # own materialization.
+                cache.release(blocking=False)
             if not spec.headline and best >= 2.0 and relaxed:
                 # expensive tail entries read up to 2x high on a single
                 # in-sweep sample (GC/co-tenant spikes); a second run
@@ -382,18 +390,16 @@ def _run_phases(spark, sf_dir, specs, all_times, all_runs, skipped):
                 ).save()
                 best = min(best, time.perf_counter() - t0)
                 runs = 2
+                cache.release(blocking=False)
             all_times[spec.name] = round(best, 3)
             all_runs[spec.name] = runs
-            # outside the timed window: free this query's registered
-            # cached intermediates so the sweep's storage footprint is
-            # one query's caches, not the whole catalog's
-            cache.release(blocking=False)
         except Exception as exc:  # noqa: BLE001
             # one failing query must not discard the other timings or the
             # JSON line the harness consumes
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
             all_times[spec.name] = None
             all_runs[spec.name] = 0
+            cache.release(blocking=False)
 
     print(f"bench: timed sweep {time.perf_counter()-t_phase:.1f}s", file=sys.stderr)
 

@@ -80,11 +80,22 @@ def parquet_row_count(sf_dir: str, table: str) -> int:
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
-        )
+        # mirror Spark's file listing (ADVICE r17): recurse into
+        # partitioned/nested layouts and skip '_'/'.'-prefixed entries
+        # (_SUCCESS, _metadata, hidden dirs) at EVERY level — a
+        # one-level listdir would silently undercount a partitioned
+        # table and mis-size the lsh_config/ivf_cell_count sketches.
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith(("_", "."))
+            )
+            total += sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in sorted(files)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return total
     return pq.ParquetFile(path).metadata.num_rows
 
 

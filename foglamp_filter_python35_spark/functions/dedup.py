@@ -62,7 +62,10 @@ def _env_int(name: str, default: int) -> int:
 # loop needs anyway, so the gate costs no extra job.  100k edges is
 # ~3 MB of id pairs — far inside driver memory; raise it on a
 # fat-driver deployment, set 0 to force the distributed loop
-# everywhere (tests exercise both sides).
+# everywhere (tests exercise both sides).  The module global is the
+# import-time default; ``connected_components_star`` re-reads the env
+# var per call (ADVICE r17), so setting the knob in a live session
+# takes effect without a re-import.
 _CC_DRIVER_EDGE_BUDGET = _env_int("FSP_CC_DRIVER_EDGE_BUDGET", 100_000)
 
 
@@ -821,7 +824,18 @@ def connected_components_star(
     # against it).  A NULL id (impossible from equi-join-derived pair
     # frames, but this function is public) falls through to the
     # distributed loop rather than guessing an order for None.
-    if prev[0] <= _CC_DRIVER_EDGE_BUDGET:
+    # Gated to integral/string id types (ADVICE r17): the union-by-min
+    # relies on Python ``<`` agreeing with Spark's min ordering, which
+    # holds for ints and strings but not e.g. float NaN ids (Python
+    # comparisons with NaN are always False) — any other type takes
+    # the distributed loop, whose ordering is Spark's own.
+    from pyspark.sql.types import IntegralType, StringType  # noqa: PLC0415
+
+    budget = _env_int("FSP_CC_DRIVER_EDGE_BUDGET", _CC_DRIVER_EDGE_BUDGET)
+    id_type = e.schema["a"].dataType
+    if prev[0] <= budget and isinstance(
+        id_type, (IntegralType, StringType)
+    ):
         rows = e.collect()
         if not any(r[0] is None or r[1] is None for r in rows):
             parent: dict = {}

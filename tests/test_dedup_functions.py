@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -11,6 +13,20 @@ from foglamp_filter_python35_spark.catalog.dedup import (
     q_simhash_dedup,
 )
 from foglamp_filter_python35_spark.functions import dedup as D
+
+
+@contextmanager
+def forced_cc_budget(value: int = 0):
+    """Temporarily override the CC driver-gate edge budget (0 = force
+    the distributed star loop) — the one sanctioned way for tests to
+    toggle the gate (ADVICE r17: four hand-rolled try/finally blocks
+    were easy to get wrong)."""
+    old = D._CC_DRIVER_EDGE_BUDGET
+    D._CC_DRIVER_EDGE_BUDGET = value
+    try:
+        yield
+    finally:
+        D._CC_DRIVER_EDGE_BUDGET = old
 
 
 def test_minhash_equals_exact_on_this_corpus(spark, sf_correct):
@@ -333,15 +349,11 @@ def test_connected_components_vs_union_find(spark):
         for r in D.connected_components_star(pairs).collect()
     }
     assert star_driver == want
-    old_budget = D._CC_DRIVER_EDGE_BUDGET
-    D._CC_DRIVER_EDGE_BUDGET = 0
-    try:
+    with forced_cc_budget(0):
         star_loop = {
             r.node: r.comp
             for r in D.connected_components_star(pairs).collect()
         }
-    finally:
-        D._CC_DRIVER_EDGE_BUDGET = old_budget
     assert star_loop == want
 
 
@@ -357,15 +369,11 @@ def test_star_cc_converges_on_deep_chain_where_hashmin_cannot(spark):
     # force the DISTRIBUTED loop: the point of this test is the star
     # contraction's convergence, which the r17 small-graph driver gate
     # would otherwise bypass at this edge count
-    old_budget = D._CC_DRIVER_EDGE_BUDGET
-    D._CC_DRIVER_EDGE_BUDGET = 0
-    try:
+    with forced_cc_budget(0):
         star = {
             r.node: r.comp
             for r in D.connected_components_star(pairs).collect()
         }
-    finally:
-        D._CC_DRIVER_EDGE_BUDGET = old_budget
     assert star == {i: 0 for i in range(n + 1)}
 
     hashmin = {
@@ -385,16 +393,12 @@ def test_star_cc_empty_and_single_pair(spark):
     got = {r.node: r.comp for r in D.connected_components_star(one).collect()}
     assert got == {3: 3, 7: 3}
     # both cases again with the driver gate closed (distributed loop)
-    old_budget = D._CC_DRIVER_EDGE_BUDGET
-    D._CC_DRIVER_EDGE_BUDGET = 0
-    try:
+    with forced_cc_budget(0):
         assert D.connected_components_star(empty).collect() == []
         got = {
             r.node: r.comp
             for r in D.connected_components_star(one).collect()
         }
-    finally:
-        D._CC_DRIVER_EDGE_BUDGET = old_budget
     assert got == {3: 3, 7: 3}
 
 
@@ -420,15 +424,11 @@ def test_star_cc_driver_gate_parity_on_random_graphs(spark):
             r.node: r.comp
             for r in D.connected_components_star(pairs).collect()
         }
-        old_budget = D._CC_DRIVER_EDGE_BUDGET
-        D._CC_DRIVER_EDGE_BUDGET = 0
-        try:
+        with forced_cc_budget(0):
             loop = {
                 r.node: r.comp
                 for r in D.connected_components_star(pairs).collect()
             }
-        finally:
-            D._CC_DRIVER_EDGE_BUDGET = old_budget
         assert fast == loop, f"seed {seed}: gate sides disagree"
 
 
@@ -450,6 +450,50 @@ def test_cc_driver_edge_budget_env_knob():
             D._env_int("FSP_CC_TEST_KNOB", 7)
     finally:
         del os_environ["FSP_CC_TEST_KNOB"]
+
+
+def _took_driver_gate(pairs) -> bool:
+    """The driver union-find path returns a createDataFrame label map —
+    its plan is a local/RDD scan with no joins; the distributed loop's
+    plan ends in the nodes-left-join-star shape."""
+    plan = D.connected_components_star(pairs)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    return "Join" not in plan
+
+
+def test_star_cc_gate_restricted_to_int_and_str_ids(spark):
+    """ADVICE r17: the union-find fast path trusts Python ``<`` to match
+    Spark's min ordering — true for ints and strings, false for float
+    NaN ids.  Non-int/str id types must take the distributed loop."""
+    int_pairs = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    str_pairs = spark.createDataFrame(
+        [("b", "a")], "id_a string, id_b string"
+    )
+    dbl_pairs = spark.createDataFrame(
+        [(7.0, 3.0)], "id_a double, id_b double"
+    )
+    assert _took_driver_gate(int_pairs)
+    assert _took_driver_gate(str_pairs)
+    assert not _took_driver_gate(dbl_pairs)
+    # the loop still labels float ids correctly
+    got = {
+        r.node: r.comp
+        for r in D.connected_components_star(dbl_pairs).collect()
+    }
+    assert got == {3.0: 3.0, 7.0: 3.0}
+
+
+def test_cc_driver_edge_budget_read_at_call_time(spark):
+    """ADVICE r17: setting FSP_CC_DRIVER_EDGE_BUDGET in a live session
+    must take effect without re-importing the package (env wins over
+    the import-time module default)."""
+    pairs = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    assert _took_driver_gate(pairs)
+    D.os.environ["FSP_CC_DRIVER_EDGE_BUDGET"] = "0"
+    try:
+        assert not _took_driver_gate(pairs)
+    finally:
+        del D.os.environ["FSP_CC_DRIVER_EDGE_BUDGET"]
+    assert _took_driver_gate(pairs)
 
 
 def test_ivf_assign_argmax_ties_pick_lowest_cid(spark):
