@@ -410,8 +410,13 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     sim = D.simhash_from_shingles(sh).select("id_a", "id_b")
+    # persist_tags: the DF-tagged shingle stream feeds four consumers in
+    # the containment branch; persisting it here (measured 3.12s ->
+    # 1.97s for the branch, r18) composes with the sets persist above —
+    # standalone doc_containment measured the same persist flat-to-worse
+    # and keeps the default (see _df_pruned_and_stats)
     cont = D.containment_from_shingles(
-        sh, sets, threshold=_CONTAIN_THRESHOLD
+        sh, sets, threshold=_CONTAIN_THRESHOLD, persist_tags=True
     ).select("id_a", "id_b")
     votes = (
         mh.withColumn("src", F.lit("minhash"))

@@ -396,7 +396,7 @@ NGRAM_MAX_DF = 50
 
 
 def _df_pruned_and_stats(
-    sh: DataFrame, id_col: str, max_df: int
+    sh: DataFrame, id_col: str, max_df: int, persist_tags: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Shared DF-pruning core (r17 restructure): per-shingle document
     frequency via ONE window over ONE hash-partitioning by shingle,
@@ -409,11 +409,33 @@ def _df_pruned_and_stats(
     (pruned rows (id, shingle) with df <= max_df, stats
     (id, n_total, n_common)) — both row-identical to the old shape
     (parity-tested; measured 2.10s -> 1.52s for full containment at
-    sf0.1)."""
+    sf0.1).
+
+    ``persist_tags=True`` (r18) additionally persists the tagged stream
+    (lazily via functions.cache — no job at plan build; released by the
+    next catalog query): it feeds FOUR consumers in the full containment
+    plan (both sides of the pair self-join plus the stats agg), and
+    exchange reuse alone only deduplicates the shuffle write — the
+    WindowExec above it re-executed per consumer.  OPT-IN because the
+    win is context-dependent (both measured interleaved min-of-N at
+    sf0.1, exact parity): inside ``dedup_ensemble`` — where the shingle
+    stream explodes an already-persisted sets frame and three signal
+    branches compete for the same stage slots — the persist took the
+    containment branch 3.12s -> 1.97s (tools/r18_containment_ab.py);
+    standalone ``doc_containment`` measured it flat-to-worse (1.97s
+    plain vs 2.11s persisted), so the default stays off.  A
+    broadcast-survivors verify (the minhash-verify shape) was also
+    prototyped and measured FLAT-to-worse (3.26s alone, 2.71s combined
+    with this persist) — AQE already broadcasts the O(survivors) side
+    of the verify joins — so the shuffle verify stays."""
     from pyspark.sql import Window  # noqa: PLC0415
+
+    from foglamp_filter_python35_spark.functions import cache  # noqa: PLC0415
 
     w = Window.partitionBy("shingle")
     shdf = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    if persist_tags:
+        shdf = cache.register(shdf)
     pruned = shdf.filter(F.col("_df") <= max_df).select(
         F.col(id_col), "shingle"
     )
@@ -553,10 +575,16 @@ def containment_from_shingles(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     max_df: int = NGRAM_MAX_DF,
+    persist_tags: bool = False,
 ) -> DataFrame:
     """``ngram_containment_pairs`` from precomputed (id, shingle) and
-    (id, sset) frames, for callers sharing one shingle scan."""
-    pruned, stats = _df_pruned_and_stats(sh, id_col, max_df)
+    (id, sset) frames, for callers sharing one shingle scan.
+
+    ``persist_tags`` persists the DF-tagged shingle stream — pass True
+    from multi-signal callers (``dedup_ensemble``), keep the default
+    for standalone use; see ``_df_pruned_and_stats`` for the measured
+    trade-off."""
+    pruned, stats = _df_pruned_and_stats(sh, id_col, max_df, persist_tags)
 
     sa = pruned.select(F.col(id_col).alias("id_a"), "shingle")
     sb = pruned.select(F.col(id_col).alias("id_b"), "shingle")
