@@ -490,6 +490,23 @@ def rp_lsh_near_dups(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        # the exact-verify fold is CPU-bound (~5us/pair interpreted),
+        # but the candidate stream is BYTE-tiny (16 B/row), so AQE's
+        # size-based coalescing collapses the band-join output to one
+        # post-shuffle partition and the whole verify runs serially
+        # (measured at sf0.1: 515k candidates -> 1 partition, fold
+        # verify 3.36s on one core vs 0.51s spread; an Arrow-batched
+        # dot kernel only reached 1.69s — tools/r18_lsh_verify_isolate
+        # .py).  Hash-repartitioning the slim id pairs to the session's
+        # core count is the cheapest possible exchange (ids only, the
+        # wide vectors are fetched after), spreads the fold evenly, and
+        # removes the hot-band straggler at any scale; values are
+        # untouched so results are bit-identical.
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
     )
     # per-vector norms are computed ONCE before the pair join (sqrt is
     # IEEE-exact, so dot/(norm_a*norm_b) is bit-identical to the inline
@@ -597,7 +614,21 @@ def ivf_cell_pairs(
     # is bit-identical to the inline cosine)
     a = assign.select(F.col(id_col).alias("id_a"), "cid")
     b = assign.select(F.col(id_col).alias("id_b"), "cid")
-    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    # same serial-verify hazard as rp_lsh_near_dups: the assign frame is
+    # tiny post-aggregation, AQE coalesces it to ~1 partition, and the
+    # cell join then emits EVERY candidate pair in that one task, so the
+    # exact-verify fold (~5us/pair interpreted) runs serially.  Spread
+    # the slim (id_a, id_b) pairs across the session's cores before
+    # fetching the wide vectors — values untouched, bit-identical.
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
+    )
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
