@@ -49,13 +49,31 @@ _TS_COLUMNS = {
 }
 
 
+# (sf_dir, table) -> inferred parquet read schema.  Schema inference
+# launches one small Spark job per read (~98ms warm at sf0.1); every
+# catalog query build pays it 1-3x, so the full 153-query sweep spends
+# ~15-20s on repeated inference of the same static tables.  Caching the
+# INFERRED SCHEMA (metadata only — never rows, never results; same
+# class as the r17 footer-count read) makes repeat loads job-free
+# (~20ms).  The cache key is the directory+table the schema was read
+# from; the inference conf (nanosAsLong) is pinned by load() itself, so
+# a cached schema always equals what fresh inference would return.
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     try:  # defensive: the driver's own session may not carry these confs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    cached = _SCHEMA_CACHE.get((sf_dir, table))
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, table)] = df.schema
     for c in _TS_COLUMNS.get(table, ()):
         field = df.schema[c]
         if isinstance(field.dataType, LongType):

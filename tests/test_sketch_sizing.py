@@ -323,3 +323,28 @@ def test_parquet_footer_count_matches_spark_count(spark):
         for table in ("embeddings", "documents"):
             footer = parquet_row_count(sf, table)
             assert footer == load(spark, sf, table).count(), (sf, table)
+
+
+def test_catalog_lsh_defaults_build_job_free(spark):
+    """r18: the catalog's defaults-routed LSH query builds its whole
+    plan (footer-count sizing, sketch, band join, verify) without
+    launching a single Spark job once the table schema is known — the
+    ``emb.count()`` fallback inside ``rp_lsh_near_dups`` is
+    interactive-use-only and must never fire on the catalog path
+    (VERDICT r17 ask #6), and repeat loads of a static table must not
+    re-run schema inference (r18 schema cache)."""
+    from foglamp_filter_python35_spark.catalog import all_queries
+
+    # first-ever load of a table pays one schema-inference job; warm it
+    # so the probe asserts the steady-state (cached-schema) build
+    load(spark, "/root/testdata/sf0.001", "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("catalog-lsh-build-probe", "builds must launch no job")
+    try:
+        all_queries()["embedding_lsh_dup"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("catalog-lsh-build-probe")
+        sc.setJobGroup("", "")
+    assert jobs == [], f"catalog LSH build launched Spark jobs: {jobs}"
