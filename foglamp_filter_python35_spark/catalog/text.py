@@ -134,7 +134,7 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("_ts"))
     grams = toks.select(
-        F.explode(word_ngrams(F.col("_ts"), 2)).alias("bigram")
+        F.explode(word_ngrams("_ts", 2)).alias("bigram")
     )
     return (
         grams.groupBy("bigram")
@@ -491,7 +491,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = toks.select(
         "doc_id",
         (F.size("_ts") - 1).cast("bigint").alias("n_bigrams"),
-        F.size(word_ngrams(F.col("_ts"), 2)).cast("bigint").alias(
+        F.size(word_ngrams("_ts", 2)).cast("bigint").alias(
             "n_distinct_bigrams"
         ),
     ).filter(F.col("n_bigrams") >= 1)

@@ -75,7 +75,29 @@ def word_ngrams(tokens_col, n: int = 3):
 
     Documents shorter than n tokens yield an EMPTY array — guarded with
     when(), because sequence(1, 0) is the descending array [1, 0], not
-    empty, and would crash element_at."""
+    empty, and would crash element_at.
+
+    Pass the token column as a NAME (string) on hot paths: the string
+    form builds the whole expression as ONE parsed SQL string (one py4j
+    round trip) where the Column form pays ~60 round trips of pure
+    driver latency per call for the lambda plumbing (r18 build-time
+    profile; the parsed tree is the same Catalyst expression, so values
+    are bit-identical — pinned by the dedup oracles).  The Column form
+    stays for ad-hoc callers."""
+    if isinstance(tokens_col, str):
+        toks = f"`{tokens_col}`"
+        parts = ", ".join(
+            f"element_at({toks}, i)"
+            if j == 0
+            else f"element_at({toks}, i + {j})"
+            for j in range(n)
+        )
+        return F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN"
+            f" array_distinct(transform(sequence(1, size({toks}) -"
+            f" {n - 1}), i -> concat_ws(' ', {parts})))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
         lambda i: F.concat_ws(
@@ -118,7 +140,7 @@ def shingles(
         target = df.sparkSession.sparkContext.defaultParallelism
         toks_df = toks_df.repartition(target, F.col(id_col))
     return toks_df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col("_ts"), n)).alias("shingle")
+        F.col(id_col), F.explode(word_ngrams("_ts", n)).alias("shingle")
     )
 
 
@@ -147,7 +169,7 @@ def doc_shingle_sets(
         target = df.sparkSession.sparkContext.defaultParallelism
         base = base.repartition(target, F.col(id_col))
     return base.select(
-        F.col(id_col), word_ngrams(F.col("_ts"), n).alias("sset")
+        F.col(id_col), word_ngrams("_ts", n).alias("sset")
     )
 
 
@@ -167,31 +189,34 @@ def minhash_sets_signatures(
     ``aggregate`` with an array-typed accumulator additionally resets
     NULL slots to the init value, a correctness hazard the per-pass
     form never touches."""
-    p = F.lit(MINHASH_PRIME)
+    # Expressions are built as PARSED SQL, not Column-API lambdas (r18):
+    # every higher-order F.transform costs ~60 py4j socket round trips
+    # (lambda variable registration + per-node calls), and the k=12
+    # signature folds made this builder ~0.5s of pure DRIVER time per
+    # plan build (cProfile: 2.9k round trips/build, 80% in socket
+    # recv).  One F.expr per column is ONE round trip; the parsed tree
+    # is the same Catalyst expression (same literal types: the prime
+    # fits in INT either way, conv->CAST AS BIGINT == .cast("long")),
+    # so signatures stay bit-identical (pinned by the existing
+    # exploded-path parity test and the md5-based oracles).
+    p = MINHASH_PRIME
     hashed = sets.select(
         F.col(id_col),
         "sset",
-        F.transform("sset", lambda x: F.md5(x)).alias("_md5s"),
+        F.expr("transform(sset, x -> md5(x))").alias("_md5s"),
     ).select(
         F.col(id_col),
         "sset",
-        F.transform(
-            "_md5s",
-            lambda m: F.struct(
-                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias(
-                    "h1"
-                ),
-                (
-                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % p
-                ).alias("h2"),
-            ),
+        F.expr(
+            "transform(_md5s, m -> named_struct("
+            f"'h1', CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT) % {p},"
+            f" 'h2', CAST(conv(substring(m, 17, 15), 16, 10) AS BIGINT) % {p}"
+            "))"
         ).alias("_hs"),
     )
     sig_cols = [
-        F.array_min(
-            F.transform(
-                "_hs", lambda h: (h["h1"] + F.lit(i) * h["h2"]) % p
-            )
+        F.expr(
+            f"array_min(transform(_hs, h -> (h.h1 + {i} * h.h2) % {p}))"
         ).alias(f"s{i}")
         for i in range(num_hashes)
     ]
@@ -251,25 +276,20 @@ def lsh_bands(
             "silently unbanded, changing the LSH threshold curve"
         )
     n_bands = num_hashes // rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"s{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
+    # ONE parsed SQL expression instead of ~40 Column-API py4j round
+    # trips (r18 build-time profile — same Catalyst tree, bit-identical
+    # bands; see word_ngrams)
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_sig', md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
     )
     return sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("band")
+        F.col(id_col), F.explode(F.expr(f"array({structs})")).alias("band")
     ).select(id_col, "band.band_id", "band.band_sig")
 
 
@@ -534,7 +554,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_ts")
     ).filter(F.size("_ts") >= ngram)
     sets = base.select(
-        F.col(id_col), word_ngrams(F.col("_ts"), ngram).alias("sset")
+        F.col(id_col), word_ngrams("_ts", ngram).alias("sset")
     )
     return pair_jaccard_from_sets(
         survivors, sets, id_col, broadcast_pairs=False
@@ -639,21 +659,24 @@ _SIMHASH_BANDS = 4  # 4 bands x 8 bits
 
 def simhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """32-bit simhash per doc: one hash-agg with 32 bit-majority sums."""
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    # parsed SQL expressions, not ~350 Column-API py4j round trips (r18
+    # build-time profile — same Catalyst trees, bit-identical; see
+    # word_ngrams)
+    h = F.expr(
+        "CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+    )
     hashed = sh.withColumn("h", h)
     bit_sums = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-            f"b{j}"
-        )
+        F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    sig = " + ".join(
+        f"shiftleft(CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END"
+        f" AS BIGINT), {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -373,13 +373,16 @@ def _np_bands_udf(planes: list[list[float]], bits_per_band: int) -> object:
 
 
 def rp_lsh_sketch(
-    vec: Column, planes: list[list[float]], bits_per_band: int
+    vec: Column | str, planes: list[list[float]], bits_per_band: int
 ) -> Column:
     """Sign-LSH band values: one integer per band, bit i = sign of the
     dot product with plane (band*bits+i).  All JVM-side arithmetic in
-    exact mode; one Arrow-batched matmul kernel in fast mode."""
+    exact mode; one Arrow-batched matmul kernel in fast mode.  Pass the
+    vector column as a NAME (string) on hot paths — see the expr branch
+    below."""
     if _FAST:
-        return _np_bands_udf(planes, bits_per_band)(vec)
+        vc = F.col(vec) if isinstance(vec, str) else vec
+        return _np_bands_udf(planes, bits_per_band)(vc)
     # Kept as n_planes separate scalar folds DELIBERATELY (r17 probe):
     # a single-pass matrix fold (one aggregate with an n_planes-wide
     # accumulator over a transposed plane literal) was prototyped and
@@ -391,6 +394,34 @@ def rp_lsh_sketch(
     # input-sanitizing guard on that shape.  Scalar-accumulator folds
     # have none of these problems.
     n_bands = len(planes) // bits_per_band
+    if isinstance(vec, str):
+        # ONE parsed SQL expression for the whole sketch instead of
+        # ~1100 Column-API py4j round trips (16 planes x 64 F.lit each
+        # measured ~1.2s of pure driver latency per plan build, r18).
+        # repr() is Python's shortest round-trip float form and Spark
+        # parses double literals via Java parseDouble — the same IEEE
+        # value bit-for-bit — so the parsed tree equals the Column-built
+        # tree and band values are identical (pinned by the LSH oracle
+        # parity and test_sketch_sizing).
+        v = f"`{vec}`"
+
+        def plane_dot(plane: list[float]) -> str:
+            arr = ", ".join(f"{x!r}D" for x in plane)
+            return (
+                f"aggregate(zip_with({v}, array({arr}),"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0.0D, (acc, v) -> acc + v)"
+            )
+
+        band_exprs = []
+        for b in range(n_bands):
+            terms = " + ".join(
+                f"(CASE WHEN {plane_dot(planes[b * bits_per_band + i])}"
+                f" >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+                for i in range(bits_per_band)
+            )
+            band_exprs.append(terms)
+        return F.expr(f"array({', '.join(band_exprs)})")
     bands = []
     for b in range(n_bands):
         val: Column | None = None
@@ -454,7 +485,7 @@ def rp_lsh_near_dups(
     sk = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        rp_lsh_sketch(F.col(vec_col), planes, bits_per_band).alias("bands"),
+        rp_lsh_sketch(vec_col, planes, bits_per_band).alias("bands"),
     )
     # ids-only banding: the band self-join multiplies rows by bucket
     # volume, so shipping the vectors through it would shuffle
