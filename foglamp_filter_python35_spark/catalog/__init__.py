@@ -138,10 +138,17 @@ def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     (SCALE.md); a deployment needing exact sums beyond the bound brings
     back ``SUM(CAST(x AS DECIMAL(38,scale)))`` at the 5x agg cost.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # ONE parsed SQL expression (the exact text of the o_dsum twin)
+        # instead of ~10 Column-API py4j round trips — measured 21 ->
+        # 0.5 ms of pure driver time per call at plan build (r18); the
+        # parsed tree is the same Catalyst expression, so sums stay
+        # bit-identical.
+        return F.expr(o_dsum_expr(f"`{col}`", scale)).alias(alias)
     m = F.lit(float(10**scale))
     return (
-        F.sum(F.floor(c * m + F.lit(0.5)).cast("bigint")).cast("double") / m
+        F.sum(F.floor(col * m + F.lit(0.5)).cast("bigint")).cast("double")
+        / m
     ).alias(alias)
 
 
@@ -163,12 +170,15 @@ def o_dsum(expr: str, alias: str, scale: int = 6) -> str:
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Deterministic AVG: the ``dsum`` quantized-integer sum divided by
     the non-null count, every step mirrored by ``o_davg``."""
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # parsed-SQL fast path, same rationale and tree as dsum's
+        return F.expr(o_davg_expr(f"`{col}`", scale)).alias(alias)
     m = F.lit(float(10**scale))
     s = (
-        F.sum(F.floor(c * m + F.lit(0.5)).cast("bigint")).cast("double") / m
+        F.sum(F.floor(col * m + F.lit(0.5)).cast("bigint")).cast("double")
+        / m
     )
-    return (s / F.count(c)).alias(alias)
+    return (s / F.count(col)).alias(alias)
 
 
 def o_davg_expr(expr: str, scale: int = 6) -> str:

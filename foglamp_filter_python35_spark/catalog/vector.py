@@ -412,7 +412,7 @@ ORDER BY vec_id
 def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     normed = emb.select(
-        "vec_id", S.norm(F.col("embedding")).alias("l2")
+        "vec_id", S.norm("embedding").alias("l2")
     )
     stats = normed.agg(
         F.count("l2").alias("n"),
@@ -576,7 +576,7 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         # probe norm computed once per probe inside the broadcast (r17);
         # the inline cosine re-folded it per (corpus x probe) row
-        S.norm(F.col("embedding")).alias("_qn"),
+        S.norm("embedding").alias("_qn"),
     )
     # corpus norms once per corpus row BELOW the multiplying join;
     # dot/(_vn*_qn) is the identical IEEE expression to the inline
@@ -585,7 +585,7 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        S.norm(F.col("embedding")).alias("_vn"),
+        S.norm("embedding").alias("_vn"),
     )
     scored = (
         embn.crossJoin(F.broadcast(probes))
@@ -596,7 +596,7 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("label").alias("n_label"),
             F.try_divide(
-                S.dot(F.col("embedding"), F.col("qv")),
+                S.dot("embedding", "qv"),
                 F.col("_vn") * F.col("_qn"),
             ).alias("score"),
         )
@@ -1048,14 +1048,14 @@ def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         # query norm once per query (r17) — reused by the candidate
         # scoring below instead of re-folding per candidate row
-        S.norm(F.col("embedding")).alias("_qn"),
+        S.norm("embedding").alias("_qn"),
     )
     truth = S.knn_join(
         emb, queries.select("qid", "qv"), k=_K
     ).select("qid", "vec_id")
     assign = S.ivf_assign(emb, centroids)
     probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
-        "qid", "cid", S.cosine(F.col("qv"), F.col("cv")).alias("cscore")
+        "qid", "cid", S.cosine("qv", "cv").alias("cscore")
     )
     wp = Window.partitionBy("qid").orderBy(F.col("cscore").desc(), "cid")
     probes = (
@@ -1068,8 +1068,8 @@ def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         F.try_divide(
-            S.dot(F.col("embedding"), F.col("qv")),
-            S.norm(F.col("embedding")) * F.col("_qn"),
+            S.dot("embedding", "qv"),
+            S.norm("embedding") * F.col("_qn"),
         ).alias("score"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
