@@ -30,6 +30,61 @@ from foglamp_filter_python35_spark.catalog import (  # noqa: E402
 from foglamp_filter_python35_spark.functions import similarity as S  # noqa: E402
 from foglamp_filter_python35_spark.session import get_spark  # noqa: E402
 
+
+# --- the (rejected) guarded Arrow left-fold kernel, inlined so this
+# probe stays runnable: the engine shipped the repartition fix instead
+# and carries no kernel code (see tools/r18_lsh_kernel_ab.py) ---
+import numpy as _np
+import pandas as _pd
+from pyspark.sql import Column as _Column
+
+
+def _np_dot_fold_udf():
+    @F.pandas_udf("double")
+    def np_dot_fold(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        def row(x, y):
+            if x is None or y is None or len(x) != len(y):
+                return _np.nan
+            if len(x) == 0:
+                return 0.0
+            p = _np.asarray(x, dtype=_np.float64) * _np.asarray(
+                y, dtype=_np.float64
+            )
+            return _np.add.accumulate(p)[-1]
+
+        try:
+            av = _np.stack(a.to_numpy()).astype(_np.float64)
+            bv = _np.stack(b.to_numpy()).astype(_np.float64)
+            if av.ndim != 2 or av.shape != bv.shape:
+                raise ValueError
+            if av.shape[1] == 0:
+                res = _np.zeros(len(av))
+            else:
+                res = _np.add.accumulate(av * bv, axis=1)[:, -1]
+        except (ValueError, TypeError):
+            res = _np.array([row(x, y) for x, y in zip(a, b)])
+        return _pd.Series(res)
+
+    return np_dot_fold.asNondeterministic()
+
+
+def _vec_clean(v: _Column) -> _Column:
+    bad = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return v.isNotNull() & ~bad
+
+
+def _guarded_pair_dot(va, vb, ca, cb):
+    return F.when(
+        ca & cb & (F.size(va) == F.size(vb)),
+        _np_dot_fold_udf()(va, vb),
+    ).otherwise(S.dot(va, vb))
+
+
 THR = 0.9
 
 
@@ -41,8 +96,8 @@ def verify(emb, assign, threshold, kernel):
     a = assign.select(F.col(id_col).alias("id_a"), "cid")
     b = assign.select(F.col(id_col).alias("id_b"), "cid")
     pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
-    extra_a = [S._vec_clean(F.col(vec_col)).alias("_ca")] if kernel else []
-    extra_b = [S._vec_clean(F.col(vec_col)).alias("_cb")] if kernel else []
+    extra_a = [_vec_clean(F.col(vec_col)).alias("_ca")] if kernel else []
+    extra_b = [_vec_clean(F.col(vec_col)).alias("_cb")] if kernel else []
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -56,7 +111,7 @@ def verify(emb, assign, threshold, kernel):
         *extra_b,
     )
     if kernel:
-        d = S._guarded_pair_dot(
+        d = _guarded_pair_dot(
             F.col("va"), F.col("vb"), F.col("_ca"), F.col("_cb")
         )
     else:
