@@ -10,65 +10,67 @@ force-include logic (rotate_window.forced_queries skips this file)."""
 from __future__ import annotations
 
 # The driver's CORRECTNESS gate verifies only the first 50 entries of
-# ``queries()`` each round.  Cumulative r1-r16 driver evidence covers all
-# 153 catalog queries, none ever red.  The round-17 window
-# (tools/rotate_window.py, change-aware: no package file changed since
-# the r16 boundary backs a catalog query, so 0 FORCED entries) is purely
-# staleness-ordered: the three r13 leftovers (bm25_retrieval,
-# corpus_rebalance, event_path_transitions — all judge-re-verified at
-# the r16 HEAD) then the 47 least-recently-verified r14 greens (the
-# signal/text family plus the r14 vector-audit and pipeline cohorts).
-# After r17 no query's driver evidence predates r14.  Queries not
-# listed keep module order after the prioritized block.
+# ``queries()`` each round.  Round-18 rotation (tools/rotate_window.py
+# --since ba24615): this round's expression/shape changes touch
+# functions/{similarity,dedup}.py and catalog/{vector,dedup,text}.py,
+# force-including their backing queries — notably every query whose
+# EXECUTION SHAPE changed (embedding_lsh_dup / embedding_cosine_dup /
+# semantic_dedup pair-verify repartition, dedup_ensemble containment
+# persist) and the expr-ified minhash/simhash/ngram family.
+# catalog/__init__.py also changed (schema cache + dsum/davg str
+# paths), which forces ALL 153 queries; the 103 that do not fit the 50
+# slots were dropped freshest-evidence-first, and the builder's own
+# full-catalog sweeps this round (153/153 at sf0.01, twice) cover them.
+# Queries not listed keep module order after the prioritized block.
 _DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    "bm25_retrieval",  # green r13
-    "corpus_rebalance",  # green r13
-    "event_path_transitions",  # green r13
-    "spc_control_chart",  # green r14
-    "value_delta",  # green r14
-    "change_detect",  # green r14
-    "threshold_alarm",  # green r14
-    "zscore_anomaly",  # green r14
-    "downsample_1h",  # green r14
-    "locf_gap_fill",  # green r14
-    "session_rollup",  # green r14
-    "percentile_summary",  # green r14
-    "deadband_suppress",  # green r14
-    "interp_gap_fill",  # green r14
-    "winsorize_clip",  # green r14
-    "asset_correlation",  # green r14
-    "mad_outliers",  # green r14
-    "text_stats",  # green r14
-    "token_fertility",  # green r14
-    "quality_score",  # green r14
-    "language_id",  # green r14
-    "token_count_total",  # green r14
-    "doc_fingerprint",  # green r14
-    "tfidf_top_terms",  # green r14
-    "bigram_topk",  # green r14
-    "train_test_split",  # green r14
-    "doc_chunking",  # green r14
-    "lang_mismatch",  # green r14
-    "corpus_prefilter",  # green r14
-    "stratified_sample",  # green r14
-    "pii_redact",  # green r14
-    "benchmark_contamination",  # green r14
-    "doc_repetition",  # green r14
-    "top_bigram_fraction",  # green r14
-    "pretokenize_counts",  # green r14
-    "doc_length_histogram",  # green r14
-    "minhash_accuracy",  # green r14
-    "dedup_cluster_histogram",  # green r14
-    "ivf_recall_audit",  # green r14
-    "embedding_label_margin",  # green r14
-    "ivf_train_kmeans",  # green r14
-    "embedding_pca_power",  # green r14
-    "span_dedup",  # green r14
-    "trigram_lm",  # green r14
-    "event_disorder_audit",  # green r14
-    "token_pmi",  # green r14
-    "text_normalize",  # green r14
-    "conversion_latency",  # green r14
-    "error_burst_join",  # green r14
-    "weighted_sample",  # green r14
+    "lang_mix_gini",  # green r14 FORCED(changed)
+    "dup_rate_by_source",  # green r14 FORCED(changed)
+    "split_leakage",  # green r14 FORCED(changed)
+    "bloom_filter_audit",  # green r15 FORCED(changed)
+    "ab_test_readout",  # green r15 FORCED(changed)
+    "hll_distinct_audit",  # green r15 FORCED(changed)
+    "source_vocab_divergence",  # green r15 FORCED(changed)
+    "value_drift_chi2",  # green r15 FORCED(changed)
+    "vocab_coverage",  # green r15 FORCED(changed)
+    "ngram_novelty",  # green r15 FORCED(changed)
+    "corpus_pipeline_e2e",  # green r15 FORCED(changed)
+    "dedup_exact",  # green r16 FORCED(changed)
+    "minhash_lsh_dedup",  # green r16 FORCED(changed)
+    "ngram_jaccard_pairs",  # green r16 FORCED(changed)
+    "doc_containment",  # green r16 FORCED(changed)
+    "simhash_dedup",  # green r16 FORCED(changed)
+    "dedup_clusters",  # green r16 FORCED(changed)
+    "dedup_apply",  # green r16 FORCED(changed)
+    "dedup_ensemble",  # green r16 FORCED(changed)
+    "embedding_norm_outliers",  # green r16 FORCED(changed)
+    "embedding_topk",  # green r16 FORCED(changed)
+    "embedding_cosine_dup",  # green r16 FORCED(changed)
+    "embedding_ivf_topk",  # green r16 FORCED(changed)
+    "embedding_knn_join",  # green r16 FORCED(changed)
+    "embedding_lsh_dup",  # green r16 FORCED(changed)
+    "embedding_centroids",  # green r16 FORCED(changed)
+    "embedding_quantize",  # green r16 FORCED(changed)
+    "semantic_dedup",  # green r16 FORCED(changed)
+    "knn_label_purity",  # green r16 FORCED(changed)
+    "embedding_dim_stats",  # green r16 FORCED(changed)
+    "ivf_cell_histogram",  # green r16 FORCED(changed)
+    "top_session_paths",  # green r16 FORCED(changed)
+    "domain_quota_sample",  # green r16 FORCED(changed)
+    "incremental_dedup",  # green r16 FORCED(changed)
+    "sliding_window_rate",  # green r16 FORCED(changed)
+    "click_view_reconciliation",  # green r16 FORCED(changed)
+    "sequence_packing",  # green r16 FORCED(changed)
+    "sliding_unique_users",  # green r16 FORCED(changed)
+    "bm25_retrieval",  # green r17 FORCED(changed)
+    "corpus_rebalance",  # green r17 FORCED(changed)
+    "event_path_transitions",  # green r17 FORCED(changed)
+    "text_stats",  # green r17 FORCED(changed)
+    "token_fertility",  # green r17 FORCED(changed)
+    "quality_score",  # green r17 FORCED(changed)
+    "language_id",  # green r17 FORCED(changed)
+    "token_count_total",  # green r17 FORCED(changed)
+    "doc_fingerprint",  # green r17 FORCED(changed)
+    "tfidf_top_terms",  # green r17 FORCED(changed)
+    "bigram_topk",  # green r17 FORCED(changed)
+    "train_test_split",  # green r17 FORCED(changed)
 )
