@@ -725,12 +725,22 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
 
+    from pyspark.sql import Window  # noqa: PLC0415
+
     docs = load(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", 3)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # per-shingle document frequency as ONE window over ONE shingle
+    # exchange instead of groupBy + join-back (r18, the same
+    # restructure _df_pruned_and_stats got in r17): the join re-shuffled
+    # the full shingle stream a second time, and the skew probe
+    # (SCALE.md r18) measured the join-back shape degrading
+    # superlinearly under a hot shingle while the window stays linear.
+    # _df per row is identical, so the aggregates are bit-identical.
+    shdf = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     return (
-        sh.join(dfc, "shingle")
-        .groupBy("doc_id")
+        shdf.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))

@@ -462,11 +462,15 @@ def test_corpus_qa_plan_shapes(spark):
     assert E.shuffle_count(df) <= 4, E.shuffle_count(df)
     assert E.is_fully_jvm(df)
 
-    # novelty: the df-count join reuses the shingle shuffle key
+    # novelty (r18): per-shingle DF is ONE window over the shingle
+    # exchange — the old groupBy + join-back re-shuffled the full
+    # shingle stream a second time (and melts under a hot shingle, see
+    # SCALE.md r18 skew probe)
     df = q_ngram_novelty(spark, SF)
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert E.is_fully_jvm(df)
+    assert plan.count("Window") >= 1, "df-count window missing"
 
 
 def test_kmeans_rounds_broadcast_centroids(spark):
