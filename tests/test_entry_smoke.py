@@ -34,13 +34,12 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_window_order_is_pinned():
     """The driver verifies only the first 50 entries of queries().
-    Cumulative r1-r16 evidence covers all 153 queries, so the round-17
-    window is purely staleness-ordered (no package file changed since
-    the r16 boundary backs a catalog query, so no forced entries): the
-    three r13 leftovers, then the 47 least-recently-verified r14
-    greens (the signal/text family plus the r14 vector-audit and
-    pipeline cohorts).  Guard the ordering so an innocent module
-    reshuffle can't silently evict them."""
+    The round-18 window is change-aware (tools/rotate_window.py): this
+    round's expression/shape changes force-include every query whose
+    EXECUTION SHAPE changed (pair-verify repartition, ensemble persist)
+    and the expr-ified minhash/simhash/ngram/vector families; the
+    remaining slots go to the stalest greens.  Guard the ordering so an
+    innocent module reshuffle can't silently evict them."""
     from foglamp_filter_python35_spark.catalog import (
         _DRIVER_WINDOW_ORDER,
         all_queries,
@@ -50,29 +49,28 @@ def test_driver_window_order_is_pinned():
     assert names[: len(_DRIVER_WINDOW_ORDER)] == list(_DRIVER_WINDOW_ORDER)
     window = names[:50]
     for fam, members in {
-        "stale-r13": ("bm25_retrieval", "corpus_rebalance",
-                      "event_path_transitions"),
-        "signal-r14": ("spc_control_chart", "value_delta", "change_detect",
-                       "threshold_alarm", "zscore_anomaly", "downsample_1h",
-                       "locf_gap_fill", "session_rollup",
-                       "percentile_summary", "deadband_suppress",
-                       "interp_gap_fill", "winsorize_clip",
-                       "asset_correlation", "mad_outliers"),
-        "text-r14": ("text_stats", "token_fertility", "quality_score",
+        "shape-changed-r18": ("embedding_lsh_dup", "embedding_cosine_dup",
+                              "semantic_dedup", "dedup_ensemble"),
+        "dedup-expr-r18": ("dedup_exact", "minhash_lsh_dedup",
+                           "ngram_jaccard_pairs", "doc_containment",
+                           "simhash_dedup", "dedup_clusters",
+                           "dedup_apply", "incremental_dedup"),
+        "vector-expr-r18": ("embedding_norm_outliers", "embedding_topk",
+                            "embedding_ivf_topk", "embedding_knn_join",
+                            "embedding_centroids", "embedding_quantize",
+                            "knn_label_purity", "embedding_dim_stats",
+                            "ivf_cell_histogram"),
+        "text-r18": ("text_stats", "token_fertility", "quality_score",
                      "language_id", "token_count_total", "doc_fingerprint",
-                     "tfidf_top_terms", "bigram_topk", "train_test_split",
-                     "doc_chunking", "lang_mismatch", "corpus_prefilter",
-                     "stratified_sample", "pii_redact",
-                     "benchmark_contamination", "doc_repetition",
-                     "top_bigram_fraction", "pretokenize_counts",
-                     "doc_length_histogram"),
-        "dedup-audit-r14": ("minhash_accuracy", "dedup_cluster_histogram",
-                            "span_dedup"),
-        "vector-audit-r14": ("ivf_recall_audit", "embedding_label_margin",
-                             "ivf_train_kmeans", "embedding_pca_power"),
-        "pipeline-r14": ("trigram_lm", "event_disorder_audit", "token_pmi",
-                         "text_normalize", "conversion_latency",
-                         "error_burst_join", "weighted_sample"),
+                     "tfidf_top_terms", "bigram_topk", "train_test_split"),
+        "stale-r14-r15": ("lang_mix_gini", "dup_rate_by_source",
+                          "split_leakage", "bloom_filter_audit",
+                          "ab_test_readout", "hll_distinct_audit",
+                          "source_vocab_divergence", "value_drift_chi2",
+                          "vocab_coverage", "ngram_novelty",
+                          "corpus_pipeline_e2e"),
     }.items():
         for q in members:
             assert q in window, f"{fam} query {q} fell out of the driver window"
+
+
